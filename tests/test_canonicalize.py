@@ -1,0 +1,54 @@
+"""URL canonicalization contract (SURVEY.md §2 row 12)."""
+
+from pyspark.sql import functions as F
+
+from cola_spark.functions import canonicalize_url, host_of, path_of, url_hash_col
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+
+
+def test_fragment_stripped(spark):
+    a, b = _canon(spark, ["http://a.example/p/1#frag", "http://a.example/p/1"])
+    assert a == b == "http://a.example/p/1"
+
+
+def test_query_order_normalized(spark):
+    a, b = _canon(spark, ["http://a.example/p?b=2&a=1", "http://a.example/p?a=1&b=2"])
+    assert a == b == "http://a.example/p?a=1&b=2"
+
+
+def test_case_and_default_port(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTP://A.Example:80/p/1",
+            "https://b.example:443/x",
+            "http://c.example:8080/y",
+        ],
+    )
+    assert got == [
+        "http://a.example/p/1",
+        "https://b.example/x",
+        "http://c.example:8080/y",
+    ]
+
+
+def test_empty_path_and_invalid(spark):
+    got = _canon(spark, ["http://a.example", "not a url"])
+    assert got[0] == "http://a.example/"
+    assert got[1] is None
+
+
+def test_host_path_hash(spark):
+    df = spark.createDataFrame([("http://H1.Example/p/7?z=1#f",)], "url string")
+    row = df.select(
+        host_of(F.col("url")).alias("h"),
+        path_of(F.col("url")).alias("p"),
+        url_hash_col(canonicalize_url(F.col("url"))).alias("k"),
+    ).first()
+    assert row.h == "h1.example"
+    assert row.p == "/p/7"
+    assert isinstance(row.k, int)
