@@ -1,0 +1,65 @@
+"""Budget/speed accounting as a ledger table.
+
+Reference semantics (cola/functions/budget.py BudgetApplyServer
+~L20-110): ``apply(k) -> granted = min(k, budgets - applied)``,
+``finish(n)`` accumulates toward ALLFINISHED (finished >= budgets),
+``error(n)`` returns budget (applied -= n). cola's SpeedControlServer
+(cola/functions/speed.py ~L20-220) bounds pages/minute; our analogue is
+the per-round token refill ``rate_per_round``.
+
+Ledger columns: host, budget, rate_per_round, applied, finished,
+errored. All transitions are joins + column arithmetic — a broadcast-
+size table (one row per host config, not per URL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def init_budget_state(budgets: DataFrame) -> DataFrame:
+    return budgets.select(
+        "host", "budget", "rate_per_round",
+        F.lit(0).cast("long").alias("applied"),
+        F.lit(0).cast("long").alias("finished"),
+        F.lit(0).cast("long").alias("errored"),
+    )
+
+
+def budget_caps(state: DataFrame) -> DataFrame:
+    """Per-host grant cap for this round: min(remaining budget, rate)."""
+    return state.select(
+        "host",
+        F.least(F.col("budget") - F.col("applied"), F.col("rate_per_round")).alias("cap"),
+    ).filter(F.col("cap") > 0)
+
+
+def update_budget_state(
+    state: DataFrame,
+    granted: DataFrame,   # (host, n_granted)
+    finished: DataFrame,  # (host, n_finished)
+    errored: DataFrame,   # (host, n_errored)
+) -> DataFrame:
+    """Apply one round's outcomes. Errors return budget (cola error()):
+    applied counts only grants that weren't errored back."""
+    df = (
+        state.join(F.broadcast(granted), "host", "left")
+        .join(F.broadcast(finished), "host", "left")
+        .join(F.broadcast(errored), "host", "left")
+        .na.fill({"n_granted": 0, "n_finished": 0, "n_errored": 0})
+    )
+    return df.select(
+        "host", "budget", "rate_per_round",
+        (F.col("applied") + F.col("n_granted") - F.col("n_errored")).alias("applied"),
+        (F.col("finished") + F.col("n_finished")).alias("finished"),
+        (F.col("errored") + F.col("n_errored")).alias("errored"),
+    )
+
+
+def all_finished(state: DataFrame) -> bool:
+    """cola's ALLFINISHED: every host's finished >= budget."""
+    row = state.agg(
+        F.min(F.col("finished") >= F.col("budget")).alias("done")
+    ).first()
+    return bool(row.done)

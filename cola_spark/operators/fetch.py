@@ -1,0 +1,127 @@
+"""Fetch + decode + link-discovery stages.
+
+Reference: Opener.open(url) -> page bytes (cola/core/opener.py
+~L20-200), then Parser.parse(url) -> (records, new units) — a UDTF, one
+page in, N link rows out (cola/core/parsers.py ~L1-30 + contrib
+parsers). The sandbox has no network, so fetch is a *deterministic
+synthetic opener*: the payload for a URL is the `images` table row keyed
+by pmod(xxhash64(url_canon), n_images) — the join stands in for the
+network round-trip and keeps every stage verifiable.
+
+Decode is the vectorized Arrow path (mapInPandas, batch of rows per
+Python call, never per-row) and checks the per-row invariant from
+BASELINE.json input_hint: decoded pixels bit-exact for png / PSNR >= 40
+dB for lossy, caption exactly equal to ground truth.
+
+Link discovery is pure column arithmetic (crc32 coins — chosen over
+xxhash64 because the pure-Python oracle in plans/oracle.py must flip
+identical coins with zlib.crc32): each fetched page yields 0-2 same-host
+child URLs, exercising multi-round dedup.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FAIL_MOD = 20  # 1-in-20 synthetic fetch failures
+
+
+def fail_coin(url_canon_col):
+    return F.pmod(F.crc32(url_canon_col), F.lit(FAIL_MOD)) == 0
+
+
+def synthetic_fetch(
+    scheduled: DataFrame, images: DataFrame, n_images: int, decode: bool = True
+) -> DataFrame:
+    """Fetch scheduled URLs against the images table and decode.
+
+    Adds: image_id, fetch_ok (deterministic 5% failures), and — when
+    decode=True — fmt, psnr, invariant_ok from the vectorized decoder.
+    """
+    df = scheduled.withColumn(
+        "image_id",
+        F.format_string("img%08d", F.pmod(F.xxhash64(F.col("url_canon")), F.lit(n_images))),
+    ).withColumn("fetch_ok", ~fail_coin(F.col("url_canon")))
+    if not decode:
+        return df
+
+    payload = df.filter(F.col("fetch_ok")).join(
+        images.select("image_id", "bytes", "w", "h", "fmt", "caption"), "image_id", "left"
+    )
+    base_cols = [c for c in df.columns]
+
+    def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from cola_spark.codecs import decode_image
+        from cola_spark.codecs.pixels import gen_pixels, psnr
+        from cola_spark.sources.generators import caption_of
+
+        for pdf in it:
+            psnrs, ok = [], []
+            for data, fmt, image_id, w, h, caption in zip(
+                pdf["bytes"], pdf["fmt"], pdf["image_id"], pdf["w"], pdf["h"], pdf["caption"]
+            ):
+                if data is None:
+                    psnrs.append(float("nan"))
+                    ok.append(False)
+                    continue
+                px = decode_image(bytes(data), fmt)
+                truth = gen_pixels(image_id, int(w), int(h))
+                if fmt == "png":
+                    pixels_ok = bool(np.array_equal(px, truth))
+                    p = float("inf") if pixels_ok else psnr(truth, px)
+                else:
+                    p = psnr(truth, px)
+                    pixels_ok = p >= 40.0
+                psnrs.append(min(p, 99.0))
+                ok.append(pixels_ok and caption == caption_of(image_id))
+            out = pdf[base_cols + ["fmt"]].copy()
+            out["psnr"] = psnrs
+            out["invariant_ok"] = ok
+            yield out
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema += ", fmt string, psnr double, invariant_ok boolean"
+    decoded = payload.mapInPandas(decode_batch, schema)
+    failed = (
+        df.filter(~F.col("fetch_ok"))
+        .withColumn("fmt", F.lit(None).cast("string"))
+        .withColumn("psnr", F.lit(None).cast("double"))
+        .withColumn("invariant_ok", F.lit(None).cast("boolean"))
+    )
+    return decoded.unionByName(failed)
+
+
+CHILD_SEQ_OFFSET = 10**12
+
+
+def discover_links(fetched_ok: DataFrame, pages_per_host: int = 50) -> DataFrame:
+    """Parser UDTF analogue: each fetched page emits 0-2 child URLs on
+    the same host. Child seq = parent_seq * 4 + i + 10^12 — injective
+    across parents and generations, and larger than any parent seq, so
+    FIFO (discovery order) is preserved by the seq tiebreaker.
+    """
+    c = F.crc32(F.col("url_canon"))
+    n_children = (
+        F.when(F.pmod(c, F.lit(4)) == 0, 2).when(F.pmod(c, F.lit(4)) == 1, 1).otherwise(0)
+    )
+    page = F.regexp_extract(F.col("url_canon"), r"/p/(\d+)", 1).cast("long")
+    kids = (
+        fetched_ok.withColumn("_n", n_children)
+        .filter(F.col("_n") > 0)
+        .withColumn("_i", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+    )
+    child_page = F.pmod(page * 7 + 13 * (F.col("_i") + 1), F.lit(pages_per_host))
+    child_url = F.format_string("http://%s/p/%d", F.col("host"), child_page)
+    return kids.select(
+        child_url.alias("url"),
+        F.pmod(F.crc32(child_url), F.lit(3)).cast("int").alias("priority"),
+        (F.col("seq") * 4 + F.col("_i") + F.lit(CHILD_SEQ_OFFSET)).alias("seq"),
+        F.lit(False).alias("force"),
+        F.lit(0).alias("error_times"),
+    )

@@ -1,0 +1,51 @@
+"""Priority-MQ ordering + per-host budget cut, skew-proofed.
+
+Reference semantics: the MQ serves higher-priority stores first, FIFO
+within a priority level (cola/core/mq/__init__.py get path ~L130-190;
+per-priority append-only stores in store.py), and the executor only
+crawls as many units as the BudgetApplyServer grants
+(cola/functions/budget.py apply ~L20-110).
+
+Spark re-expression: the crawl order within a host is the total order
+(priority ASC, seq ASC) — seq is the global discovery sequence, so FIFO
+within a level is exact. The per-round per-host grant is a top-k cut on
+that order with k = cap(host) = min(budget - applied, rate_per_round).
+
+Skew: one hot Zipf host can hold a huge share of pending rows; a naive
+Window.partitionBy(host) sends them all to one task. Because caps are
+small, we cut in two phases:
+  phase 1: rank within (host, salt) where salt = pmod(url_hash, S)
+           → keep rank <= cap      (parallel across S tasks per host)
+  phase 2: rank within host over the <= S*cap survivors → rank <= cap
+Phase-2 input is bounded by S*cap rows per host regardless of skew.
+This is semantically identical to the single-window cut (top-k of a
+union = top-k of the union of per-part top-ks) and deterministic —
+(priority, seq) has no ties since seq is unique.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def schedule_cut(pending: DataFrame, caps: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Pick this round's crawl set: per host, the cap(host) first rows in
+    (priority, seq) order. ``caps``: (host, cap). Returns scheduled rows
+    with a ``host_rank`` column (1-based position in the host's queue).
+    """
+    df = pending.join(F.broadcast(caps.filter(F.col("cap") > 0)), "host", "inner")
+    salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
+    w1 = Window.partitionBy("host", "_salt").orderBy("priority", "seq")
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col("cap"))
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("host").orderBy("priority", "seq")
+    return (
+        phase1.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= F.col("cap"))
+        .drop("cap")
+    )

@@ -1,0 +1,54 @@
+"""Re-expression of cola's budget-accounting tests (BudgetApplyServer:
+apply never over-grants, finish accumulates to ALLFINISHED, error
+returns budget) — BASELINE.json:6."""
+
+from pyspark.sql import functions as F
+
+from cola_spark.operators.budget import (
+    all_finished,
+    budget_caps,
+    init_budget_state,
+    update_budget_state,
+)
+
+
+def _budgets(spark, rows):
+    return spark.createDataFrame(rows, "host string, budget long, rate_per_round long")
+
+
+def _counts(spark, d, name):
+    return spark.createDataFrame(list(d.items()), f"host string, {name} long")
+
+
+def test_apply_never_over_grants(spark):
+    st = init_budget_state(_budgets(spark, [("h1", 5, 3), ("h2", 10, 100)]))
+    caps = {r.host: r.cap for r in budget_caps(st).collect()}
+    assert caps == {"h1": 3, "h2": 10}  # min(remaining, rate)
+    # grant 3 to h1 twice → remaining 2 then cap 2; never exceeds budget
+    st = update_budget_state(st, _counts(spark, {"h1": 3}, "n_granted"),
+                             _counts(spark, {}, "n_finished"), _counts(spark, {}, "n_errored"))
+    caps = {r.host: r.cap for r in budget_caps(st).collect()}
+    assert caps["h1"] == 2
+    st = update_budget_state(st, _counts(spark, {"h1": 2}, "n_granted"),
+                             _counts(spark, {}, "n_finished"), _counts(spark, {}, "n_errored"))
+    assert "h1" not in {r.host for r in budget_caps(st).collect()}  # exhausted
+
+
+def test_error_returns_budget(spark):
+    st = init_budget_state(_budgets(spark, [("h1", 5, 5)]))
+    st = update_budget_state(st, _counts(spark, {"h1": 5}, "n_granted"),
+                             _counts(spark, {"h1": 3}, "n_finished"),
+                             _counts(spark, {"h1": 2}, "n_errored"))
+    row = st.first()
+    assert row.applied == 3 and row.finished == 3 and row.errored == 2
+    caps = {r.host: r.cap for r in budget_caps(st).collect()}
+    assert caps["h1"] == 2  # the 2 errored grants came back
+
+
+def test_allfinished_transition(spark):
+    st = init_budget_state(_budgets(spark, [("h1", 2, 9), ("h2", 1, 9)]))
+    assert not all_finished(st)
+    st = update_budget_state(st, _counts(spark, {"h1": 2, "h2": 1}, "n_granted"),
+                             _counts(spark, {"h1": 2, "h2": 1}, "n_finished"),
+                             _counts(spark, {}, "n_errored"))
+    assert all_finished(st)

@@ -1,0 +1,97 @@
+"""End-to-end crawl: exact order match + seen-set equality vs the
+pure-Python oracle (BASELINE.md: crawl-order match rate == 1.0), ledger
+parity, per-row decode invariants, robots gating."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cola_spark.plans.oracle import run_oracle
+from cola_spark.plans.scheduler import CrawlConfig, crawl_log, final_state, run_crawl
+from cola_spark.sources import gen_budgets, gen_frontier_seeds, gen_images, gen_robots
+
+N_SEEDS, N_HOSTS, N_IMAGES, PAGES = 400, 12, 60, 20
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("crawl"))
+    seeds = gen_frontier_seeds(spark, N_SEEDS, n_hosts=N_HOSTS, pages_per_host=PAGES)
+    robots = gen_robots(spark, N_HOSTS)
+    budgets = gen_budgets(spark, N_HOSTS)
+    images = gen_images(spark, N_IMAGES)
+    cfg = CrawlConfig(workdir=wd, n_images=N_IMAGES, pages_per_host=PAGES, max_rounds=6)
+    log = run_crawl(spark, seeds, robots, budgets, images, cfg)
+    oracle = run_oracle(
+        [r.asDict() for r in seeds.select("url", "priority", "seq", "force").collect()],
+        [r.asDict() for r in robots.collect()],
+        [r.asDict() for r in budgets.collect()],
+        pages_per_host=PAGES, max_rounds=6,
+    )
+    return log, oracle, cfg
+
+
+def test_crawl_order_matches_oracle_exactly(crawl):
+    log, oracle, _ = crawl
+    got = [
+        (r.round, r.priority, r.host, r.seq, r.url_canon, r.host_rank, r.global_rank)
+        for r in log.orderBy("global_rank").collect()
+    ]
+    want = [
+        (s["round"], s["priority"], s["host"], s["seq"], s["url_canon"],
+         s["host_rank"], s["global_rank"])
+        for s in oracle["order"]
+    ]
+    assert len(got) == len(want) and got == want, (
+        f"order mismatch: {len(got)} vs {len(want)} rows; "
+        f"first diff: {next(((a, b) for a, b in zip(got, want) if a != b), None)}"
+    )
+
+
+def test_seen_set_equality(crawl, spark):
+    log, oracle, cfg = crawl
+    _, seen, _ = final_state(spark, cfg)
+    # map hashes back through the urls that produced them
+    from cola_spark.functions.urls import url_hash_col
+
+    want_hashes = {
+        r.h
+        for r in spark.createDataFrame([(u,) for u in oracle["seen"]], "c string")
+        .select(url_hash_col(F.col("c")).alias("h"))
+        .collect()
+    }
+    got_hashes = {r.url_hash for r in seen.collect()}
+    assert got_hashes == want_hashes
+
+
+def test_ledger_parity_and_never_over_budget(crawl, spark):
+    log, oracle, cfg = crawl
+    _, _, bstate = final_state(spark, cfg)
+    got = {r.host: (r.applied, r.finished, r.errored) for r in bstate.collect()}
+    for host, lg in oracle["ledger"].items():
+        assert got[host] == (lg["applied"], lg["finished"], lg["errored"]), host
+        assert got[host][0] <= lg["budget"]
+
+
+def test_decode_invariants_hold(crawl):
+    log, _, _ = crawl
+    ok = log.filter(F.col("fetch_ok"))
+    assert ok.count() > 0
+    bad = ok.filter(~F.col("invariant_ok") | (F.col("psnr") < 40.0)).count()
+    assert bad == 0
+
+
+def test_robots_never_crawled(crawl, spark):
+    log, _, _ = crawl
+    robots = gen_robots(spark, N_HOSTS)
+    r = robots.withColumnRenamed("host", "rhost")
+    crawled_blocked = log.join(
+        r, (log.host == r.rhost) & log.path.startswith(r.disallow_prefix), "inner"
+    ).count()
+    assert crawled_blocked == 0
+
+
+def test_retries_present_and_bounded(crawl):
+    log, _, _ = crawl
+    retried = log.filter(F.col("error_times") > 0)
+    assert log.filter(~F.col("fetch_ok")).count() > 0, "fixture should produce failures"
+    assert retried.filter(F.col("error_times") >= 3).count() == 0
