@@ -1,0 +1,93 @@
+"""Benchmark harness — prints ONE JSON line per the driver contract.
+
+Headline: the full multi-round crawl (frontier throughput = URLs
+completing canonicalize → dedup → schedule per second of loop time),
+plus the heavy driver-table queries. Input scale follows
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1); parallelism
+follows $SPARK_GRAFT_CPUS (default 32).
+
+Scaling evidence (north rule: N vs 4N executors): run this twice,
+  SPARK_GRAFT_CPUS=8 python bench.py
+  SPARK_GRAFT_CPUS=32 python bench.py
+on the same input — scripts/scaling_bench.py automates it and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+
+BENCH_QUERIES = [
+    "dedup_anti_join", "priority_fifo_order", "counter_rollup", "rate_window",
+    "robots_gate", "running_budget_total", "ngram_jaccard_pairs", "ann_cosine_topk",
+    "docs_exact_dedup", "multimodal_meta",
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cola_spark.plans.scheduler import CrawlConfig, run_crawl
+    from cola_spark.queries import PAIRS
+    from cola_spark.session import get_spark
+    from cola_spark.sources import gen_budgets, gen_frontier_seeds, gen_images, gen_robots
+
+    spark = get_spark("cola_spark_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    # --- headline: the crawl ------------------------------------------------
+    n_urls = max(2000, int(4_000_000 * SF))
+    n_hosts = max(50, int(20_000 * SF))
+    n_images = 2000
+    seeds = gen_frontier_seeds(spark, n_urls, n_hosts=n_hosts, parts=CPUS * 2)
+    robots = gen_robots(spark, n_hosts)
+    budgets = gen_budgets(spark, n_hosts)
+    images = gen_images(spark, n_images, parts=CPUS)
+    workdir = tempfile.mkdtemp(prefix="cola_bench_")
+    cfg = CrawlConfig(workdir=workdir, n_images=n_images, max_rounds=5, salt_buckets=16)
+    t0 = time.monotonic()
+    log = run_crawl(spark, seeds, robots, budgets, images, cfg)
+    n_crawled = log.count()
+    crawl_secs = time.monotonic() - t0
+    timings["crawl_5rounds"] = round(crawl_secs, 3)
+    # URLs that completed canonicalize→dedup→schedule gate per second:
+    # every candidate row is processed by the admission+cut pipeline
+    frontier_throughput = n_urls / crawl_secs
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    # --- driver-table operator queries -------------------------------------
+    for name in BENCH_QUERIES:
+        fn, _sql = PAIRS[name]
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall time (crawl 5 rounds + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "cpus": CPUS,
+        "frontier_urls": n_urls,
+        "frontier_urls_per_sec": round(frontier_throughput, 1),
+        "crawled": n_crawled,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,545 @@
+"""Operator → (Spark DataFrame impl, DuckDB oracle SQL) registry.
+
+This is the driver-contract surface (__spark_entry__.py): every
+scheduler operator from SURVEY.md §2 demonstrated on the driver's
+parquet tables so DuckDB can act as the independent oracle, plus the
+training-data-pipeline operators (dedup family, similarity search, text
+analysis, multimodal plumbing) over documents/embeddings.
+
+Cross-engine determinism rules (hard-won):
+  * compared outputs carry only BIGINT / STRING / BOOLEAN / TIMESTAMP —
+    floats are kept out of value-hashed columns (money → integer cents
+    via FLOOR(x*100): DuckDB CAST(double AS BIGINT) *rounds* while
+    Spark's cast truncates — FLOOR agrees everywhere);
+  * Spark row_number()/size() return INT → cast to BIGINT to match
+    DuckDB; DuckDB SUM(BIGINT) returns HUGEINT → CAST back to BIGINT;
+  * join keys are raw columns, never xxhash64 (DuckDB lacks it);
+  * regex kept to the POSIX-compatible intersection of Java regex and
+    RE2; DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all default.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- scheduler ops
+
+
+def q_dedup_anti_join(spark, sf):
+    """SURVEY §2 row 10/14 — seen-set dedup as left-anti equi-join."""
+    li = _t(spark, sf, "lineitem")
+    seen = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return li.join(seen, "l_orderkey", "left_anti").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+
+
+SQL_DEDUP = """
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(l_quantity AS BIGINT) AS qty
+FROM lineitem li
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = li.l_orderkey AND o.o_orderstatus = 'F')
+"""
+
+
+def q_priority_fifo_order(spark, sf):
+    """SURVEY §2 row 24 — priority-MQ ordering: FIFO within priority."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderpriority", "o_orderkey")
+    return _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).cast("long").alias("host_rank"),
+    )
+
+
+SQL_PRIORITY = """
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderpriority, o_orderkey) AS host_rank
+FROM orders
+"""
+
+
+def q_budget_topk_cut(spark, sf):
+    """SURVEY §2 rows 21/25 — per-key budget cut + round assignment."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderpriority", "o_orderkey")
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("host_rank") <= 9)
+        .select(
+            "o_custkey", "o_orderkey", "host_rank",
+            F.floor((F.col("host_rank") - 1) / 3).alias("round_no"),
+        )
+    )
+
+
+SQL_TOPK = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderpriority, o_orderkey) AS host_rank
+  FROM orders)
+SELECT o_custkey, o_orderkey, host_rank,
+       CAST(FLOOR((host_rank - 1) / 3) AS BIGINT) AS round_no
+FROM r WHERE host_rank <= 9
+"""
+
+
+def q_counter_rollup(spark, sf):
+    """SURVEY §2 row 20 — CounterServer partial+final aggregation."""
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("sum_price_cents"),
+            F.max(F.col("l_quantity").cast("long")).alias("max_qty"),
+            F.min(F.col("l_quantity").cast("long")).alias("min_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_COUNTER = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       MAX(CAST(l_quantity AS BIGINT)) AS max_qty,
+       MIN(CAST(l_quantity AS BIGINT)) AS min_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rate_window(spark, sf):
+    """SURVEY §2 row 22 — per-minute rate window (speed control)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("minute"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).alias("sum_value_cents"),
+        )
+    )
+
+
+SQL_RATE = """
+SELECT date_trunc('minute', ts) AS minute, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_pattern_dispatch(spark, sf):
+    """SURVEY §2 row 9 — UrlPatterns regex dispatch → parser_id."""
+    p = _t(spark, sf, "part")
+    parser = (
+        F.when(F.col("p_type").rlike("ECONOMY"), 1)
+        .when(F.col("p_type").rlike("PROMO"), 2)
+        .when(F.col("p_type").rlike("STANDARD"), 3)
+        .otherwise(0)
+    )
+    return p.select("p_partkey", "p_type", parser.cast("long").alias("parser_id"))
+
+
+SQL_PATTERN = """
+SELECT p_partkey, p_type,
+       CAST(CASE WHEN regexp_matches(p_type, 'ECONOMY') THEN 1
+                 WHEN regexp_matches(p_type, 'PROMO') THEN 2
+                 WHEN regexp_matches(p_type, 'STANDARD') THEN 3
+                 ELSE 0 END AS BIGINT) AS parser_id
+FROM part
+"""
+
+
+def q_retry_requeue(spark, sf):
+    """SURVEY §2 row 28 — failed rows bumped and unioned back."""
+    ev = _t(spark, sf, "events")
+    ok = ev.filter(F.col("event_type") != "error").select(
+        "user_id", F.lit(0).cast("long").alias("error_times")
+    )
+    failed = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.lit(1).cast("long").alias("error_times")
+    )
+    return (
+        ok.unionByName(failed)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("error_times").alias("n_retried"))
+    )
+
+
+SQL_RETRY = """
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(error_times) AS BIGINT) AS n_retried
+FROM (SELECT user_id, 0 AS error_times FROM events WHERE event_type <> 'error'
+      UNION ALL
+      SELECT user_id, 1 AS error_times FROM events WHERE event_type = 'error')
+GROUP BY user_id
+"""
+
+
+def q_finished_removal(spark, sf):
+    """SURVEY §2 row 29 — destructive pop: frontier minus done set."""
+    o = _t(spark, sf, "orders")
+    done = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    return o.join(done, "o_orderkey", "left_anti").select("o_orderkey", "o_orderstatus")
+
+
+SQL_FINISHED = """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM orders d
+                  WHERE d.o_orderkey = o.o_orderkey AND d.o_orderstatus = 'O')
+"""
+
+
+def q_running_budget_total(spark, sf):
+    """SURVEY §2 row 26 — monotone applied/finished running counters."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.floor(F.col("o_totalprice") * 100)).over(w).alias("run_cents"),
+    )
+
+
+SQL_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS run_cents
+FROM orders
+"""
+
+
+def q_seen_cardinality(spark, sf):
+    """SURVEY §2 row 23 — seen-set cardinality (exact)."""
+    return _t(spark, sf, "lineitem").agg(
+        F.countDistinct("l_orderkey").alias("n_distinct_orders"),
+        F.countDistinct("l_partkey").alias("n_distinct_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_CARD = """
+SELECT COUNT(DISTINCT l_orderkey) AS n_distinct_orders,
+       COUNT(DISTINCT l_partkey) AS n_distinct_parts,
+       COUNT(*) AS n_rows
+FROM lineitem
+"""
+
+
+def q_robots_gate(spark, sf):
+    """SURVEY §2 row 11 — disallow-list gate as broadcast anti-join."""
+    li = _t(spark, sf, "lineitem")
+    blocked = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_type").startswith("SMALL"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    return li.join(F.broadcast(blocked), "l_partkey", "left_anti").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+
+
+SQL_ROBOTS = """
+SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem li
+WHERE NOT EXISTS (SELECT 1 FROM part p
+                  WHERE p.p_partkey = li.l_partkey AND p.p_type LIKE 'SMALL%')
+"""
+
+
+def q_force_bypass(spark, sf):
+    """SURVEY §2 row 13 — force branch unioned past the dedup gate."""
+    o = _t(spark, sf, "orders")
+    seen = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    force = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit(True).alias("forced")
+    )
+    normal = (
+        o.filter(F.col("o_orderpriority") != "1-URGENT")
+        .join(seen, "o_custkey", "left_anti")
+        .select("o_orderkey", F.lit(False).alias("forced"))
+    )
+    return force.unionByName(normal)
+
+
+SQL_FORCE = """
+SELECT o_orderkey, TRUE AS forced FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, FALSE AS forced FROM orders o
+WHERE o_orderpriority <> '1-URGENT'
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+"""
+
+
+# ------------------------------------------------- training-data pipeline ops
+
+
+def q_docs_exact_dedup(spark, sf):
+    """Exact dedup: hash-groupBy on content digest."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_DOC_DEDUP = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_docs_token_count(spark, sf):
+    """Token counting (whitespace tokenizer)."""
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_seen"),
+    )
+
+
+SQL_TOKENS = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_seen
+FROM documents
+"""
+
+
+def q_docs_quality(spark, sf):
+    """Quality scoring: length/stopword-ratio heuristics (integer-exact)."""
+    d = _t(spark, sf, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    stop_hits = (
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), "the", ""))) / 3
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("stopword_hits"),
+        ((n_tokens >= 20) & (stop_hits > 0)).alias("is_quality"),
+    )
+
+
+SQL_QUALITY = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)
+         AS stopword_hits,
+       (len(string_split_regex(trim(text), '\s+')) >= 20
+        AND (length(text) - length(replace(text, 'the', ''))) / 3 > 0) AS is_quality
+FROM documents
+"""
+
+
+def q_docs_classify(spark, sf):
+    """Content classification via pattern rules (language-ID shaped)."""
+    t = F.col("text")
+    label = (
+        F.when(t.contains("window") & t.contains("merge"), "analytic")
+        .when(t.contains("customer"), "commerce")
+        .otherwise("other")
+    )
+    return _t(spark, sf, "documents").select("doc_id", "lang", label.alias("topic"))
+
+
+SQL_CLASSIFY = """
+SELECT doc_id, lang,
+       CASE WHEN text LIKE '%window%' AND text LIKE '%merge%' THEN 'analytic'
+            WHEN text LIKE '%customer%' THEN 'commerce'
+            ELSE 'other' END AS topic
+FROM documents
+"""
+
+
+def q_docs_fingerprint(spark, sf):
+    """Document fingerprinting: digest of whitespace-normalized text."""
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def _shingles(doc):
+    """(doc_id, shingle) exploded distinct word-3-gram shingles."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    return (
+        doc.filter(F.size(words) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    """Near-dup detection: exact word-3-gram Jaccard ≥ 0.2 pairs."""
+    sh = _shingles(_t(spark, sf, "documents"))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(sza, "doc_a").join(szb, "doc_b")
+        .filter(F.col("common") * 10 >= 2 * (F.col("na") + F.col("nb") - F.col("common")))
+        .select("doc_a", "doc_b", "common", "na", "nb")
+    )
+
+
+SQL_JACCARD = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+       FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+       WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, common, sa.n_sh AS na, sb.n_sh AS nb
+FROM pairs
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE common * 10 >= 2 * (sa.n_sh + sb.n_sh - common)
+"""
+
+
+def _cosine(a, b):
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def q_ann_cosine_topk(spark, sf):
+    """Similarity search: brute-force cosine top-5 per query vector.
+
+    The scale path (LSH-bucketed) is q_ann_lsh_topk (rows-only check).
+    """
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    sims = (
+        q.crossJoin(e.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine(F.col("qe"), F.col("embedding")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+SQL_ANN = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 10),
+sims AS (SELECT query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS sim
+         FROM q, embeddings e WHERE e.vec_id <> query_id)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         AS rank
+FROM sims QUALIFY rank <= 5
+"""
+
+
+def q_multimodal_meta(spark, sf):
+    """Multimodal plumbing: opaque binary payload + vectorized feature
+    extraction (mapInPandas). Real image/audio decode is environment-
+    gated (cola_spark.codecs.decode_image raises for absent decoders);
+    the schema/batching/UDF shape here is the production path.
+    """
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def extract(it):
+        for pdf in it:
+            out = pdf[["doc_id"]].copy()
+            out["n_bytes"] = [len(b) for b in pdf["payload"]]
+            out["head_hex"] = [bytes(b)[:4].hex().upper() for b in pdf["payload"]]
+            yield out
+
+    return d.mapInPandas(extract, "doc_id long, n_bytes long, head_hex string")
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       upper(substr(hex(encode(text)), 1, 8)) AS head_hex
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------ registry
+
+PAIRS: dict[str, tuple[Callable, str | None]] = {
+    "dedup_anti_join": (q_dedup_anti_join, SQL_DEDUP),
+    "priority_fifo_order": (q_priority_fifo_order, SQL_PRIORITY),
+    "budget_topk_cut": (q_budget_topk_cut, SQL_TOPK),
+    "counter_rollup": (q_counter_rollup, SQL_COUNTER),
+    "rate_window": (q_rate_window, SQL_RATE),
+    "pattern_dispatch": (q_pattern_dispatch, SQL_PATTERN),
+    "retry_requeue": (q_retry_requeue, SQL_RETRY),
+    "finished_removal": (q_finished_removal, SQL_FINISHED),
+    "running_budget_total": (q_running_budget_total, SQL_RUNNING),
+    "seen_cardinality": (q_seen_cardinality, SQL_CARD),
+    "robots_gate": (q_robots_gate, SQL_ROBOTS),
+    "force_bypass": (q_force_bypass, SQL_FORCE),
+    "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOC_DEDUP),
+    "docs_token_count": (q_docs_token_count, SQL_TOKENS),
+    "docs_quality": (q_docs_quality, SQL_QUALITY),
+    "docs_classify": (q_docs_classify, SQL_CLASSIFY),
+    "docs_fingerprint": (q_docs_fingerprint, SQL_FINGERPRINT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_JACCARD),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
+}
