@@ -34,6 +34,15 @@ FRONTIER_COLS = [
     "priority", "seq", "force", "error_times",
 ]
 
+_PERSISTED: list = []  # cogroup results cached within a round; see release_persisted
+
+
+def release_persisted() -> None:
+    """Unpersist caches created by admit_filtered (called per round by
+    the scheduler once the round's writes have materialized)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def prepare_frontier(raw: DataFrame) -> DataFrame:
     """Normalize raw (url, priority, seq, force) rows into the frontier
@@ -53,7 +62,7 @@ def prepare_frontier(raw: DataFrame) -> DataFrame:
 
 
 def admit(candidates: DataFrame, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Dedup one batch of candidates against the seen set.
+    """Dedup one batch of candidates against the seen set (exact mode).
 
     Returns (admitted, newly_seen_hashes). ``seen`` is a DataFrame with
     a single ``url_hash`` column. Force rows pass unchecked and do not
@@ -69,3 +78,86 @@ def admit(candidates: DataFrame, seen: DataFrame) -> tuple[DataFrame, DataFrame]
     fresh = first.join(seen.select("url_hash"), "url_hash", "left_anti")
     admitted = candidates.filter(F.col("force")).unionByName(fresh)
     return admitted, fresh.select("url_hash")
+
+
+def admit_filtered(
+    candidates: DataFrame,
+    seen: DataFrame,
+    filters: DataFrame,
+    n_parts: int = 32,
+    capacity_per_part: int = 1 << 18,
+    mode: str = "hybrid",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Cuckoo-filter admission — the scale path.
+
+    candidates are routed to P partitions by pmod(url_hash, P); each
+    partition queries/updates its own filter blob locally via a
+    cogrouped applyInPandas — the seen *set* never shuffles.
+
+      mode="hybrid": filter-positive rows ("suspects": true dups + rare
+        FPs) are verified against the exact seen table; semantics are
+        IDENTICAL to exact-mode admit (the filter only prunes the
+        anti-join input from |candidates| down to ~|dups| + FP·|new|).
+      mode="cuckoo": suspects are dropped unverified — cola's bloom
+        semantics (may drop a never-seen URL, never re-admits a seen
+        one); no exact seen table is maintained at all.
+
+    Returns (admitted, new_seen_hashes, new_filter_blobs). Only blobs of
+    partitions that saw candidates are emitted — the caller keeps the
+    latest blob per part (delta layout).
+    """
+    cand = candidates.withColumn("part", F.pmod(F.col("url_hash"), F.lit(n_parts)).cast("int"))
+    out_schema = (
+        "url string, url_canon string, url_hash long, host string, path string,"
+        " priority int, seq long, force boolean, error_times int,"
+        " part int, suspect boolean, blob binary"
+    )
+    drop_suspects = mode == "cuckoo"
+
+    def per_part(key, cand_pdf, filt_pdf):
+        import numpy as np
+        import pandas as pd
+
+        from cola_spark.filters.cuckoo import CuckooFilter
+
+        if len(cand_pdf) == 0:
+            # partition has a filter but no candidates: emit nothing,
+            # the old blob stays current (delta layout keeps latest)
+            empty = cand_pdf.assign(suspect=pd.Series(dtype=bool), blob=pd.Series(dtype=object))
+            return empty
+        if len(filt_pdf):
+            f = CuckooFilter.from_bytes(bytes(filt_pdf["blob"].iloc[0]))
+        else:
+            f = CuckooFilter(capacity_per_part)
+        cand_pdf = cand_pdf.sort_values("seq", kind="mergesort")
+        force = cand_pdf[cand_pdf["force"]]
+        nonforce = cand_pdf[~cand_pdf["force"]]
+        first = nonforce.drop_duplicates(subset="url_hash", keep="first")
+        hashes = first["url_hash"].to_numpy(dtype=np.int64)
+        pos = f.contains(hashes)
+        new = first[~pos]
+        f.add(np.sort(new["url_hash"].to_numpy(dtype=np.int64)))
+        rows = [force.assign(suspect=False), new.assign(suspect=False)]
+        if not drop_suspects:
+            rows.append(first[pos].assign(suspect=True))
+        out = pd.concat(rows, ignore_index=True)
+        blob_row = pd.DataFrame(
+            [{c: None for c in out.columns} | {"part": key[0], "blob": f.to_bytes()}]
+        )
+        out["blob"] = None
+        return pd.concat([out, blob_row], ignore_index=True)
+
+    res = (
+        cand.groupBy("part")
+        .cogroup(filters.groupBy("part"))
+        .applyInPandas(per_part, out_schema)
+    ).persist()  # consumed by 2-3 branches below; deterministic either way
+    _PERSISTED.append(res)
+    new_filters = res.filter(F.col("blob").isNotNull()).select("part", "blob")
+    sure = res.filter(F.col("blob").isNull() & ~F.col("suspect")).select(*FRONTIER_COLS)
+    if drop_suspects:
+        return sure, sure.filter(~F.col("force")).select("url_hash"), new_filters
+    suspects = res.filter(F.col("blob").isNull() & F.col("suspect")).select(*FRONTIER_COLS)
+    rescued = suspects.join(seen.select("url_hash"), "url_hash", "left_anti")
+    admitted = sure.unionByName(rescued)
+    return admitted, admitted.filter(~F.col("force")).select("url_hash"), new_filters

@@ -8,31 +8,48 @@ Reference lifecycle (cola/job/executor.py ~L60-260, cola/job/container.py):
   until ALLFINISHED or frontier empty.
 
 Here one loop iteration is one *round*: every stage is a DataFrame
-transformation, and the only driver-side values are per-round scalars
-(scheduled count, stop condition) — the analogue of cola's two RPCs.
+transformation. Per-round driver work is five write actions and one
+observation read — the analogue of cola's two RPCs:
+
+  1. log/round=r      — the fused big job: admission (dedup) → robots →
+                        salted priority/budget cut → fetch → decode,
+                        with counters collected via df.observe (no
+                        separate count() jobs)
+  2. seen/delta=r     — append-only new-hash delta (never rewrites the
+                        accumulated seen set — at the 10^10-URL design
+                        point a per-round rewrite would be the bottleneck)
+  3. filters/delta=r  — changed cuckoo-filter blobs only (latest blob
+                        per part wins on read)
+  4. state/round=r/pending — unscheduled frontier carry-over
+  5. state/round=r/budget  — the (broadcast-size) ledger
+
+Next-round candidates (children + retries) are *derived from the
+materialized log*, not separately persisted — one fewer write per
+round and resume-safe for free.
 
 Determinism contract (the BASELINE order-match criterion): the global
 crawl order is the total order (round, priority, host, seq). Nothing
 depends on partition iteration order or parallelism, so the same seeds
-+ budgets yield byte-identical crawl logs at local[8] and local[32] —
-and on a 1000-executor cluster.
++ budgets yield identical crawl logs at local[8] and local[32] — and on
+a 1000-executor cluster.
 
-State is persisted per round under workdir (parquet + manifest), which
-both truncates lineage (essential for iterative loops) and gives
-checkpoint/resume — the analogue of cola's pickled budget.info /
-counter.info / bloom file / mq stores (cola/functions/*.py persistence,
-cola/core/mq/store.py). The `seen` table is written hash-partitioned by
-pmod(url_hash, P) so the per-round anti-join co-partitions.
+dedup_mode:
+  "exact"  — anti-join against the exact seen table (correctness oracle)
+  "hybrid" — partitioned cuckoo filter prunes; suspects verified
+             exactly: IDENTICAL semantics to exact, scale-friendly
+  "cuckoo" — pure filter, bloom semantics (FPs may drop never-seen
+             URLs); no exact seen table at all
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from cola_spark.operators.budget import (
@@ -40,13 +57,21 @@ from cola_spark.operators.budget import (
     init_budget_state,
     update_budget_state,
 )
-from cola_spark.operators.dedup import FRONTIER_COLS, admit, prepare_frontier
+from cola_spark.operators.dedup import (
+    FRONTIER_COLS,
+    admit,
+    admit_filtered,
+    prepare_frontier,
+)
 from cola_spark.operators.fetch import discover_links, synthetic_fetch
 from cola_spark.operators.priority import schedule_cut
 from cola_spark.operators.retry import split_retry
 from cola_spark.operators.robots import robots_gate
 
-SEEN_PARTS = 32  # fixed partition count for the seen table (independent of parallelism)
+FRONTIER_SCHEMA = (
+    "url string, url_canon string, url_hash long, host string, path string,"
+    " priority int, seq long, force boolean, error_times int"
+)
 
 
 @dataclass
@@ -58,29 +83,14 @@ class CrawlConfig:
     max_retries: int = 3
     salt_buckets: int = 16
     decode: bool = True
+    dedup_mode: str = "exact"  # exact | hybrid | cuckoo
+    filter_parts: int = 32
+    filter_capacity: int = 1 << 18
+    seen_parts: int = 32
 
 
 def _p(cfg: CrawlConfig, *parts: str) -> str:
     return os.path.join(cfg.workdir, *parts)
-
-
-def _write_state(cfg, rnd, pending, seen, bstate):
-    pending.write.mode("overwrite").parquet(_p(cfg, "state", f"round={rnd}", "pending"))
-    (
-        seen.repartition(SEEN_PARTS, F.pmod(F.col("url_hash"), F.lit(SEEN_PARTS)))
-        .write.mode("overwrite")
-        .parquet(_p(cfg, "state", f"round={rnd}", "seen"))
-    )
-    bstate.write.mode("overwrite").parquet(_p(cfg, "state", f"round={rnd}", "budget"))
-
-
-def _read_state(spark, cfg, rnd):
-    base = _p(cfg, "state", f"round={rnd}")
-    return (
-        spark.read.parquet(os.path.join(base, "pending")),
-        spark.read.parquet(os.path.join(base, "seen")),
-        spark.read.parquet(os.path.join(base, "budget")),
-    )
 
 
 def latest_round(cfg: CrawlConfig) -> int | None:
@@ -92,8 +102,8 @@ def latest_round(cfg: CrawlConfig) -> int | None:
 
 
 def _commit_manifest(cfg: CrawlConfig, rnd: int, stats: dict) -> None:
-    """Iceberg-snapshot-style commit: state for round r is only visible
-    once the manifest points at it (atomic rename)."""
+    """Iceberg-snapshot-style commit: round r state is only visible once
+    the manifest points at it (atomic rename)."""
     mf = _p(cfg, "manifest.json")
     tmp = mf + ".tmp"
     hist = []
@@ -103,6 +113,41 @@ def _commit_manifest(cfg: CrawlConfig, rnd: int, stats: dict) -> None:
     with open(tmp, "w") as f:
         json.dump({"round": rnd, "stats": stats, "history": hist + [stats]}, f, indent=1)
     os.replace(tmp, mf)
+
+
+def _read_seen(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    dirs = sorted(_glob.glob(_p(cfg, "seen", "delta=*")))
+    if not dirs:
+        return spark.createDataFrame([], "url_hash long")
+    return spark.read.parquet(*dirs).select("url_hash")
+
+
+def _read_filters(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    dirs = sorted(_glob.glob(_p(cfg, "filters", "delta=*")))
+    if not dirs:
+        return spark.createDataFrame([], "part int, blob binary")
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(*dirs)
+    w = Window.partitionBy("part").orderBy(F.desc("delta"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("part", "blob")
+    )
+
+
+def _derive_candidates(spark: SparkSession, cfg: CrawlConfig, prev_round: int) -> DataFrame:
+    """Children + retries of round r-1, recomputed from the materialized
+    log (cheap, deterministic, resume-safe)."""
+    log = spark.read.parquet(_p(cfg, "log", f"round={prev_round}"))
+    requeue, _dropped = split_retry(
+        log.filter(~F.col("fetch_ok")).select(*FRONTIER_COLS), cfg.max_retries
+    )
+    children = prepare_frontier(
+        discover_links(log.filter(F.col("fetch_ok")), cfg.pages_per_host)
+    )
+    return children.unionByName(requeue)
 
 
 def run_crawl(
@@ -115,89 +160,115 @@ def run_crawl(
     resume: bool = False,
 ) -> DataFrame:
     """Run the crawl to completion; returns the crawl log (one row per
-    scheduled fetch: round, host_rank, fetch/decode outcome)."""
-    empty_frontier = spark.createDataFrame(
-        [], "url string, url_canon string, url_hash long, host string, path string,"
-        " priority int, seq long, force boolean, error_times int",
-    )
-
+    scheduled fetch)."""
+    if cfg.dedup_mode not in ("exact", "hybrid", "cuckoo"):
+        raise ValueError(
+            f"dedup_mode must be exact|hybrid|cuckoo, got {cfg.dedup_mode!r}"
+        )
     start = latest_round(cfg) if resume else None
     if start is None:
         os.makedirs(cfg.workdir, exist_ok=True)
-        candidates = prepare_frontier(
-            seeds.select("url", "priority", "seq", "force")
-        )
-        pending = empty_frontier
-        seen = spark.createDataFrame([], "url_hash long")
+        pending = spark.createDataFrame([], FRONTIER_SCHEMA)
         bstate = init_budget_state(budgets)
         rnd = 0
     else:
-        pending, seen, bstate = _read_state(spark, cfg, start)
-        cand_path = _p(cfg, "state", f"round={start}", "candidates")
-        candidates = (
-            spark.read.parquet(cand_path) if os.path.exists(cand_path) else empty_frontier
-        )
+        pending = spark.read.parquet(_p(cfg, "state", f"round={start}", "pending"))
+        bstate = spark.read.parquet(_p(cfg, "state", f"round={start}", "budget"))
         rnd = start + 1
 
     while rnd < cfg.max_rounds:
         t0 = time.monotonic()
-        # 1. admission: dedup gate on everything entering the frontier
-        admitted, new_seen = admit(candidates, seen)
-        # 2. robots gate (blocked URLs stay in `seen` — never re-admitted)
-        allowed = robots_gate(admitted, robots)
-        pending = pending.unionByName(allowed.select(*FRONTIER_COLS))
-        # 3. budget+rate cut in priority-FIFO order
-        scheduled = schedule_cut(pending, budget_caps(bstate), cfg.salt_buckets)
-        scheduled.cache()
-        n_scheduled = scheduled.count()
-        if n_scheduled == 0:
-            # stop marker: keep the manifest pointing at the last round
-            # that actually committed state (rnd - 1)
-            _commit_manifest(cfg, rnd - 1, {"round": rnd - 1, "scheduled": 0, "stopped": True})
-            scheduled.unpersist()
-            break
-        # 4. fetch + decode (vectorized), verify per-row invariants
+        if rnd == 0:
+            candidates = prepare_frontier(seeds.select("url", "priority", "seq", "force"))
+        else:
+            candidates = _derive_candidates(spark, cfg, rnd - 1)
+
+        # 1. admission: the dedup gate on everything entering the frontier
+        seen = _read_seen(spark, cfg)
+        if cfg.dedup_mode == "exact":
+            admitted, _ns = admit(candidates, seen)
+            new_filters = None
+        else:
+            admitted, _ns, new_filters = admit_filtered(
+                candidates, seen, _read_filters(spark, cfg),
+                n_parts=cfg.filter_parts, capacity_per_part=cfg.filter_capacity,
+                mode=cfg.dedup_mode,
+            )
+        admitted = admitted.persist()
+        # identical to the admit()-returned new-hash set, but derived
+        # from the persisted admitted so step 4 doesn't recompute admission
+        new_seen = admitted.filter(~F.col("force")).select("url_hash")
+
+        # 2-3. robots gate + this round's cut + fetch, fused into one job
+        pending_next = pending.unionByName(robots_gate(admitted, robots))
+        scheduled = schedule_cut(pending_next, budget_caps(bstate), cfg.salt_buckets)
         fetched = synthetic_fetch(scheduled, images, cfg.n_images, decode=cfg.decode)
-        fetched.cache()
-        ok = fetched.filter(F.col("fetch_ok"))
-        failed = fetched.filter(~F.col("fetch_ok")).select(*FRONTIER_COLS)
-        # 5. retry/requeue and link discovery feed the next round
-        requeue, _dropped = split_retry(failed, cfg.max_retries)
-        children = prepare_frontier(discover_links(ok, cfg.pages_per_host))
-        # 6. ledger update (counters: partial agg per host, broadcast-size result)
-        by_host = lambda df, name: df.groupBy("host").agg(F.count("*").alias(name))
-        bstate = update_budget_state(
-            bstate,
-            by_host(scheduled, "n_granted"),
-            by_host(ok, "n_finished"),
-            by_host(failed, "n_errored"),
+        obs = Observation(f"round_{rnd}")
+        fetched = fetched.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_scheduled"),
+            F.sum(F.col("fetch_ok").cast("long")).alias("n_ok"),
         )
-        # 7. persist round: crawl log, state snapshot, metrics
         log_cols = ["round", *FRONTIER_COLS, "host_rank", "image_id", "fetch_ok"]
         if cfg.decode:
             log_cols += ["fmt", "psnr", "invariant_ok"]
         fetched.withColumn("round", F.lit(rnd)).select(*log_cols).write.mode(
             "overwrite"
         ).parquet(_p(cfg, "log", f"round={rnd}"))
+        n_scheduled = obs.get["n_scheduled"]
+        if n_scheduled == 0:
+            _commit_manifest(
+                cfg, rnd - 1, {"round": rnd - 1, "scheduled": 0, "stopped": True}
+            )
+            admitted.unpersist()
+            from cola_spark.operators.dedup import release_persisted
 
-        pending = pending.join(scheduled.select("seq"), "seq", "left_anti")
-        seen = seen.unionByName(new_seen)
-        _write_state(cfg, rnd, pending, seen, bstate)
-        pending, seen, bstate = _read_state(spark, cfg, rnd)
+            release_persisted()
+            break
 
-        stats = {
-            "round": rnd,
-            "scheduled": n_scheduled,
-            "secs": round(time.monotonic() - t0, 3),
-        }
-        _commit_manifest(cfg, rnd, stats)
-        fetched.unpersist()
-        scheduled.unpersist()
-        candidates = children.unionByName(requeue)
-        # fold next-round inputs through the same admission gate next iter;
-        # but they must survive a resume → persist them as pending-candidates
-        candidates.write.mode("overwrite").parquet(_p(cfg, "state", f"round={rnd}", "candidates"))
-        candidates = spark.read.parquet(_p(cfg, "state", f"round={rnd}", "candidates"))
+        # 4. persist dedup state deltas (append-only; no rewrites)
+        if cfg.dedup_mode != "cuckoo":
+            (
+                new_seen.repartition(
+                    cfg.seen_parts, F.pmod(F.col("url_hash"), F.lit(cfg.seen_parts))
+                )
+                .write.mode("overwrite")
+                .parquet(_p(cfg, "seen", f"delta={rnd}"))
+            )
+        if new_filters is not None:
+            new_filters.withColumn("delta", F.lit(rnd)).write.mode("overwrite").parquet(
+                _p(cfg, "filters", f"delta={rnd}")
+            )
+
+        # 5. carry-over frontier + ledger, derived from the materialized log
+        log_r = spark.read.parquet(_p(cfg, "log", f"round={rnd}"))
+        pending_next.join(log_r.select("seq"), "seq", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(_p(cfg, "state", f"round={rnd}", "pending"))
+        by_host = lambda df, name: df.groupBy("host").agg(F.count("*").alias(name))
+        bstate = update_budget_state(
+            bstate,
+            by_host(log_r, "n_granted"),
+            by_host(log_r.filter(F.col("fetch_ok")), "n_finished"),
+            by_host(log_r.filter(~F.col("fetch_ok")), "n_errored"),
+        )
+        bstate.write.mode("overwrite").parquet(_p(cfg, "state", f"round={rnd}", "budget"))
+
+        _commit_manifest(
+            cfg, rnd,
+            {
+                "round": rnd,
+                "scheduled": int(n_scheduled),
+                "fetched_ok": int(obs.get["n_ok"] or 0),
+                "secs": round(time.monotonic() - t0, 3),
+            },
+        )
+        admitted.unpersist()
+        from cola_spark.operators.dedup import release_persisted
+
+        release_persisted()
+        pending = spark.read.parquet(_p(cfg, "state", f"round={rnd}", "pending"))
+        bstate = spark.read.parquet(_p(cfg, "state", f"round={rnd}", "budget"))
         rnd += 1
 
     return crawl_log(spark, cfg)
@@ -206,16 +277,10 @@ def run_crawl(
 def crawl_log(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     """The global crawl-order artifact: total order (round, priority,
     host, seq) with a global rank."""
-    import glob
-
     from pyspark.sql import Window
 
-    if not glob.glob(_p(cfg, "log", "round=*")):
-        schema = (
-            "round int, " + "url string, url_canon string, url_hash long, host string,"
-            " path string, priority int, seq long, force boolean, error_times int,"
-            " host_rank int, image_id string, fetch_ok boolean"
-        )
+    if not _glob.glob(_p(cfg, "log", "round=*")):
+        schema = FRONTIER_SCHEMA + ", round int, host_rank int, image_id string, fetch_ok boolean"
         if cfg.decode:
             schema += ", fmt string, psnr double, invariant_ok boolean"
         return spark.createDataFrame([], schema + ", global_rank int")
@@ -225,6 +290,10 @@ def crawl_log(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
 
 
 def final_state(spark: SparkSession, cfg: CrawlConfig):
+    """(pending, seen, budget_state) at the last committed round."""
     rnd = latest_round(cfg)
-    last = rnd if os.path.exists(_p(cfg, "state", f"round={rnd}", "pending")) else rnd - 1
-    return _read_state(spark, cfg, last)
+    return (
+        spark.read.parquet(_p(cfg, "state", f"round={rnd}", "pending")),
+        _read_seen(spark, cfg),
+        spark.read.parquet(_p(cfg, "state", f"round={rnd}", "budget")),
+    )
