@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k (the oracle, also in queries.q_ann_cosine_topk)
+plus the scale path: random-hyperplane LSH bucketing so the candidate
+join touches ~1/2^B of the corpus per query instead of all of it.
+
+Hyperplanes are a deterministic seeded numpy matrix applied in one
+Arrow-vectorized pandas UDF (a [batch × dim] @ [dim × B] matmul — the
+kind of work that must NOT be per-row Python). Everything after the
+bucket assignment is plain DataFrame joins/windows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+_LSH_SEED = 42
+
+
+def _cosine(a, b):
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank): exact cosine top-k, ties broken by
+    neighbor id — the recall oracle for the LSH variant."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"))
+    sims = (
+        q.crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _bucket_udf(dim: int, n_planes: int):
+    import numpy as np
+
+    rng = np.random.default_rng(_LSH_SEED)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+    @F.pandas_udf(IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        signs = (m @ planes) > 0
+        vals = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        return pd.Series(vals.astype(np.int32))
+
+    return bucket
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 4,
+    dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank): approximate top-k — candidates are
+    restricted to the query's random-hyperplane bucket (expected corpus
+    fraction 1/2^B; cosine-similar vectors collide with probability
+    (1-θ/π)^B). The corpus is bucket-partitioned once; each query probes
+    one bucket — an equi-join, not a cross join.
+    """
+    bucket = _bucket_udf(dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    sims = (
+        q.join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def centroids(corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """(label, centroid array<double>, n): per-label mean embedding via
+    posexplode → positional avg → re-assemble; pure built-ins."""
+    pos = corpus.select(
+        label_col, F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    avg = pos.groupBy(label_col, "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("m"), F.count("*").alias("n")
+    )
+    return (
+        avg.groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            label_col,
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+            "n",
+        )
+    )

@@ -543,3 +543,56 @@ PAIRS: dict[str, tuple[Callable, str | None]] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
 }
+
+
+# -------------------------------------------- scale-path ops (rows-only checks)
+# These are not ANSI-SQL-expressible (seeded hash families, pandas-UDF
+# folds) → no oracle_sql entry; the driver records a rows-only check and
+# tests/test_textdedup.py + test_similarity.py assert semantics against
+# the exact oracles (q_ngram_jaccard_pairs / brute_force_topk).
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    """MinHash(16 perms) → LSH(4 bands) → exact-Jaccard verify ≥ 0.2.
+
+    Same output shape as q_ngram_jaccard_pairs: every emitted pair is
+    exactly verified (precision 1.0 by construction); LSH only bounds
+    recall."""
+    from cola_spark.operators.textdedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_t(spark, sf, "documents"))
+
+
+def q_simhash_near_pairs(spark, sf):
+    """SimHash(64-bit) bucket join + Hamming ≤ 8 near-dup pairs."""
+    from cola_spark.operators.textdedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf, "documents"))
+
+
+def q_ann_lsh_topk(spark, sf):
+    """Random-hyperplane-bucketed approximate cosine top-5."""
+    from cola_spark.operators.similarity import lsh_bucketed_topk
+
+    e = _t(spark, sf, "embeddings")
+    return lsh_bucketed_topk(e.filter(F.col("vec_id") < 10), e).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_embedding_centroids(spark, sf):
+    """Per-label centroid via posexplode/positional-avg (n exact; the
+    float centroid stays out of any hashed comparison)."""
+    from cola_spark.operators.similarity import centroids
+
+    return centroids(_t(spark, sf, "embeddings")).select(
+        "label", F.size("centroid").cast("long").alias("dim"), "n"
+    )
+
+
+PAIRS.update({
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+    "simhash_near_pairs": (q_simhash_near_pairs, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "embedding_centroids": (q_embedding_centroids, None),
+})
