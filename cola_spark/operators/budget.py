@@ -24,14 +24,25 @@ def init_budget_state(budgets: DataFrame) -> DataFrame:
         F.lit(0).cast("long").alias("applied"),
         F.lit(0).cast("long").alias("finished"),
         F.lit(0).cast("long").alias("errored"),
+        F.lit(0).cast("long").alias("last_errored"),
     )
 
 
-def budget_caps(state: DataFrame) -> DataFrame:
-    """Per-host grant cap for this round: min(remaining budget, rate)."""
+def budget_caps(state: DataFrame, adaptive: bool = False) -> DataFrame:
+    """Per-host grant cap for this round: min(remaining budget, rate).
+
+    adaptive=True mirrors cola's adaptive speed mode
+    (cola/functions/speed.py ~L150-220: rate drops as "banned"/error
+    counts rise): the effective rate backs off by last round's error
+    count for that host, floored at 1 page/round so recovery is
+    possible. Deterministic — derived only from ledger columns.
+    """
+    rate = F.col("rate_per_round")
+    if adaptive:
+        rate = F.greatest(rate - F.col("last_errored"), F.lit(1))
     return state.select(
         "host",
-        F.least(F.col("budget") - F.col("applied"), F.col("rate_per_round")).alias("cap"),
+        F.least(F.col("budget") - F.col("applied"), rate).alias("cap"),
     ).filter(F.col("cap") > 0)
 
 
@@ -54,6 +65,7 @@ def update_budget_state(
         (F.col("applied") + F.col("n_granted") - F.col("n_errored")).alias("applied"),
         (F.col("finished") + F.col("n_finished")).alias("finished"),
         (F.col("errored") + F.col("n_errored")).alias("errored"),
+        F.col("n_errored").cast("long").alias("last_errored"),
     )
 
 

@@ -51,6 +51,7 @@ def run_oracle(
     pages_per_host: int = 50,
     max_rounds: int = 30,
     max_retries: int = 3,
+    adaptive: bool = False,
 ) -> dict:
     """seeds: [{url, priority, seq, force}]; robots: [{host,
     disallow_prefix}]; budgets: [{host, budget, rate_per_round}].
@@ -62,7 +63,7 @@ def run_oracle(
     ledger = {
         b["host"]: {
             "budget": b["budget"], "rate": b["rate_per_round"],
-            "applied": 0, "finished": 0, "errored": 0,
+            "applied": 0, "finished": 0, "errored": 0, "last_errored": 0,
         }
         for b in budgets
     }
@@ -106,7 +107,8 @@ def run_oracle(
             lg = ledger.get(host)
             if lg is None:
                 continue
-            cap = min(lg["budget"] - lg["applied"], lg["rate"])
+            rate = max(lg["rate"] - lg["last_errored"], 1) if adaptive else lg["rate"]
+            cap = min(lg["budget"] - lg["applied"], rate)
             if cap <= 0:
                 continue
             rows.sort(key=lambda x: (x["priority"], x["seq"]))
@@ -119,6 +121,7 @@ def run_oracle(
         sched_seqs = {s["seq"] for s in scheduled}
         pending = [p for p in pending if p["seq"] not in sched_seqs]
         # fetch + retry + children
+        round_errors: dict[str, int] = {}
         candidates = []
         for s in scheduled:
             c = _crc(s["url_canon"])
@@ -129,6 +132,7 @@ def run_oracle(
                 s_fail["force"] = True
                 lg["applied"] -= 1  # error() returns budget
                 lg["errored"] += 1
+                round_errors[s["host"]] = round_errors.get(s["host"], 0) + 1
                 if s_fail["error_times"] < max_retries:
                     candidates.append({k: s_fail[k] for k in (
                         "url", "url_canon", "host", "path", "priority",
@@ -150,6 +154,8 @@ def run_oracle(
                     })
                     candidates.append(kid)
             order.append(s)
+        for host, lg in ledger.items():
+            lg["last_errored"] = round_errors.get(host, 0)
 
     order.sort(key=lambda s: (s["round"], s["priority"], s["host"], s["seq"]))
     for i, s in enumerate(order, start=1):

@@ -596,3 +596,51 @@ PAIRS.update({
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "embedding_centroids": (q_embedding_centroids, None),
 })
+
+
+def q_image_features(spark, sf):
+    """Vectorized image feature extraction over the synthetic images
+    table (binary → fixed-width features; deterministic, rows-only)."""
+    from cola_spark.operators.multimodal import image_features
+    from cola_spark.sources import gen_images
+
+    return image_features(gen_images(spark, 64)).orderBy("image_id")
+
+
+def q_phash_near_dups(spark, sf):
+    """Perceptual-hash near-duplicate image pairs (bucketed Hamming)."""
+    from cola_spark.operators.multimodal import image_features, phash_near_dup_pairs
+    from cola_spark.sources import gen_images
+
+    return phash_near_dup_pairs(image_features(gen_images(spark, 64)), max_hamming=16)
+
+
+def q_frame_sample(spark, sf):
+    """VIDF frame sampling: 1 video row in → N frame rows out (UDTF
+    shape); per-frame metadata only (deterministic)."""
+    import pandas as pd
+
+    from cola_spark.operators.multimodal import encode_vidf, frame_sample
+
+    def mk(it):
+        from cola_spark.codecs import encode_jpgq
+        from cola_spark.codecs.pixels import gen_pixels
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                frames = [encode_jpgq(gen_pixels(f"v{i}f{j}", 16, 16)) for j in range(6)]
+                rows.append((f"v{int(i)}", encode_vidf(frames)))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    vids = spark.range(8).mapInPandas(mk, "video_id string, bytes binary")
+    return frame_sample(vids, every_n=3).select(
+        "video_id", "frame_no", F.length("bytes").cast("long").alias("n_bytes")
+    )
+
+
+PAIRS.update({
+    "image_features": (q_image_features, None),
+    "phash_near_dups": (q_phash_near_dups, None),
+    "frame_sample": (q_frame_sample, None),
+})

@@ -1,0 +1,95 @@
+"""Bundle scheduling, incremental re-crawl, adaptive speed."""
+
+from pyspark.sql import functions as F
+
+from cola_spark.operators.budget import budget_caps, init_budget_state, update_budget_state
+from cola_spark.operators.bundles import bundle_reduce, schedule_bundles
+from cola_spark.operators.inc import INC_SEQ_OFFSET, inc_requeue
+
+
+def _frontier(spark, rows):
+    # (host, bundle_label, priority, seq)
+    return spark.createDataFrame(
+        [(h, b, p, s, hash((h, s)) % (2**40), f"http://{h}/p/{s}") for h, b, p, s in rows],
+        "host string, bundle_label string, priority int, seq long, url_hash long, url_canon string",
+    )
+
+
+def test_bundle_identity_and_reduce(spark):
+    fr = _frontier(spark, [("h1", "userA", 2, 10), ("h1", "userA", 0, 12), ("h1", "userB", 1, 11)])
+    got = {r.bundle_label: (r.priority, r.seq, r.n_urls) for r in bundle_reduce(fr).collect()}
+    assert got == {"userA": (0, 10, 2), "userB": (1, 11, 1)}
+
+
+def test_bundle_cut_grants_whole_bundles(spark):
+    fr = _frontier(
+        spark,
+        [("h1", "A", 0, 1), ("h1", "A", 2, 9), ("h1", "B", 0, 2), ("h1", "B", 1, 3),
+         ("h1", "C", 1, 4)],
+    )
+    caps = spark.createDataFrame([("h1", 2)], "host string, cap long")
+    out = schedule_bundles(fr, caps)
+    by_bundle = {r.bundle_label for r in out.collect()}
+    assert by_bundle == {"A", "B"}  # 2 bundles granted, C deferred
+    assert out.count() == 4  # ALL member urls of granted bundles
+    ranks = {r.bundle_label: r.bundle_rank for r in out.collect()}
+    assert ranks == {"A": 1, "B": 2}
+
+
+def test_inc_requeue_force_and_disjoint_seq(spark):
+    log = spark.createDataFrame(
+        [("http://h/p/1", "http://h/p/1", 1, "h", "/p/1", 0, 5, False, 0, True),
+         ("http://h/p/2", "http://h/p/2", 2, "h", "/p/2", 1, 6, False, 1, False)],
+        "url string, url_canon string, url_hash long, host string, path string,"
+        " priority int, seq long, force boolean, error_times int, fetch_ok boolean",
+    )
+    out = inc_requeue(log, generation=2).collect()
+    assert len(out) == 1  # only fetch_ok rows
+    r = out[0]
+    assert r.force and r.error_times == 0 and r.seq == 5 + 2 * INC_SEQ_OFFSET
+
+
+def test_adaptive_rate_backoff_and_recovery(spark):
+    budgets = spark.createDataFrame([("h1", 100, 10)], "host string, budget long, rate_per_round long")
+    st = init_budget_state(budgets)
+    caps = {r.host: r.cap for r in budget_caps(st, adaptive=True).collect()}
+    assert caps["h1"] == 10  # no errors yet
+    c = lambda d, n: spark.createDataFrame(list(d.items()), f"host string, {n} long")
+    # a bad round: 7 errors → next-round rate backs off to 3
+    st = update_budget_state(st, c({"h1": 10}, "n_granted"), c({"h1": 3}, "n_finished"), c({"h1": 7}, "n_errored"))
+    caps = {r.host: r.cap for r in budget_caps(st, adaptive=True).collect()}
+    assert caps["h1"] == 3
+    # non-adaptive ignores the backoff
+    caps = {r.host: r.cap for r in budget_caps(st, adaptive=False).collect()}
+    assert caps["h1"] == 10
+    # a clean round: rate recovers fully
+    st = update_budget_state(st, c({"h1": 3}, "n_granted"), c({"h1": 3}, "n_finished"), c({}, "n_errored"))
+    caps = {r.host: r.cap for r in budget_caps(st, adaptive=True).collect()}
+    assert caps["h1"] == 10
+    # floor at 1: catastrophic round never kills the host entirely
+    st = update_budget_state(st, c({"h1": 10}, "n_granted"), c({}, "n_finished"), c({"h1": 10}, "n_errored"))
+    caps = {r.host: r.cap for r in budget_caps(st, adaptive=True).collect()}
+    assert caps["h1"] == 1
+
+
+def test_adaptive_crawl_matches_oracle(spark, tmp_path):
+    from cola_spark.plans.oracle import run_oracle
+    from cola_spark.plans.scheduler import CrawlConfig, run_crawl
+    from cola_spark.sources import gen_budgets, gen_frontier_seeds, gen_images, gen_robots
+
+    seeds = gen_frontier_seeds(spark, 300, n_hosts=8, pages_per_host=20)
+    robots, budgets = gen_robots(spark, 8), gen_budgets(spark, 8)
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "ad"), n_images=30, pages_per_host=20,
+        max_rounds=5, decode=False, adaptive=True,
+    )
+    log = run_crawl(spark, seeds, robots, budgets, gen_images(spark, 30), cfg)
+    oracle = run_oracle(
+        [r.asDict() for r in seeds.select("url", "priority", "seq", "force").collect()],
+        [r.asDict() for r in robots.collect()],
+        [r.asDict() for r in budgets.collect()],
+        pages_per_host=20, max_rounds=5, adaptive=True,
+    )
+    got = [(r.round, r.priority, r.host, r.seq) for r in log.orderBy("global_rank").collect()]
+    want = [(s["round"], s["priority"], s["host"], s["seq"]) for s in oracle["order"]]
+    assert got == want

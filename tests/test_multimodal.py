@@ -1,0 +1,83 @@
+"""Multimodal stages: resize, features, phash near-dups, frame-sample."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cola_spark.codecs import decode_image, encode_jpgq
+from cola_spark.codecs.pixels import gen_pixels
+from cola_spark.operators.multimodal import (
+    encode_vidf,
+    frame_sample,
+    image_features,
+    phash_near_dup_pairs,
+    resize_images,
+    resize_nn,
+)
+from cola_spark.sources import gen_images
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return gen_images(spark, 16).cache()
+
+
+def test_resize_roundtrip(spark, images):
+    out = resize_images(images, 8, 8).collect()
+    assert len(out) == 16
+    for r in out:
+        px = decode_image(bytes(r.bytes), "png")
+        assert px.shape == (8, 8, 3)
+    # resize of a known image matches numpy reference
+    r0 = sorted(out, key=lambda r: r.image_id)[0]
+    src = [x for x in images.collect() if x.image_id == r0.image_id][0]
+    truth = resize_nn(decode_image(bytes(src.bytes), src.fmt), 8, 8)
+    assert np.array_equal(decode_image(bytes(r0.bytes), "png"), truth)
+
+
+def test_image_features_deterministic(spark, images):
+    a = {r.image_id: tuple(r)[1:] for r in image_features(images).collect()}
+    b = {r.image_id: tuple(r)[1:] for r in image_features(images).collect()}
+    assert a == b
+    assert all(v[2] >= 0 for v in a.values())  # mean luma scaled int
+
+
+def test_phash_near_dups_finds_lossy_twin(spark, images):
+    """A jpgq re-encode of an image is a near-dup of the original."""
+    feats = image_features(images)
+    twins = feats.select(
+        F.concat(F.lit("twin_"), "image_id").alias("image_id"), "w", "h",
+        "mean_luma_x1000", "std_luma_x1000", "phash",
+    )
+    # recompute phash on a quantized copy for one image: do it properly
+    # through the dataframe path: union features of re-encoded images
+    import pandas as pd
+
+    src = images.limit(4).collect()
+    rows = []
+    for r in src:
+        px = decode_image(bytes(r.bytes), r.fmt)
+        rows.append((f"twin_{r.image_id}", encode_jpgq(px), "jpgq"))
+    twins_df = image_features(
+        images.sparkSession.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    )
+    allf = feats.unionByName(twins_df)
+    pairs = {(r.img_a, r.img_b) for r in phash_near_dup_pairs(allf, max_hamming=6).collect()}
+    for r in src:
+        assert (r.image_id, f"twin_{r.image_id}") in pairs
+
+
+def test_frame_sample(spark):
+    frames = [encode_jpgq(gen_pixels(f"f{i}", 16, 16)) for i in range(7)]
+    vid = encode_vidf(frames)
+    df = spark.createDataFrame([("v1", bytearray(vid))], "video_id string, bytes binary")
+    out = frame_sample(df, every_n=2).orderBy("frame_no").collect()
+    assert [r.frame_no for r in out] == [0, 2, 4, 6]
+    px = decode_image(bytes(out[1].bytes), out[1].fmt)
+    assert px.shape == (16, 16, 3)
+
+
+def test_frame_sample_bad_container(spark):
+    df = spark.createDataFrame([("bad", bytearray(b"nope"))], "video_id string, bytes binary")
+    with pytest.raises(Exception):
+        frame_sample(df).collect()
