@@ -1,0 +1,88 @@
+"""Counters & metrics — cola's CounterServer/CounterClient re-expressed.
+
+Reference (cola/functions/counter.py ~L10-200): global and per-worker
+counters with combiner classes (acc/max/min/merge); clients cache
+locally and sync periodically (a hand-rolled partial→final two-phase
+aggregation); persisted to counter.info. Spark gives the two-phase
+merge for free (partial+final hash agg); live per-job counters ride
+df.observe (see scheduler step 1).
+
+This module materializes the north-rule metrics surface
+(BASELINE.json:14 "per-partition lineage and fetch/dedup/requeue
+metrics"):
+
+  * metrics_by_partition — per (round, part) fetch/error/retry counts,
+    where part is the host-hash partition key the frontier shuffles on
+  * lineage — per crawled row: full provenance chain (who discovered
+    it, when it was scheduled, its rank and outcome)
+  * round_metrics — manifest history as a DataFrame (secs, scheduled)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cola_spark.operators.fetch import CHILD_SEQ_OFFSET
+
+
+def metrics_by_partition(crawl_log: DataFrame, n_parts: int = 32) -> DataFrame:
+    """(round, part, scheduled, fetched_ok, errors, retries): partial
+    aggregation per host-hash partition — the per-partition metrics the
+    checkpoint manifest points at."""
+    return (
+        crawl_log.withColumn("part", F.pmod(F.xxhash64("host"), F.lit(n_parts)).cast("int"))
+        .groupBy("round", "part")
+        .agg(
+            F.count("*").alias("scheduled"),
+            F.sum(F.col("fetch_ok").cast("long")).alias("fetched_ok"),
+            F.sum((~F.col("fetch_ok")).cast("long")).alias("errors"),
+            F.sum((F.col("error_times") > 0).cast("long")).alias("retries"),
+        )
+    )
+
+
+def lineage(crawl_log: DataFrame) -> DataFrame:
+    """Per-row provenance: parent seq (for discovered links), generation
+    (0 = seed), schedule position. The child-seq encoding
+    (parent*4 + i + 10^12 per generation, operators/fetch.py) is
+    invertible, so lineage needs no extra state."""
+    seq = F.col("seq")
+    off = CHILD_SEQ_OFFSET
+    # child seq ranges per generation: gen g children land in
+    # [sum_{k<g} 4^k * off, ...) — exact integer boundaries, no float log
+    gen = (
+        F.when(seq < off, 0)
+        .when(seq < 5 * off, 1)
+        .when(seq < 21 * off, 2)
+        .when(seq < 85 * off, 3)
+        .otherwise(4)
+    )
+    parent = F.when(seq < off, F.lit(None).cast("long")).otherwise(
+        F.floor((seq - off) / 4)
+    )
+    return crawl_log.select(
+        "url_canon", "host", "round", "priority", "seq", "host_rank",
+        "fetch_ok", "error_times",
+        parent.alias("parent_seq"),
+        gen.alias("generation"),
+        (seq >= off).alias("is_discovered"),
+    )
+
+
+def round_metrics(spark: SparkSession, workdir: str) -> DataFrame:
+    """The manifest history as a DataFrame (cola's counter.info file →
+    queryable table)."""
+    mf = os.path.join(workdir, "manifest.json")
+    with open(mf) as f:
+        hist = json.load(f).get("history", [])
+    if not hist:
+        return spark.createDataFrame([], "round int, scheduled long, secs double")
+    rows = [
+        (h.get("round"), h.get("scheduled", 0), float(h.get("secs", 0.0)))
+        for h in hist
+    ]
+    return spark.createDataFrame(rows, "round int, scheduled long, secs double")
