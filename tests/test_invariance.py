@@ -1,0 +1,37 @@
+"""Cluster-size invariance (BASELINE.md): the same job at two
+parallelism levels produces identical results — run via the real CLI in
+separate JVMs (local[2] vs local[16])."""
+
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(master, wd):
+    env = os.environ.copy()
+    env["PYTHONPATH"] = REPO
+    env["SPARK_GRAFT_DRIVER_MEM"] = "4g"
+    out = subprocess.run(
+        [sys.executable, "-m", "cola_spark.run_job", "--workdir", wd,
+         "--n-urls", "400", "--n-hosts", "10", "--rounds", "3",
+         "--no-decode", "--master", master],
+        env=env, capture_output=True, text=True, cwd=REPO, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_identical_crawl_at_two_parallelism_levels(tmp_path):
+    r2 = _run("local[2]", str(tmp_path / "p2"))
+    r16 = _run("local[16]", str(tmp_path / "p16"))
+    assert r2["crawled"] == r16["crawled"] and r2["fetched_ok"] == r16["fetched_ok"]
+    con = duckdb.connect()
+    q = "SELECT round, priority, host, seq, url_canon, host_rank, fetch_ok FROM read_parquet('{}/log/*/*.parquet') ORDER BY ALL"
+    a = con.execute(q.format(tmp_path / "p2")).fetchall()
+    b = con.execute(q.format(tmp_path / "p16")).fetchall()
+    assert len(a) == r2["crawled"] and a == b, "crawl logs differ across parallelism"

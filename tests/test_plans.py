@@ -1,0 +1,82 @@
+"""Physical-plan audits: the optimizations we rely on must actually be
+in the plan (predicate pushdown to parquet, broadcast joins for small
+dims, whole-stage codegen around the hot exprs)."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    p = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in p
+    # column pruning: only the needed columns in ReadSchema
+    assert "o_totalprice" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_robots_gate_is_broadcast(spark):
+    from cola_spark.operators.robots import robots_gate
+    from cola_spark.sources import gen_frontier_seeds, gen_robots
+    from cola_spark.operators.dedup import prepare_frontier
+
+    fr = prepare_frontier(
+        gen_frontier_seeds(spark, 1000, n_hosts=20).select("url", "priority", "seq", "force")
+    )
+    p = _plan(robots_gate(fr, gen_robots(spark, 20)))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_budget_caps_join_is_broadcast(spark):
+    from cola_spark.operators.budget import budget_caps, init_budget_state
+    from cola_spark.operators.priority import schedule_cut
+    from cola_spark.operators.dedup import prepare_frontier
+    from cola_spark.sources import gen_budgets, gen_frontier_seeds
+
+    fr = prepare_frontier(
+        gen_frontier_seeds(spark, 1000, n_hosts=20).select("url", "priority", "seq", "force")
+    )
+    p = _plan(schedule_cut(fr, budget_caps(init_budget_state(gen_budgets(spark, 20)))))
+    assert "BroadcastHashJoin" in p
+
+
+def test_canonicalize_stays_in_codegen(spark):
+    from cola_spark.functions import canonicalize_url, url_hash_col
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        url_hash_col(canonicalize_url(F.concat(F.lit("http://h.example/"), F.col("source"))))
+    )
+    p = _plan(df)
+    # try_parse_url + higher-order array exprs are CodegenFallback in
+    # Spark 4 (no WholeStageCodegen span) — the load-bearing property is
+    # that the whole canonicalization is JVM-side: zero Python eval nodes
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Scan parquet" in p
+
+
+def test_fetch_image_join_is_broadcast_for_small_images(spark):
+    from cola_spark.operators.fetch import synthetic_fetch
+    from cola_spark.operators.dedup import prepare_frontier
+    from cola_spark.sources import gen_frontier_seeds, gen_images
+
+    fr = prepare_frontier(
+        gen_frontier_seeds(spark, 500, n_hosts=10).select("url", "priority", "seq", "force")
+    ).withColumn("host_rank", F.lit(1))
+    p = _plan(synthetic_fetch(fr, gen_images(spark, 50), 50, decode=False))
+    assert "BatchEvalPython" not in p  # no-decode path is pure JVM
