@@ -36,33 +36,53 @@ BENCH_QUERIES = [
 ]
 
 
-def frontier_pipeline_once(spark, n_urls: int, n_hosts: int, n_images: int, parts: int = 128):
-    """The canonical throughput job for the scaling metric: one fused
-    round — canonicalize → dedup(admission) → robots → salted
-    priority/budget cut → fetch → vectorized decode — to a noop sink.
+def frontier_pipeline_once(spark, n_urls: int, n_hosts: int, n_images: int,
+                           parts: int = 64, workdir: str | None = None) -> dict:
+    """The canonical throughput job for the scaling metric, two actions:
 
-    Deliberately excludes per-round checkpoint writes (measured
-    separately in crawl_5rounds; in production they amortize/overlap).
-    Shuffle partitions and input partitioning are FIXED (128) so the
-    local[8] and local[32] runs execute the identical physical plan and
-    differ only in executor slots — the honest cluster-size analogue.
+      stage A (JVM): canonicalize → dedup admission → robots → salted
+        priority/budget cut → materialize the scheduled set (parquet)
+      stage B (Python): fused opener→decode→verify over the scheduled
+        set (zero binary Arrow traffic; even seq repartition)
+
+    The materialization barrier between A and B mirrors the production
+    round loop (the log write) AND prevents local-mode oversubscription:
+    without it, pipelined JVM shuffle tasks + Python workers co-run
+    2×cores runnable threads and the measurement collapses. Partition
+    counts are FIXED so both cluster sizes run identical plans.
+
+    Returns {"jvm_secs", "py_secs", "scheduled"}.
     """
+    import shutil as _sh
+
     from cola_spark.operators.budget import budget_caps, init_budget_state
     from cola_spark.operators.dedup import admit, prepare_frontier
-    from cola_spark.operators.fetch import synthetic_fetch
+    from cola_spark.operators.fetch import fetch_decode_verify
     from cola_spark.operators.priority import schedule_cut
     from cola_spark.operators.robots import robots_gate
-    from cola_spark.sources import gen_budgets, gen_frontier_seeds, gen_images, gen_robots
+    from cola_spark.sources import gen_budgets, gen_frontier_seeds, gen_robots
+    from pyspark.sql import functions as F
 
+    workdir = workdir or tempfile.mkdtemp(prefix="cola_pipe_")
     seeds = gen_frontier_seeds(spark, n_urls, n_hosts=n_hosts, parts=parts)
-    images = gen_images(spark, n_images, parts=parts)
     frontier = prepare_frontier(seeds.select("url", "priority", "seq", "force"))
     admitted, _ = admit(frontier, spark.createDataFrame([], "url_hash long"))
     allowed = robots_gate(admitted, gen_robots(spark, n_hosts))
-    caps = budget_caps(init_budget_state(gen_budgets(spark, n_hosts)))
-    scheduled = schedule_cut(allowed, caps)
-    fetched = synthetic_fetch(scheduled, images, n_images, decode=True)
-    fetched.write.format("noop").mode("overwrite").save()
+    budgets = gen_budgets(spark, n_hosts).withColumn("rate_per_round", F.lit(50))
+    scheduled = schedule_cut(allowed, budget_caps(init_budget_state(budgets)))
+
+    t0 = time.monotonic()
+    scheduled.write.mode("overwrite").parquet(f"{workdir}/scheduled")
+    jvm_secs = time.monotonic() - t0
+    sched = spark.read.parquet(f"{workdir}/scheduled")
+    t0 = time.monotonic()
+    fetch_decode_verify(sched, n_images, dims=(48, 64), parts=parts * 2).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    py_secs = time.monotonic() - t0
+    n = spark.read.parquet(f"{workdir}/scheduled").count()
+    _sh.rmtree(workdir, ignore_errors=True)
+    return {"jvm_secs": jvm_secs, "py_secs": py_secs, "scheduled": n}
 
 
 def main() -> None:
@@ -73,33 +93,48 @@ def main() -> None:
     from cola_spark.session import get_spark
     from cola_spark.sources import gen_budgets, gen_frontier_seeds, gen_images, gen_robots
 
+    import os as _os
+
+    _os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = get_spark(
         "cola_spark_bench", master=f"local[{CPUS}]",
-        shuffle_partitions=128,  # fixed across cluster sizes: identical plans
+        shuffle_partitions=64,  # fixed across cluster sizes: identical plans
+        extra_conf={
+            # measured tunings (see BENCH/BASELINE.md + memory notes):
+            # AQE's sequential stage materialization adds ~1s/stage of
+            # driver latency at these sizes; tmpfs shuffle dirs; 2000-row
+            # Arrow batches bound Python-stage live memory at 32 threads
+            "spark.sql.adaptive.enabled": "false",
+            "spark.local.dir": "/dev/shm/spark-local",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "2000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
-    # --- scaling metric: fused one-round pipeline ---------------------------
+    # --- scaling metric: one-round pipeline with a stage barrier ------------
     # steady-state protocol: one warm run (codegen JIT + python worker
-    # spin-up), then min of 2 timed runs — the single-VM sandbox has
-    # noisy neighbours (GC state, page cache), min is the honest
-    # capability number
-    n_pipe = max(20_000, int(6_000_000 * SF))
-    n_hosts_pipe = max(200, int(1_200_000 * SF))
+    # spin-up), then min of 2 timed runs — the single-VM sandbox is noisy
+    n_pipe = max(20_000, int(20_000_000 * SF))
+    n_hosts_pipe = max(200, int(4_000_000 * SF))
     frontier_pipeline_once(spark, n_pipe, n_hosts_pipe, 2000)  # warm
-    pipe_secs = float("inf")
+    best = None
     for _ in range(2):
-        t0 = time.monotonic()
-        frontier_pipeline_once(spark, n_pipe, n_hosts_pipe, 2000)
-        pipe_secs = min(pipe_secs, time.monotonic() - t0)
+        r = frontier_pipeline_once(spark, n_pipe, n_hosts_pipe, 2000)
+        r["total"] = r["jvm_secs"] + r["py_secs"]
+        if best is None or r["total"] < best["total"]:
+            best = r
+    pipe_secs = best["total"]
     timings["frontier_oneround"] = round(pipe_secs, 3)
+    timings["frontier_jvm_stage"] = round(best["jvm_secs"], 3)
+    timings["frontier_py_stage"] = round(best["py_secs"], 3)
 
     if ONLY == "pipeline":
         print(json.dumps({
-            "metric": "one-round frontier pipeline (canonicalize+dedup+robots+cut+fetch+decode)",
+            "metric": "one-round frontier pipeline (canonicalize+dedup+robots+cut | fetch+decode+verify)",
             "value": round(pipe_secs, 3), "unit": "sec", "queries": timings,
             "sf": SF, "cpus": CPUS, "pipeline_urls": n_pipe,
+            "pipeline_scheduled": best["scheduled"],
             "pipeline_urls_per_sec": round(n_pipe / pipe_secs, 1),
         }))
         spark.stop()

@@ -35,12 +35,19 @@ def fail_coin(url_canon_col):
 
 
 def synthetic_fetch(
-    scheduled: DataFrame, images: DataFrame, n_images: int, decode: bool = True
+    scheduled: DataFrame, images: DataFrame, n_images: int, decode: bool = True,
+    broadcast_images: bool = True,
 ) -> DataFrame:
     """Fetch scheduled URLs against the images table and decode.
 
     Adds: image_id, fetch_ok (deterministic 5% failures), and — when
     decode=True — fmt, psnr, invariant_ok from the vectorized decoder.
+
+    The images side is broadcast by default: binary payloads push the
+    table past Spark's 10 MB auto-broadcast threshold, which silently
+    degrades this into a full shuffle join of the big scheduled side —
+    pass broadcast_images=False only when the payload table genuinely
+    exceeds executor memory.
     """
     df = scheduled.withColumn(
         "image_id",
@@ -49,9 +56,10 @@ def synthetic_fetch(
     if not decode:
         return df
 
-    payload = df.filter(F.col("fetch_ok")).join(
-        images.select("image_id", "bytes", "w", "h", "fmt", "caption"), "image_id", "left"
-    )
+    img_side = images.select("image_id", "bytes", "w", "h", "fmt", "caption")
+    if broadcast_images:
+        img_side = F.broadcast(img_side)
+    payload = df.filter(F.col("fetch_ok")).join(img_side, "image_id", "left")
     base_cols = [c for c in df.columns]
 
     def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -124,4 +132,63 @@ def discover_links(fetched_ok: DataFrame, pages_per_host: int = 50) -> DataFrame
         (F.col("seq") * 4 + F.col("_i") + F.lit(CHILD_SEQ_OFFSET)).alias("seq"),
         F.lit(False).alias("force"),
         F.lit(0).alias("error_times"),
+    )
+
+
+def fetch_decode_verify(
+    scheduled: DataFrame, n_images: int, dims: tuple = (16, 24, 32), parts: int = 128
+) -> DataFrame:
+    """Fused opener→decode→verify stage — the production-faithful fetch.
+
+    A real crawler fetches payload bytes *inside* the worker (cola's
+    opener runs in the executor process, cola/core/opener.py) — so this
+    stage takes only URL rows in and emits only scalars out: zero binary
+    columns cross the JVM↔Python Arrow boundary, which at benchmark
+    scale removes tens of GB of serialization that the join-based
+    synthetic_fetch pays. The synthetic opener synthesizes the payload
+    from the url key (network stand-in), then decodes and checks the
+    PSNR/caption invariant exactly like synthetic_fetch(decode=True).
+
+    Input is repartitioned evenly by seq first: the scheduled set
+    arrives partitioned by host (Zipf-skewed) from the budget cut, and
+    Python-stage stragglers on hot-host partitions destroy parallelism.
+    """
+    cols = ["url_canon", "host", "priority", "seq"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as pd_
+
+        from cola_spark.codecs import decode_image, encode_image
+        from cola_spark.codecs.pixels import gen_pixels, psnr
+        from cola_spark.sources.generators import caption_of
+
+        dl = list(dims)
+        for pdf in it:
+            res = []
+            for u in pdf["url_canon"]:
+                i = int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "big") % n_images
+                image_id = f"img{i:08d}"
+                d = hashlib.md5(image_id.encode()).digest()
+                w, h = dl[d[2] % len(dl)], dl[d[3] % len(dl)]
+                fmt = "png" if d[4] % 2 == 0 else "jpgq"
+                px = gen_pixels(image_id, w, h)                # ground truth
+                payload = encode_image(px, fmt)                # opener (network stand-in)
+                dec = decode_image(payload, fmt)               # decode
+                p = psnr(px, dec)                              # verify
+                ok = (fmt == "png" and p == float("inf")) or (fmt != "png" and p >= 40.0)
+                res.append((image_id, fmt, min(p, 99.0), bool(ok) and bool(caption_of(image_id))))
+            out = pdf[cols].copy().reset_index(drop=True)
+            out[["image_id", "fmt", "psnr", "invariant_ok"]] = pd_.DataFrame(
+                res, columns=["image_id", "fmt", "psnr", "invariant_ok"]
+            )
+            yield out
+
+    schema = (
+        "url_canon string, host string, priority int, seq long,"
+        " image_id string, fmt string, psnr double, invariant_ok boolean"
+    )
+    return (
+        scheduled.select(*cols).repartition(parts, F.col("seq")).mapInPandas(batches, schema)
     )

@@ -39,8 +39,14 @@ def caption_of(image_id: str) -> str:
     return f"caption of {image_id}: {_ADJ[d[0] % 8]} {_NOUN[d[1] % 8]}"
 
 
-def gen_images(spark: SparkSession, n_images: int, parts: int | None = None) -> DataFrame:
-    """The payload table — exactly the input_hint schema (BASELINE.json:15)."""
+def gen_images(
+    spark: SparkSession, n_images: int, parts: int | None = None,
+    dims: tuple = (16, 24, 32),
+) -> DataFrame:
+    """The payload table — exactly the input_hint schema (BASELINE.json:15).
+
+    ``dims`` controls the size universe (benchmarks use larger images to
+    weight the decode stage like production payloads)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -48,13 +54,13 @@ def gen_images(spark: SparkSession, n_images: int, parts: int | None = None) -> 
         from cola_spark.codecs import encode_image
         from cola_spark.codecs.pixels import gen_pixels, phash64
 
-        dims = [16, 24, 32]
+        dims_l = list(dims)
         for pdf in it:
             rows = []
             for i in pdf["id"]:
                 image_id = f"img{int(i):08d}"
                 d = hashlib.md5(image_id.encode()).digest()
-                w, h = dims[d[2] % 3], dims[d[3] % 3]
+                w, h = dims_l[d[2] % len(dims_l)], dims_l[d[3] % len(dims_l)]
                 fmt = "png" if d[4] % 2 == 0 else "jpgq"
                 px = gen_pixels(image_id, w, h)
                 rows.append(

@@ -1,0 +1,79 @@
+"""Continuous crawl via foreachBatch — the streaming mode that reuses
+the batch operators wholesale (SURVEY §2.8: "optional Structured
+Streaming mode with foreachBatch per round").
+
+A stream of newly discovered frontier rows (file drops, Kafka, ...) is
+consumed micro-batch by micro-batch; each micro-batch runs the same
+admission → robots → budget-cut pipeline as one scheduler round, with
+seen/budget state carried in the workdir exactly like the batch loop —
+so semantics, metrics, and resume behaviour are shared, and the
+exactly-once file-sink guarantees come from the streaming checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cola_spark.operators.budget import budget_caps, init_budget_state, update_budget_state
+from cola_spark.operators.dedup import FRONTIER_COLS, admit
+from cola_spark.operators.priority import schedule_cut
+from cola_spark.operators.robots import robots_gate
+
+
+class ForeachBatchCrawler:
+    """Stateful foreachBatch handler: call .attach(stream_df) to start."""
+
+    def __init__(self, spark, robots: DataFrame, budgets: DataFrame, workdir: str,
+                 salt_buckets: int = 16):
+        self.spark = spark
+        self.robots = robots
+        self.workdir = workdir
+        self.salt = salt_buckets
+        os.makedirs(workdir, exist_ok=True)
+        self._bstate = init_budget_state(budgets)
+        self._seen_dirs = 0
+
+    def _seen(self) -> DataFrame:
+        if self._seen_dirs == 0:
+            return self.spark.createDataFrame([], "url_hash long")
+        return self.spark.read.parquet(
+            *[f"{self.workdir}/seen/delta={i}" for i in range(self._seen_dirs)]
+        ).select("url_hash")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        candidates = batch_df.select(*FRONTIER_COLS)
+        admitted, new_seen = admit(candidates, self._seen())
+        admitted = admitted.persist()
+        allowed = robots_gate(admitted, self.robots)
+        scheduled = schedule_cut(allowed, budget_caps(self._bstate), self.salt)
+        scheduled.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
+            f"{self.workdir}/sched/batch={batch_id}"
+        )
+        admitted.filter(~F.col("force")).select("url_hash").write.mode("overwrite").parquet(
+            f"{self.workdir}/seen/delta={self._seen_dirs}"
+        )
+        self._seen_dirs += 1
+        sched_r = self.spark.read.parquet(f"{self.workdir}/sched/batch={batch_id}")
+        counts = sched_r.groupBy("host").agg(F.count("*").alias("n_granted"))
+        zero = counts.select("host", F.lit(0).cast("long").alias("n"))
+        self._bstate = update_budget_state(
+            self._bstate, counts,
+            zero.withColumnRenamed("n", "n_finished"),
+            zero.withColumnRenamed("n", "n_errored"),
+        )
+        # broadcast-size: materialize so lineage doesn't grow per batch
+        self._bstate = self.spark.createDataFrame(
+            self._bstate.collect(), self._bstate.schema
+        )
+        admitted.unpersist()
+
+    def attach(self, frontier_stream: DataFrame, checkpoint: str):
+        return (
+            frontier_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
