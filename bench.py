@@ -63,7 +63,7 @@ def frontier_pipeline_once(spark, n_urls: int, n_hosts: int, n_images: int,
     from cola_spark.sources import gen_budgets, gen_frontier_seeds, gen_robots
     from pyspark.sql import functions as F
 
-    workdir = workdir or tempfile.mkdtemp(prefix="cola_pipe_")
+    workdir = workdir or tempfile.mkdtemp(prefix="cola_pipe_", dir="/dev/shm")
     seeds = gen_frontier_seeds(spark, n_urls, n_hosts=n_hosts, parts=parts)
     frontier = prepare_frontier(seeds.select("url", "priority", "seq", "force"))
     admitted, _ = admit(frontier, spark.createDataFrame([], "url_hash long"))
