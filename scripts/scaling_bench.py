@@ -72,11 +72,14 @@ executors. Sandbox evidence (no real cluster; see BASELINE.md): the
 same `spark-submit --py-files` bench job on the identical input at
 local[8] vs local[32] ({os.cpu_count()} physical cores available).
 
-The scaling job is the fused one-round pipeline (canonicalize ->
-dedup -> robots -> salted budget cut -> fetch -> vectorized decode,
-noop sink; identical physical plan at both sizes — 128 shuffle
-partitions fixed, only executor slots differ). Checkpoint-inclusive
-end-to-end numbers are the crawl_5rounds row.
+The scaling job is the one-round pipeline in two production-faithful
+stages — (A) JVM: canonicalize -> dedup admission -> robots -> salted
+budget cut -> materialized scheduled set; (B) Python: fused
+opener->decode->verify (zero binary Arrow traffic) — identical physical
+plans at both sizes (64 shuffle partitions fixed, AQE off, only
+executor slots differ). Per-stage rows frontier_jvm_stage /
+frontier_py_stage decompose the scaling; see the analysis section of
+the committed BENCH/BASELINE.md for the single-box caveats.
 
 | config | pipeline URLs | pipeline secs | throughput (URLs sched+deduped+decoded /s) | crawl_5rounds secs (checkpointing loop) |
 |---|---|---|---|---|
@@ -90,8 +93,8 @@ cluster the shuffle-partitioned design adds no coordination beyond the
 existing exchanges).
 
 Input: {SF_DIR} (sf={r8['sf']}), frontier seeds with Zipf(1.1) host
-skew, salted two-phase budget cut (salt_buckets=16), AQE on,
-shuffle.partitions = cpus.
+skew, salted two-phase budget cut (salt_buckets=16), AQE off (bench
+config), shuffle.partitions = 64 fixed.
 
 Per-query seconds:
 
