@@ -644,3 +644,128 @@ PAIRS.update({
     "phash_near_dups": (q_phash_near_dups, None),
     "frame_sample": (q_frame_sample, None),
 })
+
+
+def q_flagship_oneround(spark, sf):
+    """The flagship one-round scheduler composition (entry()'s exact
+    semantics on the orders table), SQL-oracled: canonical-dup collapse
+    (first seq per page), robots-prefix gate, per-host priority-FIFO
+    budget cut, deterministic global order."""
+    o = _t(spark, sf, "orders")
+    host_id = F.pmod(F.col("o_custkey"), F.lit(100))
+    df = o.select(
+        F.format_string("c%03d", host_id).alias("host"),
+        F.pmod(F.col("o_orderkey"), F.lit(50)).alias("page"),
+        ((F.substring(F.col("o_orderpriority"), 1, 1).cast("int") - 1) % 3).alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    w_dup = Window.partitionBy("host", "page").orderBy("seq")
+    admitted = df.withColumn("_rn", F.row_number().over(w_dup)).filter(F.col("_rn") == 1).drop("_rn")
+    allowed = admitted.filter(
+        ~(F.col("host").rlike("^c0[0-9]7") & F.col("page").cast("string").startswith("1"))
+    )
+    w_cut = Window.partitionBy("host").orderBy("priority", "seq")
+    cut = allowed.withColumn("host_rank", F.row_number().over(w_cut).cast("long")).filter(
+        F.col("host_rank") <= 8
+    )
+    w_g = Window.orderBy("priority", "host", "seq")
+    return cut.select(
+        "host", "page", "priority", "seq", "host_rank",
+        F.row_number().over(w_g).cast("long").alias("global_rank"),
+    )
+
+
+SQL_FLAGSHIP = """
+WITH fr AS (
+  SELECT printf('c%03d', o_custkey % 100) AS host,
+         o_orderkey % 50 AS page,
+         (CAST(substr(o_orderpriority, 1, 1) AS INT) - 1) % 3 AS priority,
+         o_orderkey AS seq
+  FROM orders),
+admitted AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY host, page ORDER BY seq) AS rn FROM fr),
+allowed AS (
+  SELECT host, page, priority, seq FROM admitted
+  WHERE rn = 1
+    AND NOT (regexp_matches(host, '^c0[0-9]7') AND CAST(page AS VARCHAR) LIKE '1%')),
+cut AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority, seq) AS host_rank
+  FROM allowed)
+SELECT host, page, priority, seq, host_rank,
+       ROW_NUMBER() OVER (ORDER BY priority, host, seq) AS global_rank
+FROM cut WHERE host_rank <= 8
+"""
+
+
+def q_session_windows(spark, sf):
+    """Session windows (30-min inactivity gap) per user — the advanced
+    windowing the reference lacks, free in Spark (SURVEY §2.5 note)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")  # NTZ→BIGINT is
+    # forbidden in Spark 4 ANSI; NTZ→TIMESTAMP→BIGINT is fine (UTC session)
+    gap = secs - F.lag(secs, 1).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.withColumn("_new", new_sess)
+        .withColumn("session_id", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+SQL_SESSION = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS _new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id,
+         CAST(SUM(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM g)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_asof_latest_order(spark, sf):
+    """As-of join: each event matched to the user's most recent order at
+    event time (window emulation — portable ANSI in both engines)."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 2000)
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    j = ev.join(o, "user_id", "inner").filter(F.col("o_orderdate") <= F.col("ts"))
+    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "o_orderkey")
+    )
+
+
+SQL_ASOF = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o ON o.o_custkey = e.user_id
+  WHERE e.event_id < 2000 AND o.o_orderdate <= e.ts)
+SELECT event_id, user_id, o_orderkey FROM j WHERE rn = 1
+"""
+
+
+PAIRS.update({
+    "flagship_oneround": (q_flagship_oneround, SQL_FLAGSHIP),
+    "session_windows": (q_session_windows, SQL_SESSION),
+    "asof_latest_order": (q_asof_latest_order, SQL_ASOF),
+})
