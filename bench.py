@@ -148,8 +148,8 @@ def main() -> None:
     robots = gen_robots(spark, n_hosts)
     budgets = gen_budgets(spark, n_hosts)
     images = gen_images(spark, n_images, parts=64)
-    workdir = tempfile.mkdtemp(prefix="cola_bench_")
-    cfg = CrawlConfig(workdir=workdir, n_images=n_images, max_rounds=5, salt_buckets=16)
+    workdir = tempfile.mkdtemp(prefix="cola_bench_", dir="/dev/shm")
+    cfg = CrawlConfig(workdir=workdir, n_images=n_images, max_rounds=5, salt_buckets=16, fetch_mode="fused")
     t0 = time.monotonic()
     log = run_crawl(spark, seeds, robots, budgets, images, cfg)
     n_crawled = log.count()

@@ -136,7 +136,8 @@ def discover_links(fetched_ok: DataFrame, pages_per_host: int = 50) -> DataFrame
 
 
 def fetch_decode_verify(
-    scheduled: DataFrame, n_images: int, dims: tuple = (16, 24, 32), parts: int = 128
+    scheduled: DataFrame, n_images: int, dims: tuple = (16, 24, 32), parts: int = 128,
+    carry_all: bool = False,
 ) -> DataFrame:
     """Fused opener→decode→verify stage — the production-faithful fetch.
 
@@ -152,8 +153,17 @@ def fetch_decode_verify(
     Input is repartitioned evenly by seq first: the scheduled set
     arrives partitioned by host (Zipf-skewed) from the budget cut, and
     Python-stage stragglers on hot-host partitions destroy parallelism.
+
+    carry_all=True keeps every input column (plus a JVM-side fetch_ok
+    coin identical to synthetic_fetch's) so the stage is a drop-in
+    scheduler fetch (CrawlConfig.fetch_mode="fused"): failed fetches
+    skip decode, exactly like the join path.
     """
-    cols = ["url_canon", "host", "priority", "seq"]
+    if carry_all:
+        scheduled = scheduled.withColumn("fetch_ok", ~fail_coin(F.col("url_canon")))
+        cols = [c for c in scheduled.columns]
+    else:
+        cols = ["url_canon", "host", "priority", "seq"]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -167,9 +177,13 @@ def fetch_decode_verify(
         dl = list(dims)
         for pdf in it:
             res = []
-            for u in pdf["url_canon"]:
+            oks = pdf["fetch_ok"] if "fetch_ok" in pdf.columns else [True] * len(pdf)
+            for u, fok in zip(pdf["url_canon"], oks):
                 i = int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "big") % n_images
                 image_id = f"img{i:08d}"
+                if not fok:  # failed fetch: no payload, no decode
+                    res.append((image_id, None, None, None))
+                    continue
                 d = hashlib.md5(image_id.encode()).digest()
                 w, h = dl[d[2] % len(dl)], dl[d[3] % len(dl)]
                 fmt = "png" if d[4] % 2 == 0 else "jpgq"
@@ -185,10 +199,13 @@ def fetch_decode_verify(
             )
             yield out
 
-    schema = (
-        "url_canon string, host string, priority int, seq long,"
-        " image_id string, fmt string, psnr double, invariant_ok boolean"
-    )
+    if carry_all:
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in scheduled.select(*cols).schema.fields
+        )
+    else:
+        schema = "url_canon string, host string, priority int, seq long"
+    schema += ", image_id string, fmt string, psnr double, invariant_ok boolean"
     return (
         scheduled.select(*cols).repartition(parts, F.col("seq")).mapInPandas(batches, schema)
     )

@@ -83,6 +83,7 @@ class CrawlConfig:
     max_retries: int = 3
     salt_buckets: int = 16
     decode: bool = True
+    fetch_mode: str = "join"  # join (images-table linkage) | fused (opener-in-worker)
     adaptive: bool = False  # cola adaptive speed: rate backs off on errors
     dedup_mode: str = "exact"  # exact | hybrid | cuckoo
     filter_parts: int = 32
@@ -203,7 +204,14 @@ def run_crawl(
         # 2-3. robots gate + this round's cut + fetch, fused into one job
         pending_next = pending.unionByName(robots_gate(admitted, robots))
         scheduled = schedule_cut(pending_next, budget_caps(bstate, cfg.adaptive), cfg.salt_buckets)
-        fetched = synthetic_fetch(scheduled, images, cfg.n_images, decode=cfg.decode)
+        if cfg.decode and cfg.fetch_mode == "fused":
+            from cola_spark.operators.fetch import fetch_decode_verify
+
+            fetched = fetch_decode_verify(
+                scheduled, cfg.n_images, parts=cfg.salt_buckets * 8, carry_all=True
+            )
+        else:
+            fetched = synthetic_fetch(scheduled, images, cfg.n_images, decode=cfg.decode)
         obs = Observation(f"round_{rnd}")
         fetched = fetched.observe(
             obs,

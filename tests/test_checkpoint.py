@@ -76,3 +76,24 @@ def test_cuckoo_mode_bloom_semantics(spark, inputs, tmp_path_factory):
     assert cuckoo_urls <= exact_urls
     # at 16-bit fingerprints the FP rate is ~1e-4: expect (near-)equality
     assert len(cuckoo_urls) >= 0.99 * len(exact_urls)
+
+
+def test_fused_fetch_mode_same_schedule(spark, inputs, tmp_path_factory):
+    """fetch_mode=fused must reproduce the join-mode crawl exactly on
+    the scheduling dimensions (fetch_ok coin is JVM-side and shared);
+    only the image linkage (md5 vs xxhash mapping) differs."""
+    seeds, robots, budgets, images = inputs
+    logs = {}
+    for mode in ("join", "fused"):
+        cfg = CrawlConfig(
+            workdir=str(tmp_path_factory.mktemp(f"fm_{mode}")), n_images=IMGS,
+            pages_per_host=PAGES, max_rounds=4, decode=True, fetch_mode=mode,
+        )
+        log = run_crawl(spark, seeds, robots, budgets, images, cfg)
+        logs[mode] = [
+            (r.round, r.priority, r.host, r.seq, r.url_canon, r.host_rank, r.fetch_ok)
+            for r in log.orderBy("global_rank").collect()
+        ]
+        ok = log.filter(F.col("fetch_ok"))
+        assert ok.filter(~F.col("invariant_ok") | (F.col("psnr") < 40.0)).count() == 0
+    assert logs["fused"] == logs["join"]
