@@ -1,0 +1,78 @@
+"""Reproduce the driver's correctness gate locally: entry() smoke +
+every queries()/oracle_sql() pair compared against DuckDB (row count,
+schema, order-insensitive values) at a chosen scale factor.
+
+    python scripts/driver_gate_check.py [/root/testdata/sf0.01]
+
+Uses a plain SparkSession (not cola_spark.session.get_spark) on purpose
+— proves the contract self-ships the package for foreign sessions.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def norm(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pdf[c].dtype == object or str(pdf[c].dtype).startswith("datetime"):
+            pdf[c] = pdf[c].astype(str)
+        elif str(pdf[c].dtype).startswith(("int", "uint", "Int")):
+            pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+
+    spark = (
+        SparkSession.builder.master("local[8]").appName("driver_gate_check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    n = e.entry(spark).count()
+    print(f"entry: {n} rows")
+    assert n > 0
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+    q, o = e.queries(), e.oracle_sql()
+    fails = []
+    for name in sorted(q):
+        got = q[name](spark, SF)
+        if name not in o:
+            print(f"{name}: rows-only ({got.count()} rows)")
+            continue
+        a, b = norm(got.toPandas()), norm(con.execute(o[name]).df())
+        ok = list(a.columns) == list(b.columns) and len(a) == len(b)
+        if ok:
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False)
+            except AssertionError:
+                ok = False
+        print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(a)} rows)")
+        if not ok:
+            fails.append(name)
+    print("FAILURES:", fails or "none")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
