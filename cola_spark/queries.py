@@ -769,3 +769,49 @@ PAIRS.update({
     "session_windows": (q_session_windows, SQL_SESSION),
     "asof_latest_order": (q_asof_latest_order, SQL_ASOF),
 })
+
+
+def q_bundle_schedule(spark, sf):
+    """Bundle-unit scheduling (cola Bundle semantics, SURVEY §2.9):
+    orders grouped into bundles by customer; bundle priority/seq = best
+    member; per-host cut at bundle granularity (cap 2 bundles/host),
+    fanned back to member rows."""
+    from cola_spark.operators.bundles import schedule_bundles
+
+    o = _t(spark, sf, "orders")
+    fr = o.select(
+        F.format_string("c%03d", F.pmod(F.col("o_custkey"), F.lit(100))).alias("host"),
+        F.concat(F.lit("cust_"), F.col("o_custkey").cast("string")).alias("bundle_label"),
+        ((F.substring(F.col("o_orderpriority"), 1, 1).cast("int") - 1) % 3).alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+        F.xxhash64(F.col("o_orderkey")).alias("url_hash"),
+    )
+    caps = fr.select("host").distinct().select("host", F.lit(2).cast("long").alias("cap"))
+    out = schedule_bundles(fr, caps, salt_buckets=4)
+    return out.select(
+        "host", "bundle_label", "priority", "seq",
+        F.col("bundle_rank").cast("long").alias("bundle_rank"),
+    )
+
+
+SQL_BUNDLE = """
+WITH fr AS (
+  SELECT printf('c%03d', o_custkey % 100) AS host,
+         'cust_' || CAST(o_custkey AS VARCHAR) AS bundle_label,
+         (CAST(substr(o_orderpriority, 1, 1) AS INT) - 1) % 3 AS priority,
+         o_orderkey AS seq
+  FROM orders),
+b AS (
+  SELECT host, bundle_label, MIN(priority) AS bpriority, MIN(seq) AS bseq
+  FROM fr GROUP BY host, bundle_label),
+r AS (
+  SELECT host, bundle_label,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY bpriority, bseq) AS bundle_rank
+  FROM b)
+SELECT fr.host, fr.bundle_label, fr.priority, fr.seq, r.bundle_rank
+FROM fr JOIN r ON fr.host = r.host AND fr.bundle_label = r.bundle_label
+WHERE r.bundle_rank <= 2
+"""
+
+
+PAIRS.update({"bundle_schedule": (q_bundle_schedule, SQL_BUNDLE)})
