@@ -74,6 +74,10 @@ def frontier_pipeline_once(spark, n_urls: int, n_hosts: int, n_images: int,
     t0 = time.monotonic()
     scheduled.write.mode("overwrite").parquet(f"{workdir}/scheduled")
     jvm_secs = time.monotonic() - t0
+    # settle the JVM at the stage barrier: the preceding shuffle's heap
+    # debris otherwise bleeds GC pauses into the Python-stage timing
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
     sched = spark.read.parquet(f"{workdir}/scheduled")
     t0 = time.monotonic()
     fetch_decode_verify(sched, n_images, dims=(48, 64), parts=parts * 2).write.format(
