@@ -7,12 +7,13 @@ contract and exercises every M1 operator in one plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cola_spark.operators.budget import budget_caps, init_budget_state
 from cola_spark.operators.dedup import admit, prepare_frontier
 from cola_spark.operators.priority import schedule_cut
+from cola_spark.operators.ranking import global_rank
 from cola_spark.operators.robots import robots_gate
 
 
@@ -47,7 +48,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host", F.lit(8).cast("long").alias("budget"), F.lit(8).cast("long").alias("rate_per_round")
     )
     scheduled = schedule_cut(allowed, budget_caps(init_budget_state(budgets)))
-    w = Window.orderBy("priority", "host", "seq")
-    return scheduled.select(
-        "url", "url_canon", "host", "priority", "seq", "host_rank"
-    ).withColumn("global_rank", F.row_number().over(w).cast("long"))
+    return global_rank(
+        scheduled.select("url", "url_canon", "host", "priority", "seq", "host_rank"),
+        ["priority", "host", "seq"],
+    )

@@ -87,26 +87,17 @@ def image_features(images: DataFrame) -> DataFrame:
     )
 
 
-def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-duplicate images by perceptual hash: bucket on the top 16
-    bits, verify with bit_count(xor) — same blocked-join shape as the
-    SimHash text path."""
-    feats = images.select("image_id", "phash").withColumn(
-        "bucket", F.shiftrightunsigned(F.col("phash"), 48).cast("int")
-    )
-    a, b = feats.alias("a"), feats.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.image_id") < F.col("b.image_id")),
-        )
-        .select(
-            F.col("a.image_id").alias("img_a"),
-            F.col("b.image_id").alias("img_b"),
-            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 6, bands: int = 4) -> DataFrame:
+    """Near-duplicate images by perceptual hash: multi-band bucketing
+    (4 bands × 16 bits — guaranteed detection for Hamming ≤ bands-1,
+    unlike a single top-16-bit bucket which misses any pair whose
+    differing bits fall in the bucket) + bit_count(xor) verify — the
+    same blocked-join core as the SimHash text path."""
+    from cola_spark.operators.textdedup import banded_hamming_pairs
+
+    feats = images.select("image_id", "phash")
+    return banded_hamming_pairs(
+        feats, "image_id", "phash", bands, max_hamming, out_a="img_a", out_b="img_b"
     )
 
 

@@ -7,21 +7,49 @@ No reference analogue — cola dedups on URL identity only
 Design (Spark-first):
   * Exact n-gram Jaccard (the oracle) and MinHash signatures are pure
     column expressions — shingling via transform/element_at, the
-    K-perm signature via min(xxhash64(shingle, seed_k)) aggregates:
+    K-perm signature via min(hash(shingle, seed_k)) aggregates:
     JVM-side, whole-stage codegen, no Python.
   * LSH banding turns the O(n²) pair space into an equi-join on
     (band_id, band_hash) — the only shuffle is by band key.
-  * SimHash needs a per-doc fold over token hashes → one Arrow-
-    vectorized pandas UDF (numpy bit-matrix popcount), then candidate
-    pairs via bucket equi-join + F.bit_count(xor) Hamming distance.
+  * The verify stage is candidate-pruned: the shingle self-join runs
+    only over docs that appear in some LSH candidate pair, so its cost
+    is O(|candidates|·shingles), never O(corpus²) on common shingles.
+  * SimHash is pure JVM: per-bit ±1 sums as 64 aggregate expressions
+    (partial+final hash agg, no per-doc token arrays, no Python), then
+    multi-band bucketing — 4 bands × 16 bits guarantees detection of
+    any pair within Hamming distance 3 and catches most ≤8 (a flipped
+    bit can land in at most one band; the other 3 still match... a
+    pair is missed only if all 4 bands contain a differing bit).
+
+Hash families: the scale default is xxhash64 (JVM, codegen'd). The
+"md5" family (conv(substr(md5, 1, 15), 16, 10)) produces identical
+values in DuckDB via ('0x' || substr(md5(..),1,15))::BIGINT — used by
+the oracled query variants so the *whole* MinHash/SimHash pipeline is
+cross-engine verified, not just rows-only.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+
+
+def hash_family(kind: str = "xxhash64"):
+    """Seeded 64-bit hash family as a column-expression factory.
+
+    "xxhash64": the scale path (JVM intrinsic).
+    "md5": cross-engine family — 60 bits of md5("<seed>:" || s); DuckDB
+    computes the identical value, enabling full SQL oracles.
+    """
+    if kind == "xxhash64":
+        return lambda col, seed: F.xxhash64(col, F.lit(seed))
+    if kind == "md5":
+        return lambda col, seed: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown hash family {kind!r}")
 
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -36,32 +64,30 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     )
 
 
-def minhash_signatures(sh: DataFrame, num_perm: int = 16) -> DataFrame:
-    """(doc_id, sig array<long>): K-perm MinHash from seeded xxhash64.
+def minhash_signatures(sh: DataFrame, num_perm: int = 16, hash_kind: str = "xxhash64") -> DataFrame:
+    """(doc_id, sig array<long>): K-perm MinHash from a seeded hash family.
 
-    min(xxhash64(shingle, k)) over a doc's shingle set is the classic
-    min-wise independent permutation estimate; xxhash64's extra-arg
-    seeding gives the hash family without any UDF.
+    min(h_k(shingle)) over a doc's shingle set is the classic min-wise
+    independent permutation estimate; the seed arg gives the family
+    without any UDF.
     """
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
-        for k in range(num_perm)
-    ]
+    h = hash_family(hash_kind)
+    aggs = [F.min(h(F.col("shingle"), k)).alias(f"h{k}") for k in range(num_perm)]
     wide = sh.groupBy("doc_id").agg(*aggs)
     return wide.select(
         "doc_id", F.array(*[F.col(f"h{k}") for k in range(num_perm)]).alias("sig")
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4, num_perm: int = 16) -> DataFrame:
     """(doc_a, doc_b): pairs sharing ≥1 LSH band bucket.
 
-    K = bands * rows_per_band; two docs collide in band b iff their
-    signature slices agree exactly — the standard S-curve tradeoff.
+    K = num_perm = bands * rows_per_band; two docs collide in band b
+    iff their signature slices agree exactly — the standard S-curve
+    tradeoff. num_perm is threaded from the caller (never derived via a
+    driver action on the data).
     """
-    first = sigs.select(F.size("sig").alias("k")).first()
-    k = first.k if first else 0
-    r = max(k // bands, 1)
+    r = max(num_perm // bands, 1)
     band_rows = sigs.select(
         "doc_id",
         F.explode(
@@ -91,9 +117,23 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
 
 
 def exact_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
-    """(doc_a, doc_b, common, na, nb): exact shingle-set overlap; when
-    ``pairs`` is given, restricted to those candidates (the LSH verify
-    stage), else all co-shingled pairs."""
+    """(doc_a, doc_b, common, na, nb): exact shingle-set overlap.
+
+    When ``pairs`` is given (the LSH verify stage), the shingle table is
+    first semi-joined down to candidate doc_ids, so the self-join's
+    input — and therefore its common-shingle blow-up — scales with
+    |candidate docs|, not the corpus. Without this pruning the verify
+    stage would do the very all-pairs join LSH exists to avoid (the
+    left-semi on (doc_a, doc_b) alone cannot be pushed inside a
+    two-sided self-join by Catalyst).
+    """
+    if pairs is not None:
+        cand_ids = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, "doc_id", "left_semi")
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -111,16 +151,18 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
 
 
 def minhash_dedup_pairs(
-    docs: DataFrame, num_perm: int = 16, bands: int = 4, jaccard_num: int = 2, jaccard_den: int = 10
+    docs: DataFrame, num_perm: int = 16, bands: int = 4,
+    jaccard_num: int = 2, jaccard_den: int = 10, hash_kind: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard ≥ num/den.
 
     End-to-end near-dup pipeline: shingle → minhash → band-bucket join
-    → exact verify. Output (doc_a, doc_b, common, na, nb) matches
-    q_ngram_jaccard_pairs' shape so the two are directly comparable.
+    → candidate-pruned exact verify. Output (doc_a, doc_b, common, na,
+    nb) matches q_ngram_jaccard_pairs' shape so the two are directly
+    comparable.
     """
     sh = shingles(docs)
-    cand = lsh_candidate_pairs(minhash_signatures(sh, num_perm), bands)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, num_perm, hash_kind), bands, num_perm)
     j = exact_jaccard(sh, cand)
     return j.filter(
         F.col("common") * jaccard_den
@@ -128,56 +170,110 @@ def minhash_dedup_pairs(
     ).select("doc_a", "doc_b", "common", "na", "nb")
 
 
-@F.pandas_udf(LongType())
-def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
-    """64-bit SimHash from a list of token hashes (vectorized numpy)."""
-    import numpy as np
+# --------------------------------------------------------------- SimHash
 
-    out = []
-    for hs in hashes:
-        if hs is None or len(hs) == 0:
-            out.append(0)
-            continue
-        h = np.asarray(hs, dtype=np.int64).view(np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        v = (bits * 2 - 1).sum(axis=0)
-        sh = np.uint64(0)
-        for b in range(64):
-            if v[b] > 0:
-                sh |= np.uint64(1) << np.uint64(b)
-        out.append(int(sh.astype(np.int64).view(np.int64)))
-    return pd.Series(out)
+_BIT63 = -(1 << 63)  # two's-complement value of the top bit
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash, bucket): 64-bit SimHash over whitespace tokens;
-    bucket = top 16 bits (block key for near-dup candidate join)."""
+def _simhash_expr(vcols: list) -> object:
+    """Combine 64 per-bit vote columns into the signed 64-bit SimHash.
+
+    bit b is set iff the ±1 vote sum is > 0; the top bit contributes
+    the (negative) two's-complement value so the result is exactly the
+    value a uint64 reinterpret would give.
+    """
+    terms = []
+    for b, v in enumerate(vcols):
+        val = F.lit(_BIT63) if b == 63 else F.lit(1 << b)
+        terms.append(F.when(v > 0, val).otherwise(F.lit(0)).cast("long"))
+    return reduce(lambda x, y: x + y, terms)
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over whitespace tokens — pure
+    JVM. The per-bit fold is 64 SUM(CASE ...) aggregates (partial+final
+    hash agg; map-side combine), so no per-doc token array is ever
+    materialized — a 1M-token doc costs 64 longs of agg state, not an
+    8 MB collect_list row.
+    """
+    h = hash_family(hash_kind)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
-    hashed = toks.select("doc_id", F.xxhash64("tok").alias("th"))
-    sig = hashed.groupBy("doc_id").agg(
-        _simhash_from_hashes(F.collect_list("th")).alias("simhash")
+    hashed = toks.select("doc_id", h(F.col("tok"), 0).alias("th"))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*votes)
+    return sig.select(
+        "doc_id", _simhash_expr([F.col(f"v{b}") for b in range(64)]).alias("simhash")
     )
-    return sig.withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 48).cast("int"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """(doc_a, doc_b, hamming): same-bucket pairs within Hamming radius.
-    Hamming distance is JVM-side: bit_count(xor)."""
-    s = simhash(docs)
-    a = s.alias("a")
-    b = s.alias("b")
+def banded_hamming_pairs(
+    df: DataFrame, id_col: str, hash_col: str,
+    bands: int = 4, max_hamming: int = 8,
+    out_a: str = "doc_a", out_b: str = "doc_b",
+) -> DataFrame:
+    """(a, b, hamming): near-dup pairs by multi-band bucketing on a
+    64-bit hash column + bit_count(xor) verify.
+
+    Candidates = union over ``bands`` bands of 64/bands bits each; a
+    pair is considered iff at least one band matches exactly, which
+    *guarantees* detection for Hamming ≤ bands-1 (pigeonhole) and
+    degrades gracefully above. A single-band (top-16-bits) bucket would
+    silently miss any pair whose differing bits land in that band.
+    Shared by SimHash text near-dup and pHash image near-dup.
+    """
+    bits = 64 // bands
+    mask = (1 << bits) - 1
+    band_rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftright(F.col(hash_col), bits * b)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bd"),
+    ).select("_id", "_h", "bd.band_id", "bd.band_val")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.col("a._id").alias(out_a),
+            F.col("b._id").alias(out_b),
+            F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, bands: int = 4, hash_kind: str = "xxhash64"
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): multi-band SimHash near-dup pairs.
+    Guaranteed to surface any pair with Hamming ≤ bands-1; Hamming
+    distance itself is JVM-side bit_count(xor)."""
+    s = simhash(docs, hash_kind=hash_kind)
+    return banded_hamming_pairs(s, "doc_id", "simhash", bands, max_hamming)

@@ -285,17 +285,17 @@ def run_crawl(
 
 def crawl_log(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     """The global crawl-order artifact: total order (round, priority,
-    host, seq) with a global rank."""
-    from pyspark.sql import Window
+    host, seq) with a global rank — computed two-phase (range partition
+    + per-partition rank + offsets), never a single-partition window."""
+    from cola_spark.operators.ranking import global_rank
 
     if not _glob.glob(_p(cfg, "log", "round=*")):
         schema = FRONTIER_SCHEMA + ", round int, host_rank int, image_id string, fetch_ok boolean"
         if cfg.decode:
             schema += ", fmt string, psnr double, invariant_ok boolean"
-        return spark.createDataFrame([], schema + ", global_rank int")
+        return spark.createDataFrame([], schema + ", global_rank long")
     log = spark.read.option("basePath", _p(cfg, "log")).parquet(_p(cfg, "log", "round=*"))
-    w = Window.orderBy("round", "priority", "host", "seq")
-    return log.withColumn("global_rank", F.row_number().over(w))
+    return global_rank(log, ["round", "priority", "host", "seq"])
 
 
 def final_state(spark: SparkSession, cfg: CrawlConfig):

@@ -668,10 +668,11 @@ def q_flagship_oneround(spark, sf):
     cut = allowed.withColumn("host_rank", F.row_number().over(w_cut).cast("long")).filter(
         F.col("host_rank") <= 8
     )
-    w_g = Window.orderBy("priority", "host", "seq")
-    return cut.select(
-        "host", "page", "priority", "seq", "host_rank",
-        F.row_number().over(w_g).cast("long").alias("global_rank"),
+    from cola_spark.operators.ranking import global_rank
+
+    return global_rank(
+        cut.select("host", "page", "priority", "seq", "host_rank"),
+        ["priority", "host", "seq"],
     )
 
 
