@@ -158,12 +158,24 @@ def fetch_decode_verify(
     coin identical to synthetic_fetch's) so the stage is a drop-in
     scheduler fetch (CrawlConfig.fetch_mode="fused"): failed fetches
     skip decode, exactly like the join path.
+
+    Payload linkage parity with the join path: the url→image key is the
+    SAME pmod(xxhash64(url_canon), n_images) — computed JVM-side as a
+    column before the Python stage (xxhash64 has no cheap Python twin),
+    so fused- and join-mode logs carry identical image_id/fmt/psnr for
+    the same crawl. ``dims`` must match the images table's universe
+    (gen_images default). The invariant here is the pixel round-trip
+    (encode→decode PSNR/bit-exactness); caption equality is checked in
+    join mode where the caption column actually flows.
     """
     if carry_all:
         scheduled = scheduled.withColumn("fetch_ok", ~fail_coin(F.col("url_canon")))
         cols = [c for c in scheduled.columns]
     else:
         cols = ["url_canon", "host", "priority", "seq"]
+    withkey = scheduled.select(*cols).withColumn(
+        "_img_idx", F.pmod(F.xxhash64(F.col("url_canon")), F.lit(n_images))
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -172,15 +184,13 @@ def fetch_decode_verify(
 
         from cola_spark.codecs import decode_image, encode_image
         from cola_spark.codecs.pixels import gen_pixels, psnr
-        from cola_spark.sources.generators import caption_of
 
         dl = list(dims)
         for pdf in it:
             res = []
             oks = pdf["fetch_ok"] if "fetch_ok" in pdf.columns else [True] * len(pdf)
-            for u, fok in zip(pdf["url_canon"], oks):
-                i = int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "big") % n_images
-                image_id = f"img{i:08d}"
+            for idx, fok in zip(pdf["_img_idx"], oks):
+                image_id = f"img{int(idx):08d}"
                 if not fok:  # failed fetch: no payload, no decode
                     res.append((image_id, None, None, None))
                     continue
@@ -192,7 +202,7 @@ def fetch_decode_verify(
                 dec = decode_image(payload, fmt)               # decode
                 p = psnr(px, dec)                              # verify
                 ok = (fmt == "png" and p == float("inf")) or (fmt != "png" and p >= 40.0)
-                res.append((image_id, fmt, min(p, 99.0), bool(ok) and bool(caption_of(image_id))))
+                res.append((image_id, fmt, min(p, 99.0), bool(ok)))
             out = pdf[cols].copy().reset_index(drop=True)
             out[["image_id", "fmt", "psnr", "invariant_ok"]] = pd_.DataFrame(
                 res, columns=["image_id", "fmt", "psnr", "invariant_ok"]
@@ -206,6 +216,4 @@ def fetch_decode_verify(
     else:
         schema = "url_canon string, host string, priority int, seq long"
     schema += ", image_id string, fmt string, psnr double, invariant_ok boolean"
-    return (
-        scheduled.select(*cols).repartition(parts, F.col("seq")).mapInPandas(batches, schema)
-    )
+    return withkey.repartition(parts, F.col("seq")).mapInPandas(batches, schema)

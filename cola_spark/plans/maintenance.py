@@ -7,9 +7,17 @@ separate maintenance job) folds them into a single hash-partitioned
 snapshot — the same role Iceberg's rewrite_data_files maintenance
 action plays; the filter layout keeps only the newest blob per part.
 
-Safe under the manifest protocol: compaction writes to a fresh delta
-dir (delta=<r> with r = current max, replacing all lower ones) and
-removes superseded dirs only after the write commits.
+Crash-safety protocol (commit-then-remove, never the reverse):
+  1. write the folded snapshot to a tmp dir (Spark write);
+  2. atomically rename it to a FRESH ``compacted=<k>`` dir (k strictly
+     increasing — never collides with a round-numbered ``delta=<r>``
+     dir or an older compacted dir);
+  3. only then remove the superseded delta/compacted dirs.
+A crash at ANY point leaves the readers seeing a *superset* of the
+state: duplicated seen hashes are harmless to the anti-join, and
+duplicated filter blobs are byte-identical (the compacted blob for a
+part IS the latest delta's blob), so the latest-per-part window is
+deterministic even on ties.
 """
 
 from __future__ import annotations
@@ -24,39 +32,47 @@ from pyspark.sql import functions as F
 from cola_spark.plans.scheduler import CrawlConfig, _p, _read_filters, _read_seen
 
 
-def compact_seen(spark: SparkSession, cfg: CrawlConfig) -> int:
-    """Fold all seen deltas into one; returns number of dirs removed."""
-    dirs = sorted(glob.glob(_p(cfg, "seen", "delta=*")))
-    if len(dirs) <= 1:
-        return 0
-    seen = _read_seen(spark, cfg)
-    tmp = _p(cfg, "seen", "_compact_tmp")
-    (
-        seen.repartition(cfg.seen_parts, F.pmod(F.col("url_hash"), F.lit(cfg.seen_parts)))
-        .write.mode("overwrite")
-        .parquet(tmp)
+def _state_dirs(cfg: CrawlConfig, kind: str) -> tuple[list[str], list[str], int]:
+    """(delta_dirs, compacted_dirs, next_compaction_index)."""
+    deltas = sorted(glob.glob(_p(cfg, kind, "delta=*")))
+    compacted = sorted(glob.glob(_p(cfg, kind, "compacted=*")))
+    nxt = 1 + max(
+        (int(os.path.basename(d).split("=")[1]) for d in compacted), default=-1
     )
-    top = max(int(os.path.basename(d).split("=")[1]) for d in dirs)
-    final = _p(cfg, "seen", f"delta={top}")
-    for d in dirs:
+    return deltas, compacted, nxt
+
+
+def _commit_compaction(cfg: CrawlConfig, kind: str, df) -> int:
+    """Write → rename-commit → remove superseded. Returns dirs removed."""
+    deltas, compacted, nxt = _state_dirs(cfg, kind)
+    if len(deltas) + len(compacted) <= 1:
+        return 0
+    tmp = _p(cfg, kind, "_compact_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)  # stale tmp from a crashed run
+    df.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, _p(cfg, kind, f"compacted={nxt}"))  # the commit point
+    removed = 0
+    for d in deltas + compacted:  # superseded only after the commit
         shutil.rmtree(d)
-    os.replace(tmp, final)
-    return len(dirs)
+        removed += 1
+    return removed
+
+
+def compact_seen(spark: SparkSession, cfg: CrawlConfig) -> int:
+    """Fold all seen deltas into one snapshot; returns dirs removed.
+    distinct() because a crashed prior compaction can leave the same
+    hash in both a compacted dir and its source deltas."""
+    seen = _read_seen(spark, cfg).distinct()
+    folded = seen.repartition(
+        cfg.seen_parts, F.pmod(F.col("url_hash"), F.lit(cfg.seen_parts))
+    )
+    return _commit_compaction(cfg, "seen", folded)
 
 
 def compact_filters(spark: SparkSession, cfg: CrawlConfig) -> int:
     """Keep only the latest blob per part; returns dirs removed."""
-    dirs = sorted(glob.glob(_p(cfg, "filters", "delta=*")))
-    if len(dirs) <= 1:
-        return 0
-    latest = _read_filters(spark, cfg)
-    top = max(int(os.path.basename(d).split("=")[1]) for d in dirs)
-    tmp = _p(cfg, "filters", "_compact_tmp")
-    latest.withColumn("delta", F.lit(top)).write.mode("overwrite").parquet(tmp)
-    for d in dirs:
-        shutil.rmtree(d)
-    os.replace(tmp, _p(cfg, "filters", f"delta={top}"))
-    return len(dirs)
+    latest = _read_filters(spark, cfg, with_delta=True)
+    return _commit_compaction(cfg, "filters", latest)
 
 
 def vacuum_old_state(cfg: CrawlConfig, keep_last: int = 2) -> int:

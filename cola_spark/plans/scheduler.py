@@ -95,12 +95,17 @@ def _p(cfg: CrawlConfig, *parts: str) -> str:
     return os.path.join(cfg.workdir, *parts)
 
 
-def latest_round(cfg: CrawlConfig) -> int | None:
+def _manifest(cfg: CrawlConfig) -> dict | None:
     mf = _p(cfg, "manifest.json")
     if not os.path.exists(mf):
         return None
     with open(mf) as f:
-        return json.load(f)["round"]
+        return json.load(f)
+
+
+def latest_round(cfg: CrawlConfig) -> int | None:
+    m = _manifest(cfg)
+    return None if m is None else m["round"]
 
 
 def _commit_manifest(cfg: CrawlConfig, rnd: int, stats: dict) -> None:
@@ -117,25 +122,35 @@ def _commit_manifest(cfg: CrawlConfig, rnd: int, stats: dict) -> None:
     os.replace(tmp, mf)
 
 
+def _state_glob(cfg: CrawlConfig, kind: str) -> list[str]:
+    """Per-round deltas plus compaction snapshots (maintenance.py);
+    overlap between the two is a superset by construction — harmless."""
+    return sorted(
+        _glob.glob(_p(cfg, kind, "delta=*")) + _glob.glob(_p(cfg, kind, "compacted=*"))
+    )
+
+
 def _read_seen(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
-    dirs = sorted(_glob.glob(_p(cfg, "seen", "delta=*")))
+    dirs = _state_glob(cfg, "seen")
     if not dirs:
         return spark.createDataFrame([], "url_hash long")
     return spark.read.parquet(*dirs).select("url_hash")
 
 
-def _read_filters(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
-    dirs = sorted(_glob.glob(_p(cfg, "filters", "delta=*")))
+def _read_filters(spark: SparkSession, cfg: CrawlConfig, with_delta: bool = False) -> DataFrame:
+    dirs = _state_glob(cfg, "filters")
     if not dirs:
-        return spark.createDataFrame([], "part int, blob binary")
+        cols = "part int, blob binary" + (", delta int" if with_delta else "")
+        return spark.createDataFrame([], cols)
     from pyspark.sql import Window
 
     df = spark.read.parquet(*dirs)
     w = Window.partitionBy("part").orderBy(F.desc("delta"))
+    out_cols = ["part", "blob"] + (["delta"] if with_delta else [])
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("part", "blob")
+        .select(*out_cols)
     )
 
 
@@ -167,7 +182,10 @@ def run_crawl(
         raise ValueError(
             f"dedup_mode must be exact|hybrid|cuckoo, got {cfg.dedup_mode!r}"
         )
-    start = latest_round(cfg) if resume else None
+    mft = _manifest(cfg) if resume else None
+    if mft is not None and mft.get("stats", {}).get("stopped"):
+        return crawl_log(spark, cfg)  # crawl already reached its natural stop
+    start = mft["round"] if mft is not None else None
     if start is None:
         os.makedirs(cfg.workdir, exist_ok=True)
         pending = spark.createDataFrame([], FRONTIER_SCHEMA)
@@ -225,17 +243,13 @@ def run_crawl(
             "overwrite"
         ).parquet(_p(cfg, "log", f"round={rnd}"))
         n_scheduled = obs.get["n_scheduled"]
-        if n_scheduled == 0:
-            _commit_manifest(
-                cfg, rnd - 1, {"round": rnd - 1, "scheduled": 0, "stopped": True}
-            )
-            admitted.unpersist()
-            from cola_spark.operators.dedup import release_persisted
+        stopped = n_scheduled == 0
 
-            release_persisted()
-            break
-
-        # 4. persist dedup state deltas (append-only; no rewrites)
+        # 4. persist dedup state deltas (append-only; no rewrites).
+        # Written ALSO on natural stop: the oracle adds admissions to
+        # seen during admission, *before* its stop check — a stop round
+        # can admit (robots-blocked / over-cap) rows that must still be
+        # remembered, or a resume would re-admit them.
         if cfg.dedup_mode != "cuckoo":
             (
                 new_seen.repartition(
@@ -269,6 +283,7 @@ def run_crawl(
                 "round": rnd,
                 "scheduled": int(n_scheduled),
                 "fetched_ok": int(obs.get["n_ok"] or 0),
+                "stopped": stopped,
                 "secs": round(time.monotonic() - t0, 3),
             },
         )
@@ -276,6 +291,11 @@ def run_crawl(
         from cola_spark.operators.dedup import release_persisted
 
         release_persisted()
+        if stopped:
+            # the stop round is a fully committed round (log/seen/state
+            # all written, manifest points at rnd >= 0) — a resume reads
+            # the flag and returns instead of replaying empty rounds
+            break
         pending = spark.read.parquet(_p(cfg, "state", f"round={rnd}", "pending"))
         bstate = spark.read.parquet(_p(cfg, "state", f"round={rnd}", "budget"))
         rnd += 1

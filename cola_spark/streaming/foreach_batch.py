@@ -35,6 +35,7 @@ class ForeachBatchCrawler:
         os.makedirs(workdir, exist_ok=True)
         self._bstate = init_budget_state(budgets)
         self._seen_dirs = 0
+        self._pending_batch: int | None = None
 
     def _seen(self) -> DataFrame:
         if self._seen_dirs == 0:
@@ -43,12 +44,28 @@ class ForeachBatchCrawler:
             *[f"{self.workdir}/seen/delta={i}" for i in range(self._seen_dirs)]
         ).select("url_hash")
 
+    def _pending(self) -> DataFrame:
+        if self._pending_batch is None:
+            return self.spark.createDataFrame(
+                [],
+                "url string, url_canon string, url_hash long, host string, path string,"
+                " priority int, seq long, force boolean, error_times int",
+            )
+        return self.spark.read.parquet(
+            f"{self.workdir}/pending/batch={self._pending_batch}"
+        )
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         candidates = batch_df.select(*FRONTIER_COLS)
         admitted, new_seen = admit(candidates, self._seen())
         admitted = admitted.persist()
         allowed = robots_gate(admitted, self.robots)
-        scheduled = schedule_cut(allowed, budget_caps(self._bstate), self.salt)
+        # over-cap rows from earlier micro-batches stay schedulable —
+        # exactly like the batch loop's state/round=N/pending carry-over
+        # (admitted rows are 'seen', so without this union they would be
+        # dropped forever)
+        pending_all = self._pending().unionByName(allowed.select(*FRONTIER_COLS))
+        scheduled = schedule_cut(pending_all, budget_caps(self._bstate), self.salt)
         scheduled.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
             f"{self.workdir}/sched/batch={batch_id}"
         )
@@ -57,6 +74,10 @@ class ForeachBatchCrawler:
         )
         self._seen_dirs += 1
         sched_r = self.spark.read.parquet(f"{self.workdir}/sched/batch={batch_id}")
+        pending_all.join(sched_r.select("seq"), "seq", "left_anti").select(
+            *FRONTIER_COLS
+        ).write.mode("overwrite").parquet(f"{self.workdir}/pending/batch={batch_id}")
+        self._pending_batch = batch_id
         counts = sched_r.groupBy("host").agg(F.count("*").alias("n_granted"))
         zero = counts.select("host", F.lit(0).cast("long").alias("n"))
         self._bstate = update_budget_state(

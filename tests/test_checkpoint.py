@@ -55,6 +55,66 @@ def test_resume_reproduces_full_run(spark, inputs, tmp_path_factory):
     assert resumed == full
 
 
+def test_natural_stop_commits_final_admissions(spark, tmp_path_factory):
+    """A crawl that exhausts its frontier before max_rounds must (a)
+    have added the stop round's admissions to the seen set (oracle adds
+    to seen before its stop check), (b) leave a manifest at a valid
+    round >= 0 with the stopped flag, and (c) resume as a no-op."""
+    import json
+
+    from cola_spark.functions.urls import url_hash_col
+    from cola_spark.plans.oracle import run_oracle
+    from cola_spark.plans.scheduler import _read_seen, latest_round
+
+    seeds = gen_frontier_seeds(spark, 40, n_hosts=4, pages_per_host=6)
+    robots, budgets = gen_robots(spark, 4), gen_budgets(spark, 4)
+    images = gen_images(spark, IMGS)
+    wd = str(tmp_path_factory.mktemp("natstop"))
+    cfg = CrawlConfig(workdir=wd, n_images=IMGS, pages_per_host=6, max_rounds=40, decode=False)
+    log = run_crawl(spark, seeds, robots, budgets, images, cfg)
+    with open(f"{wd}/manifest.json") as f:
+        m = json.load(f)
+    assert m["round"] >= 0 and m["stats"]["stopped"] is True
+    assert m["round"] < 39, "fixture must stop naturally, not at max_rounds"
+    oracle = run_oracle(
+        [r.asDict() for r in seeds.select("url", "priority", "seq", "force").collect()],
+        [r.asDict() for r in robots.collect()],
+        [r.asDict() for r in budgets.collect()],
+        pages_per_host=6, max_rounds=40,
+    )
+    want = {
+        r.h
+        for r in spark.createDataFrame([(u,) for u in oracle["seen"]], "c string")
+        .select(url_hash_col(F.col("c")).alias("h"))
+        .collect()
+    }
+    got = {r.url_hash for r in _read_seen(spark, cfg).collect()}
+    assert got == want, "stop round's admissions missing from seen"
+    # resume after natural stop: no new rounds, identical log
+    before = [(r.round, r.seq) for r in log.orderBy("global_rank").collect()]
+    log2 = run_crawl(spark, seeds, robots, budgets, images, cfg, resume=True)
+    assert [(r.round, r.seq) for r in log2.orderBy("global_rank").collect()] == before
+    assert latest_round(cfg) == m["round"]
+
+
+def test_stop_at_round_zero_is_resumable(spark, tmp_path_factory):
+    """Zero-cap budgets stop the crawl in round 0; the manifest must
+    not point at round -1 and resume must not raise."""
+    seeds = gen_frontier_seeds(spark, 50, n_hosts=4, pages_per_host=10)
+    robots = gen_robots(spark, 4)
+    budgets = gen_budgets(spark, 4).withColumn("budget", F.lit(0).cast("long"))
+    images = gen_images(spark, IMGS)
+    wd = str(tmp_path_factory.mktemp("round0"))
+    cfg = CrawlConfig(workdir=wd, n_images=IMGS, pages_per_host=10, max_rounds=5, decode=False)
+    from cola_spark.plans.scheduler import latest_round
+
+    log = run_crawl(spark, seeds, robots, budgets, images, cfg)
+    assert log.count() == 0
+    assert latest_round(cfg) == 0
+    log2 = run_crawl(spark, seeds, robots, budgets, images, cfg, resume=True)
+    assert log2.count() == 0
+
+
 def test_hybrid_mode_identical_to_exact(spark, inputs, tmp_path_factory):
     exact, _ = _run(spark, inputs, str(tmp_path_factory.mktemp("exact")))
     hybrid, _ = _run(
@@ -78,10 +138,10 @@ def test_cuckoo_mode_bloom_semantics(spark, inputs, tmp_path_factory):
     assert len(cuckoo_urls) >= 0.99 * len(exact_urls)
 
 
-def test_fused_fetch_mode_same_schedule(spark, inputs, tmp_path_factory):
-    """fetch_mode=fused must reproduce the join-mode crawl exactly on
-    the scheduling dimensions (fetch_ok coin is JVM-side and shared);
-    only the image linkage (md5 vs xxhash mapping) differs."""
+def test_fused_fetch_mode_same_schedule_and_payload(spark, inputs, tmp_path_factory):
+    """fetch_mode=fused must reproduce the join-mode crawl exactly —
+    scheduling dimensions AND the payload linkage (both derive image_id
+    via pmod(xxhash64(url_canon), n_images), so fmt/psnr agree too)."""
     seeds, robots, budgets, images = inputs
     logs = {}
     for mode in ("join", "fused"):
@@ -91,7 +151,8 @@ def test_fused_fetch_mode_same_schedule(spark, inputs, tmp_path_factory):
         )
         log = run_crawl(spark, seeds, robots, budgets, images, cfg)
         logs[mode] = [
-            (r.round, r.priority, r.host, r.seq, r.url_canon, r.host_rank, r.fetch_ok)
+            (r.round, r.priority, r.host, r.seq, r.url_canon, r.host_rank,
+             r.fetch_ok, r.image_id, r.fmt, r.psnr)
             for r in log.orderBy("global_rank").collect()
         ]
         ok = log.filter(F.col("fetch_ok"))
