@@ -49,3 +49,23 @@ def schedule_cut(pending: DataFrame, caps: DataFrame, salt_buckets: int = 16) ->
         .filter(F.col("host_rank") <= F.col("cap"))
         .drop("cap")
     )
+
+
+def apply_global_cap(scheduled: DataFrame, global_cap: int | None) -> DataFrame:
+    """Cluster-wide pages/round ceiling — cola's ``speed.max`` (the
+    per-instance ``speed.single`` analogue is the per-host rate in
+    budget_caps; cola/functions/speed.py ~L20-220 keeps both).
+
+    Applied AFTER the per-host cut: of the per-host grants, keep the
+    ``global_cap`` first rows in the deterministic total order
+    (priority, seq) — seq is unique, so the tie-break is exact and
+    cluster-size-invariant. Rows cut here were never granted (they stay
+    in pending and compete next round). Ranking is the two-phase
+    range-partitioned rank — no single-partition window.
+    """
+    if global_cap is None:
+        return scheduled
+    from cola_spark.operators.ranking import global_rank
+
+    ranked = global_rank(scheduled, ["priority", "seq"], out_col="_grank")
+    return ranked.filter(F.col("_grank") <= global_cap).drop("_grank")

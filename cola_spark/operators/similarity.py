@@ -70,18 +70,33 @@ def _bucket_udf(dim: int, n_planes: int):
 def lsh_bucketed_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 4,
     dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+    multiprobe: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank): approximate top-k — candidates are
     restricted to the query's random-hyperplane bucket (expected corpus
     fraction 1/2^B; cosine-similar vectors collide with probability
     (1-θ/π)^B). The corpus is bucket-partitioned once; each query probes
-    one bucket — an equi-join, not a cross join.
+    its own bucket — an equi-join, not a cross join.
+
+    multiprobe=True (default) additionally probes every Hamming-1
+    neighbor bucket of the query (1 + B probes): a near neighbor that
+    falls on the wrong side of ONE hyperplane is still found, which is
+    the dominant miss mode at small B. Probe fan-out explodes only the
+    (small) query side; the corpus is never duplicated.
     """
     bucket = _bucket_udf(dim, n_planes)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"),
         bucket(F.col(vec_col)).alias("bucket"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q = q.select(
+            "query_id", "qe", F.explode(probes).alias("bucket")
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"),
         bucket(F.col(vec_col)).alias("bucket"),
@@ -89,6 +104,8 @@ def lsh_bucketed_topk(
     sims = (
         q.join(c, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a neighbor can be reached via several probes — dedup before ranking
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

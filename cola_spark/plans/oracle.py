@@ -52,6 +52,7 @@ def run_oracle(
     max_rounds: int = 30,
     max_retries: int = 3,
     adaptive: bool = False,
+    global_cap: int | None = None,
 ) -> dict:
     """seeds: [{url, priority, seq, force}]; robots: [{host,
     disallow_prefix}]; budgets: [{host, budget, rate_per_round}].
@@ -116,6 +117,13 @@ def run_oracle(
                 row = dict(row, host_rank=rank, round=rnd)
                 scheduled.append(row)
                 lg["applied"] += 1
+        if global_cap is not None and len(scheduled) > global_cap:
+            # cluster-wide speed.max: keep the first global_cap grants in
+            # (priority, seq) order; the rest return budget and stay pending
+            scheduled.sort(key=lambda x: (x["priority"], x["seq"]))
+            for row in scheduled[global_cap:]:
+                ledger[row["host"]]["applied"] -= 1
+            scheduled = scheduled[:global_cap]
         if not scheduled:
             break
         sched_seqs = {s["seq"] for s in scheduled}

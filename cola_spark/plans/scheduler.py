@@ -64,7 +64,7 @@ from cola_spark.operators.dedup import (
     prepare_frontier,
 )
 from cola_spark.operators.fetch import discover_links, synthetic_fetch
-from cola_spark.operators.priority import schedule_cut
+from cola_spark.operators.priority import apply_global_cap, schedule_cut
 from cola_spark.operators.retry import split_retry
 from cola_spark.operators.robots import robots_gate
 
@@ -85,6 +85,7 @@ class CrawlConfig:
     decode: bool = True
     fetch_mode: str = "join"  # join (images-table linkage) | fused (opener-in-worker)
     adaptive: bool = False  # cola adaptive speed: rate backs off on errors
+    global_cap: int | None = None  # cola speed.max: cluster-wide pages/round
     dedup_mode: str = "exact"  # exact | hybrid | cuckoo
     filter_parts: int = 32
     filter_capacity: int = 1 << 18
@@ -221,7 +222,10 @@ def run_crawl(
 
         # 2-3. robots gate + this round's cut + fetch, fused into one job
         pending_next = pending.unionByName(robots_gate(admitted, robots))
-        scheduled = schedule_cut(pending_next, budget_caps(bstate, cfg.adaptive), cfg.salt_buckets)
+        scheduled = apply_global_cap(
+            schedule_cut(pending_next, budget_caps(bstate, cfg.adaptive), cfg.salt_buckets),
+            cfg.global_cap,
+        )
         if cfg.decode and cfg.fetch_mode == "fused":
             from cola_spark.operators.fetch import fetch_decode_verify
 
@@ -289,8 +293,10 @@ def run_crawl(
         )
         admitted.unpersist()
         from cola_spark.operators.dedup import release_persisted
+        from cola_spark.operators.ranking import release_persisted as release_ranked
 
         release_persisted()
+        release_ranked()  # per-round global-cap rank caches
         if stopped:
             # the stop round is a fully committed round (log/seen/state
             # all written, manifest points at rnd >= 0) — a resume reads

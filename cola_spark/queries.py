@@ -816,3 +816,41 @@ WHERE r.bundle_rank <= 2
 
 
 PAIRS.update({"bundle_schedule": (q_bundle_schedule, SQL_BUNDLE)})
+
+
+def q_global_rate_cap(spark, sf):
+    """cola speed.max (SURVEY §2.4 row 22): cluster-wide pages/round
+    ceiling applied after the per-host cut, deterministic (priority,
+    seq) tie-break — two-phase ranked, no single-partition window."""
+    from cola_spark.operators.priority import apply_global_cap
+
+    o = _t(spark, sf, "orders")
+    fr = o.select(
+        F.format_string("c%03d", F.pmod(F.col("o_custkey"), F.lit(100))).alias("host"),
+        ((F.substring(F.col("o_orderpriority"), 1, 1).cast("int") - 1) % 3).alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    w = Window.partitionBy("host").orderBy("priority", "seq")
+    cut = fr.withColumn("host_rank", F.row_number().over(w).cast("long")).filter(
+        F.col("host_rank") <= 5
+    )
+    return apply_global_cap(cut, 200).select("host", "priority", "seq", "host_rank")
+
+
+SQL_GLOBAL_CAP = """
+WITH fr AS (
+  SELECT printf('c%03d', o_custkey % 100) AS host,
+         (CAST(substr(o_orderpriority, 1, 1) AS INT) - 1) % 3 AS priority,
+         o_orderkey AS seq
+  FROM orders),
+cut AS (
+  SELECT host, priority, seq,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority, seq) AS host_rank
+  FROM fr),
+g AS (SELECT *, ROW_NUMBER() OVER (ORDER BY priority, seq) AS grank
+      FROM cut WHERE host_rank <= 5)
+SELECT host, priority, seq, host_rank FROM g WHERE grank <= 200
+"""
+
+
+PAIRS.update({"global_rate_cap": (q_global_rate_cap, SQL_GLOBAL_CAP)})

@@ -42,6 +42,30 @@ from pyspark.sql.types import (
 from cola_spark.functions.urls import canonicalize_url, host_of, path_of, url_hash_col
 
 
+def configure_rocksdb_state(spark: SparkSession) -> None:
+    """Use the RocksDB state store for streaming state.
+
+    The seen-set state (dedup_stream's dropDuplicates) grows without
+    bound BY DESIGN — a crawl never forgets. The default HDFS-backed
+    store keeps every key in executor heap and OOMs at the 10^10-URL
+    design point; RocksDB spills state to local disk with a bounded
+    block cache, which is the only configuration under which unbounded
+    keyed state is survivable. Ships with Spark (no extra jar); applies
+    to queries started after this call.
+    """
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    # bound RocksDB memory across all state store instances on an executor
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true"
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "512"
+    )
+
+
 def streaming_frontier(spark: SparkSession, seed_dir: str, schema: str | None = None) -> DataFrame:
     """readStream over a directory receiving frontier parquet drops;
     canonicalizes and keys exactly like the batch path."""

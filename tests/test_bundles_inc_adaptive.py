@@ -72,6 +72,35 @@ def test_adaptive_rate_backoff_and_recovery(spark):
     assert caps["h1"] == 1
 
 
+def test_global_cap_bounds_every_round(spark, tmp_path):
+    """speed.max analogue: no round schedules more than global_cap rows
+    cluster-wide, grants are the (priority, seq)-first ones, and the
+    crawl matches the oracle under the same cap."""
+    from cola_spark.plans.oracle import run_oracle
+    from cola_spark.plans.scheduler import CrawlConfig, run_crawl
+    from cola_spark.sources import gen_budgets, gen_frontier_seeds, gen_images, gen_robots
+
+    CAP = 25
+    seeds = gen_frontier_seeds(spark, 300, n_hosts=8, pages_per_host=20)
+    robots, budgets = gen_robots(spark, 8), gen_budgets(spark, 8)
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "gc"), n_images=30, pages_per_host=20,
+        max_rounds=5, decode=False, global_cap=CAP,
+    )
+    log = run_crawl(spark, seeds, robots, budgets, gen_images(spark, 30), cfg)
+    per_round = {r.round: r.n for r in log.groupBy("round").agg(F.count("*").alias("n")).collect()}
+    assert per_round and all(n <= CAP for n in per_round.values())
+    oracle = run_oracle(
+        [r.asDict() for r in seeds.select("url", "priority", "seq", "force").collect()],
+        [r.asDict() for r in robots.collect()],
+        [r.asDict() for r in budgets.collect()],
+        pages_per_host=20, max_rounds=5, global_cap=CAP,
+    )
+    got = [(r.round, r.priority, r.host, r.seq) for r in log.orderBy("global_rank").collect()]
+    want = [(s["round"], s["priority"], s["host"], s["seq"]) for s in oracle["order"]]
+    assert got == want
+
+
 def test_adaptive_crawl_matches_oracle(spark, tmp_path):
     from cola_spark.plans.oracle import run_oracle
     from cola_spark.plans.scheduler import CrawlConfig, run_crawl

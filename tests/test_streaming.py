@@ -68,6 +68,59 @@ def test_token_bucket_grants_bounded_per_host(spark, seed_dir, tmp_path):
     assert 0 < granted < total
 
 
+def test_streaming_dedup_rocksdb_provider_with_restart(spark, seed_dir, tmp_path):
+    """The scale configuration: unbounded seen-state on the RocksDB
+    store (disk-spilling, bounded block cache), including a checkpoint
+    restart — state must survive the provider round-trip."""
+    from cola_spark.streaming.stream_scheduler import configure_rocksdb_state
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    configure_rocksdb_state(spark)
+    try:
+        d = str(tmp_path / "rocks_drops")
+        os.makedirs(d)
+        batch = spark.read.parquet(f"{seed_dir}/batch=0")
+        batch.write.mode("overwrite").parquet(f"{d}/b0")
+        sink = str(tmp_path / "rocks_sink")
+        ck = str(tmp_path / "rocks_ck")
+        schema = batch.schema
+
+        def run_once():
+            fr = streaming_frontier(spark, f"{d}/b*", schema=schema)
+            q = (
+                dedup_stream(fr)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run_once()
+        # restart with a second drop that overlaps the first (dups must
+        # be dropped against the RocksDB state restored from checkpoint)
+        spark.read.parquet(f"{seed_dir}/batch=0").unionByName(
+            spark.read.parquet(f"{seed_dir}/batch=1")
+        ).write.mode("overwrite").parquet(f"{d}/b1")
+        run_once()
+        out = spark.read.parquet(sink)
+        assert out.count() == out.select("url_hash").distinct().count()
+        assert out.count() > 0
+        # RocksDB actually in use: state dir contains rocksdb sst/zip layout
+        import glob as g
+
+        assert g.glob(f"{ck}/state/**/*.zip", recursive=True) or g.glob(
+            f"{ck}/state/**/*.sst", recursive=True
+        ), "no RocksDB state files under the checkpoint"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_rate_window_counts(spark, seed_dir, tmp_path):
     fr = streaming_frontier(spark, f"{seed_dir}/batch=*")
     out = _run_to_memory(
