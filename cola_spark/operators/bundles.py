@@ -31,6 +31,59 @@ def bundle_reduce(frontier: DataFrame) -> DataFrame:
     ).withColumn("url_hash", F.xxhash64("bundle_label"))
 
 
+EXPANDED_SCHEMA = (
+    "bundle_label string, host string, url string, priority int, seq long,"
+    " force boolean, generated boolean"
+)
+
+
+def paged_bundle_generator(max_pages: int = 3):
+    """Worked unit_cls example — cola's WeiboUserBundle shape
+    (contrib/weibo/bundle.py): a user bundle whose parser appends
+    follow-up page URLs to the live bundle (`current_urls`).
+
+    Given one bundle's member rows, re-emits them and appends pages
+    1..min(n_members, max_pages) at the bundle's best priority with
+    seq = min_seq * 10 + page — injective, larger than any member seq,
+    so FIFO by discovery holds. Pure function of the member set:
+    deterministic across partitionings.
+    """
+
+    def gen(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        label = pdf["bundle_label"].iloc[0]
+        host = pdf["host"].iloc[0]
+        out = pdf[["bundle_label", "host", "url", "priority", "seq", "force"]].copy()
+        out["generated"] = False
+        bs, bp = int(pdf["seq"].min()), int(pdf["priority"].min())
+        pages = [
+            (label, host, f"http://{host}/b/{label}/page/{p}", bp, bs * 10 + p, False, True)
+            for p in range(1, min(len(pdf), max_pages) + 1)
+        ]
+        gen_rows = pd.DataFrame(
+            pages,
+            columns=["bundle_label", "host", "url", "priority", "seq", "force", "generated"],
+        )
+        return pd.concat([out, gen_rows], ignore_index=True)
+
+    return gen
+
+
+def expand_bundles(frontier: DataFrame, generator=None, out_schema: str = EXPANDED_SCHEMA) -> DataFrame:
+    """The unit_cls plug point (SURVEY §2.9): per-bundle URL generation
+    with access to the whole live bundle, as
+    groupBy(bundle_label).applyInPandas — one Arrow batch per bundle,
+    the generator sees every member row and may append follow-ups.
+    Downstream the expanded rows flow through the normal admission
+    (dedup keeps the member set growing monotonically across rounds).
+    """
+    gen = generator or paged_bundle_generator()
+    return frontier.groupBy("bundle_label").applyInPandas(
+        lambda pdf: gen(pdf), out_schema
+    )
+
+
 def schedule_bundles(frontier: DataFrame, caps: DataFrame, salt_buckets: int = 16) -> DataFrame:
     """Budget cut at bundle granularity, fanned back to member URLs.
 

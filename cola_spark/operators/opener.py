@@ -76,6 +76,83 @@ def http_opener_factory(timeout: float = 10.0) -> OpenerFn:
     return open_batch
 
 
+def synthetic_login_hook(creds: dict[str, tuple[str, str]]):
+    """Deterministic synthetic auth service — the cola login_hook seam
+    (cola/job/__init__.py login_hook + contrib/weibo/login.py): called
+    once per host per worker, returns a session cookie or None.
+
+    The fake auth server accepts username ``u_<host>`` with password
+    ``md5(host)[:6]``; the cookie is a pure function of (host, user,
+    pw) so tests are deterministic. A real login_hook would POST a
+    login form / run the js flow here and return the cookiejar.
+    """
+
+    def login(host: str) -> str | None:
+        import hashlib
+
+        if host not in creds:
+            return None
+        user, pw = creds[host]
+        if user == f"u_{host}" and pw == hashlib.md5(host.encode()).hexdigest()[:6]:
+            return hashlib.md5(f"{host}|{user}|{pw}".encode()).hexdigest()[:8]
+        return None
+
+    return login
+
+
+def auth_opener_factory(
+    base_opener: OpenerFn, auth_hosts: set[str], login_hook=None
+) -> OpenerFn:
+    """Authenticated-session opener wrapper.
+
+    Hosts in ``auth_hosts`` require a login cookie before any fetch —
+    without one every request to them fails (payload None → fetch_ok
+    False → normal retry/requeue semantics). The login_hook is invoked
+    lazily once per host per Python worker and the cookie cached, which
+    is exactly cola's opener-instance cookiejar lifetime (one opener
+    per executor process).
+    """
+    cookies: dict[str, str | None] = {}
+
+    def open_batch(urls: list[str]) -> list[bytes | None]:
+        from urllib.parse import urlsplit
+
+        allowed_idx: list[int] = []
+        out: list[bytes | None] = [None] * len(urls)
+        for i, u in enumerate(urls):
+            host = urlsplit(u).hostname
+            if host in auth_hosts:
+                if host not in cookies:
+                    cookies[host] = login_hook(host) if login_hook else None
+                if not cookies[host]:
+                    continue  # unauthenticated: fetch fails
+            allowed_idx.append(i)
+        if allowed_idx:
+            payloads = base_opener([urls[i] for i in allowed_idx])
+            for i, p in zip(allowed_idx, payloads):
+                out[i] = p
+        return out
+
+    return open_batch
+
+
+def rendering_opener_factory(base_opener: OpenerFn, render) -> OpenerFn:
+    """JS-rendering opener seam — cola's SpynnerOpener analogue
+    (cola/core/opener.py ~L120-200, QtWebKit wait_for_selector).
+
+    ``render(url, payload) -> payload`` post-processes the raw fetch
+    exactly where a browser engine would execute scripts and return the
+    settled DOM. Offline the render fn is a deterministic fake; a real
+    deployment plugs a headless browser into the same signature.
+    """
+
+    def open_batch(urls: list[str]) -> list[bytes | None]:
+        raw = base_opener(urls)
+        return [None if p is None else render(u, p) for u, p in zip(urls, raw)]
+
+    return open_batch
+
+
 def fetch_with_opener(scheduled: DataFrame, opener: OpenerFn) -> DataFrame:
     """Vectorized fetch stage: adds (payload binary, fetch_ok boolean)."""
     cols = scheduled.columns

@@ -79,25 +79,30 @@ def minhash_signatures(sh: DataFrame, num_perm: int = 16, hash_kind: str = "xxha
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4, num_perm: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, num_perm: int = 16, compress_bands: bool = True
+) -> DataFrame:
     """(doc_a, doc_b): pairs sharing ≥1 LSH band bucket.
 
     K = num_perm = bands * rows_per_band; two docs collide in band b
     iff their signature slices agree exactly — the standard S-curve
     tradeoff. num_perm is threaded from the caller (never derived via a
-    driver action on the data).
+    driver action on the data). compress_bands=True xxhash64-compresses
+    the slice into a fixed 8-byte join key (the scale default); False
+    keeps the raw "v1,v2,…" string so a SQL oracle can reproduce the
+    exact join key.
     """
     r = max(num_perm // bands, 1)
+
+    def key(b):
+        raw = F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])
+        return F.xxhash64(raw).cast("string") if compress_bands else raw
+
     band_rows = sigs.select(
         "doc_id",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.xxhash64(F.concat_ws(",", *[
-                        F.col("sig")[b * r + j].cast("string") for j in range(r)
-                    ])).alias("band_hash"),
-                )
+                F.struct(F.lit(b).alias("band_id"), key(b).alias("band_hash"))
                 for b in range(bands)
             ])
         ).alias("band"),
@@ -153,6 +158,7 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
 def minhash_dedup_pairs(
     docs: DataFrame, num_perm: int = 16, bands: int = 4,
     jaccard_num: int = 2, jaccard_den: int = 10, hash_kind: str = "xxhash64",
+    compress_bands: bool = True,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard ≥ num/den.
 
@@ -162,7 +168,9 @@ def minhash_dedup_pairs(
     comparable.
     """
     sh = shingles(docs)
-    cand = lsh_candidate_pairs(minhash_signatures(sh, num_perm, hash_kind), bands, num_perm)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, num_perm, hash_kind), bands, num_perm, compress_bands
+    )
     j = exact_jaccard(sh, cand)
     return j.filter(
         F.col("common") * jaccard_den

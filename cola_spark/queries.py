@@ -545,11 +545,13 @@ PAIRS: dict[str, tuple[Callable, str | None]] = {
 }
 
 
-# -------------------------------------------- scale-path ops (rows-only checks)
-# These are not ANSI-SQL-expressible (seeded hash families, pandas-UDF
-# folds) → no oracle_sql entry; the driver records a rows-only check and
-# tests/test_textdedup.py + test_similarity.py assert semantics against
-# the exact oracles (q_ngram_jaccard_pairs / brute_force_topk).
+# ------------------------------------------------------- scale-path ops
+# minhash_lsh_pairs / simhash_near_pairs run the md5 hash family
+# (identical in DuckDB: '0x'||substr(md5(..),1,15) cast) so their FULL
+# pipelines are SQL-oracled; the xxhash64 production default is the
+# same code path under tests/test_textdedup.py. The remaining rows-only
+# entries (seeded hyperplanes, image codecs) are asserted against exact
+# in-repo oracles in test_similarity.py / test_multimodal.py.
 
 
 def q_minhash_lsh_pairs(spark, sf):
@@ -557,17 +559,91 @@ def q_minhash_lsh_pairs(spark, sf):
 
     Same output shape as q_ngram_jaccard_pairs: every emitted pair is
     exactly verified (precision 1.0 by construction); LSH only bounds
-    recall."""
+    recall. Runs the md5 hash family + raw band keys so DuckDB can
+    reproduce the ENTIRE pipeline (signatures, banding, candidate join,
+    verify) — the xxhash64 scale default is the same code path, covered
+    by tests/test_textdedup.py."""
     from cola_spark.operators.textdedup import minhash_dedup_pairs
 
-    return minhash_dedup_pairs(_t(spark, sf, "documents"))
+    return minhash_dedup_pairs(
+        _t(spark, sf, "documents"), hash_kind="md5", compress_bands=False
+    )
 
 
 def q_simhash_near_pairs(spark, sf):
-    """SimHash(64-bit) bucket join + Hamming ≤ 8 near-dup pairs."""
+    """SimHash(64-bit, pure-JVM per-bit vote aggregates) → 4×16-bit
+    multi-band bucket join → Hamming ≤ 8 near-dup pairs; md5 family so
+    the full pipeline is DuckDB-oracled."""
     from cola_spark.operators.textdedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf, "documents"))
+    return simhash_near_pairs(_t(spark, sf, "documents"), hash_kind="md5").select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _md5i(expr: str, seed: int) -> str:
+    """DuckDB twin of textdedup.hash_family('md5'): 60 bits of md5."""
+    return f"CAST(('0x' || substr(md5('{seed}:' || {expr}), 1, 15)) AS BIGINT)"
+
+
+_MH_P, _MH_B = 16, 4
+_MH_R = _MH_P // _MH_B
+_MH_SIG = ",\n       ".join(
+    f"MIN({_md5i('shingle', k)}) AS h{k}" for k in range(_MH_P)
+)
+_MH_BANDS = " ".join(
+    f"WHEN {b} THEN " + " || ',' || ".join(
+        f"CAST(h{b * _MH_R + j} AS VARCHAR)" for j in range(_MH_R)
+    )
+    for b in range(_MH_B)
+)
+
+SQL_MINHASH = rf"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+       FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+       WHERE len(ws) >= 3),
+sig AS (SELECT doc_id, {_MH_SIG}
+        FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, b, CASE b {_MH_BANDS} END AS bkey
+          FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+          FROM sh a
+          JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, common, sa.n_sh AS na, sb.n_sh AS nb
+FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE common * 10 >= 2 * (sa.n_sh + sb.n_sh - common)
+"""
+
+_SH_VOTES = ",\n       ".join(
+    f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(64)
+)
+_SH_TERMS = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN {-(1 << 63) if b == 63 else (1 << b)} ELSE 0 END"
+    for b in range(64)
+)
+
+SQL_SIMHASH = rf"""
+WITH toks AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents),
+th AS (SELECT doc_id, {_md5i('tok', 0)} AS th FROM toks),
+votes AS (SELECT doc_id, {_SH_VOTES}
+          FROM th GROUP BY doc_id),
+sim AS (SELECT doc_id, ({_SH_TERMS}) AS simhash FROM votes),
+bandrows AS (SELECT doc_id, simhash, b, (simhash >> (16 * b)) & 65535 AS bv
+             FROM sim, UNNEST([0, 1, 2, 3]) AS t(b))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bandrows a JOIN bandrows b
+  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
 
 
 def q_ann_lsh_topk(spark, sf):
@@ -591,8 +667,8 @@ def q_embedding_centroids(spark, sf):
 
 
 PAIRS.update({
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
-    "simhash_near_pairs": (q_simhash_near_pairs, None),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH),
+    "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "embedding_centroids": (q_embedding_centroids, None),
 })
@@ -854,3 +930,54 @@ SELECT host, priority, seq, host_rank FROM g WHERE grank <= 200
 
 
 PAIRS.update({"global_rate_cap": (q_global_rate_cap, SQL_GLOBAL_CAP)})
+
+
+def q_bundle_expand(spark, sf):
+    """Live-bundle URL generation (cola Bundle.urls() / current_urls,
+    SURVEY §2.9 unit_cls): per-bundle applyInPandas generator re-emits
+    members and appends follow-up page URLs — the WeiboUserBundle shape,
+    SQL-oracled end to end."""
+    from cola_spark.operators.bundles import expand_bundles
+
+    o = _t(spark, sf, "orders")
+    host = F.format_string("c%03d", F.pmod(F.col("o_custkey"), F.lit(100)))
+    fr = o.select(
+        host.alias("host"),
+        F.concat(F.lit("cust_"), F.col("o_custkey").cast("string")).alias("bundle_label"),
+        ((F.substring(F.col("o_orderpriority"), 1, 1).cast("int") - 1) % 3)
+        .cast("int").alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+        F.format_string("http://c%03d/p/%d", F.pmod(F.col("o_custkey"), F.lit(100)),
+                        F.col("o_orderkey")).alias("url"),
+        F.lit(False).alias("force"),
+    )
+    out = expand_bundles(fr)
+    return out.select(
+        "bundle_label", "url", F.col("priority").cast("long").alias("priority"),
+        "seq", "generated",
+    )
+
+
+SQL_BUNDLE_EXPAND = """
+WITH fr AS (
+  SELECT printf('c%03d', o_custkey % 100) AS host,
+         'cust_' || CAST(o_custkey AS VARCHAR) AS bundle_label,
+         (CAST(substr(o_orderpriority, 1, 1) AS INT) - 1) % 3 AS priority,
+         o_orderkey AS seq,
+         printf('http://c%03d/p/%d', o_custkey % 100, o_orderkey) AS url
+  FROM orders),
+b AS (SELECT bundle_label, host, MIN(priority) AS bp, MIN(seq) AS bs, COUNT(*) AS n
+      FROM fr GROUP BY 1, 2)
+SELECT bundle_label, url, CAST(priority AS BIGINT) AS priority, seq, FALSE AS generated
+FROM fr
+UNION ALL
+SELECT bundle_label,
+       printf('http://%s/b/%s/page/%d', host, bundle_label, p) AS url,
+       CAST(bp AS BIGINT) AS priority,
+       bs * 10 + p AS seq,
+       TRUE AS generated
+FROM b, UNNEST(generate_series(1, LEAST(n, 3))) AS t(p)
+"""
+
+
+PAIRS.update({"bundle_expand": (q_bundle_expand, SQL_BUNDLE_EXPAND)})

@@ -122,3 +122,34 @@ def test_adaptive_crawl_matches_oracle(spark, tmp_path):
     got = [(r.round, r.priority, r.host, r.seq) for r in log.orderBy("global_rank").collect()]
     want = [(s["round"], s["priority"], s["host"], s["seq"]) for s in oracle["order"]]
     assert got == want
+
+
+def test_bundle_generator_grows_member_set_across_rounds(spark):
+    """cola Bundle.urls()/current_urls: the generator appends follow-up
+    URLs to the live bundle; across rounds (with dedup) the member set
+    grows monotonically and deterministically."""
+    from cola_spark.operators.bundles import expand_bundles
+
+    fr = spark.createDataFrame(
+        [("h1", "userA", 1, 10, "http://h1/p/10", False),
+         ("h1", "userA", 0, 12, "http://h1/p/12", False),
+         ("h2", "userB", 2, 11, "http://h2/p/11", False)],
+        "host string, bundle_label string, priority int, seq long, url string, force boolean",
+    )
+    r1 = expand_bundles(fr)
+    urls1 = {r.url for r in r1.collect()}
+    # round 1: originals + pages (userA: 2 members -> 2 pages; userB: 1 page)
+    assert {"http://h1/p/10", "http://h1/p/12", "http://h2/p/11"} <= urls1
+    assert "http://h1/b/userA/page/1" in urls1 and "http://h1/b/userA/page/2" in urls1
+    assert "http://h2/b/userB/page/1" in urls1
+    assert len(urls1) == 6
+
+    # round 2: feed the expanded set back in (as the scheduler would,
+    # post-dedup) -> userA now has 4 members -> pages 1..3; new URLs
+    # appear, old ones persist
+    r2 = expand_bundles(r1.drop("generated"))
+    urls2 = {r.url for r in r2.collect()}
+    assert urls1 <= urls2
+    assert "http://h1/b/userA/page/3" in urls2  # grew
+    # deterministic across evaluations
+    assert urls2 == {r.url for r in expand_bundles(r1.drop("generated")).collect()}
