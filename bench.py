@@ -31,8 +31,10 @@ SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
 BENCH_QUERIES = [
     "dedup_anti_join", "priority_fifo_order", "counter_rollup", "rate_window",
-    "robots_gate", "running_budget_total", "ngram_jaccard_pairs", "ann_cosine_topk",
-    "docs_exact_dedup", "multimodal_meta",
+    "robots_gate", "running_budget_total", "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",  # the SCALE dedup path: candidate-pruned verify —
+    # its cost tracks |LSH candidates|, vs ngram_jaccard_pairs' corpus²
+    "ann_cosine_topk", "docs_exact_dedup", "multimodal_meta",
 ]
 
 
@@ -71,6 +73,10 @@ def frontier_pipeline_once(spark, n_urls: int, n_hosts: int, n_images: int,
     budgets = gen_budgets(spark, n_hosts).withColumn("rate_per_round", F.lit(50))
     scheduled = schedule_cut(allowed, budget_caps(init_budget_state(budgets)))
 
+    # settle before stage A as well: the warm run's shuffle/broadcast
+    # heap debris otherwise bleeds GC pauses into the JVM-stage timing
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(0.5)
     t0 = time.monotonic()
     scheduled.write.mode("overwrite").parquet(f"{workdir}/scheduled")
     jvm_secs = time.monotonic() - t0

@@ -46,19 +46,22 @@ def budget_caps(state: DataFrame, adaptive: bool = False) -> DataFrame:
     ).filter(F.col("cap") > 0)
 
 
-def update_budget_state(
-    state: DataFrame,
-    granted: DataFrame,   # (host, n_granted)
-    finished: DataFrame,  # (host, n_finished)
-    errored: DataFrame,   # (host, n_errored)
-) -> DataFrame:
+def round_outcomes(log: DataFrame) -> DataFrame:
+    """(host, n_granted, n_finished, n_errored) from one round's crawl
+    log in a SINGLE scan/aggregation — three separate groupBys would
+    read the log three times per round."""
+    return log.groupBy("host").agg(
+        F.count("*").alias("n_granted"),
+        F.sum(F.col("fetch_ok").cast("long")).alias("n_finished"),
+        F.sum((~F.col("fetch_ok")).cast("long")).alias("n_errored"),
+    )
+
+
+def update_budget_state_outcomes(state: DataFrame, outcomes: DataFrame) -> DataFrame:
     """Apply one round's outcomes. Errors return budget (cola error()):
     applied counts only grants that weren't errored back."""
-    df = (
-        state.join(F.broadcast(granted), "host", "left")
-        .join(F.broadcast(finished), "host", "left")
-        .join(F.broadcast(errored), "host", "left")
-        .na.fill({"n_granted": 0, "n_finished": 0, "n_errored": 0})
+    df = state.join(F.broadcast(outcomes), "host", "left").na.fill(
+        {"n_granted": 0, "n_finished": 0, "n_errored": 0}
     )
     return df.select(
         "host", "budget", "rate_per_round",
@@ -67,6 +70,21 @@ def update_budget_state(
         (F.col("errored") + F.col("n_errored")).alias("errored"),
         F.col("n_errored").cast("long").alias("last_errored"),
     )
+
+
+def update_budget_state(
+    state: DataFrame,
+    granted: DataFrame,   # (host, n_granted)
+    finished: DataFrame,  # (host, n_finished)
+    errored: DataFrame,   # (host, n_errored)
+) -> DataFrame:
+    """Three-table variant (kept for callers that already hold separate
+    counts); delegates to the single-outcomes join."""
+    outcomes = (
+        granted.join(finished, "host", "full").join(errored, "host", "full")
+        .na.fill({"n_granted": 0, "n_finished": 0, "n_errored": 0})
+    )
+    return update_budget_state_outcomes(state, outcomes)
 
 
 def all_finished(state: DataFrame) -> bool:

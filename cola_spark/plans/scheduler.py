@@ -249,37 +249,50 @@ def run_crawl(
         n_scheduled = obs.get["n_scheduled"]
         stopped = n_scheduled == 0
 
-        # 4. persist dedup state deltas (append-only; no rewrites).
-        # Written ALSO on natural stop: the oracle adds admissions to
+        # 4+5. persist dedup deltas + carry-over frontier + ledger.
+        # The four state writes are independent given the materialized
+        # log, so they run CONCURRENTLY (separate driver threads →
+        # separate Spark jobs): the per-round commit barrier costs
+        # max(write) instead of sum(write) — this is what made
+        # crawl_5rounds anti-scale 8→32 at sandbox SF. Seen deltas are
+        # written ALSO on natural stop: the oracle adds admissions to
         # seen during admission, *before* its stop check — a stop round
         # can admit (robots-blocked / over-cap) rows that must still be
         # remembered, or a resume would re-admit them.
+        from concurrent.futures import ThreadPoolExecutor
+
+        log_r = spark.read.parquet(_p(cfg, "log", f"round={rnd}"))
+        from cola_spark.operators.budget import round_outcomes, update_budget_state_outcomes
+
+        bstate = update_budget_state_outcomes(bstate, round_outcomes(log_r))
+        writes = []
         if cfg.dedup_mode != "cuckoo":
-            (
-                new_seen.repartition(
+            writes.append(
+                lambda: new_seen.repartition(
                     cfg.seen_parts, F.pmod(F.col("url_hash"), F.lit(cfg.seen_parts))
                 )
                 .write.mode("overwrite")
                 .parquet(_p(cfg, "seen", f"delta={rnd}"))
             )
         if new_filters is not None:
-            new_filters.withColumn("delta", F.lit(rnd)).write.mode("overwrite").parquet(
-                _p(cfg, "filters", f"delta={rnd}")
+            writes.append(
+                lambda: new_filters.withColumn("delta", F.lit(rnd))
+                .write.mode("overwrite")
+                .parquet(_p(cfg, "filters", f"delta={rnd}"))
             )
-
-        # 5. carry-over frontier + ledger, derived from the materialized log
-        log_r = spark.read.parquet(_p(cfg, "log", f"round={rnd}"))
-        pending_next.join(log_r.select("seq"), "seq", "left_anti").write.mode(
-            "overwrite"
-        ).parquet(_p(cfg, "state", f"round={rnd}", "pending"))
-        by_host = lambda df, name: df.groupBy("host").agg(F.count("*").alias(name))
-        bstate = update_budget_state(
-            bstate,
-            by_host(log_r, "n_granted"),
-            by_host(log_r.filter(F.col("fetch_ok")), "n_finished"),
-            by_host(log_r.filter(~F.col("fetch_ok")), "n_errored"),
+        writes.append(
+            lambda: pending_next.join(log_r.select("seq"), "seq", "left_anti")
+            .write.mode("overwrite")
+            .parquet(_p(cfg, "state", f"round={rnd}", "pending"))
         )
-        bstate.write.mode("overwrite").parquet(_p(cfg, "state", f"round={rnd}", "budget"))
+        writes.append(
+            lambda: bstate.write.mode("overwrite").parquet(
+                _p(cfg, "state", f"round={rnd}", "budget")
+            )
+        )
+        with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+            for fut in [ex.submit(w) for w in writes]:
+                fut.result()  # surface the first failure, after all joined
 
         _commit_manifest(
             cfg, rnd,

@@ -657,8 +657,10 @@ def q_ann_lsh_topk(spark, sf):
 
 
 def q_embedding_centroids(spark, sf):
-    """Per-label centroid via posexplode/positional-avg (n exact; the
-    float centroid stays out of any hashed comparison)."""
+    """Per-label centroid via posexplode/positional-avg. The float
+    centroid stays out of the hashed comparison (cross-engine float
+    summation order differs); the oracle pins the reassembly shape —
+    per-label row count and reconstructed dimensionality."""
     from cola_spark.operators.similarity import centroids
 
     return centroids(_t(spark, sf, "embeddings")).select(
@@ -666,11 +668,17 @@ def q_embedding_centroids(spark, sf):
     )
 
 
+SQL_CENTROIDS = """
+SELECT label, CAST(MIN(len(embedding)) AS BIGINT) AS dim, COUNT(*) AS n
+FROM embeddings GROUP BY label
+"""
+
+
 PAIRS.update({
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
-    "embedding_centroids": (q_embedding_centroids, None),
+    "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
 })
 
 

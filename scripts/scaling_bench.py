@@ -109,7 +109,9 @@ Raw JSON:
     {json.dumps(r8)}
     {json.dumps(r32)}
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # BASELINE.md is the curated round report (includes the machine-
+    # ceiling probe numbers); auto-runs write alongside it
+    with open(os.path.join(REPO, "BENCH", "BASELINE_auto.md"), "w") as f:
         f.write(md)
     print(json.dumps({"thr8": thr8, "thr32": thr32, "efficiency": round(eff, 3),
                       "all_runs_thr8": all8, "all_runs_thr32": all32}))
