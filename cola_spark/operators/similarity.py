@@ -115,6 +115,70 @@ def lsh_bucketed_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame, min_sim_x1000: int = 350,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, sim_x1000): EXACT embedding-cosine near-duplicate
+    pairs — the all-pairs oracle (crossJoin; labeled as such, like
+    ngram_jaccard_pairs). The scale path is lsh_near_dup_pairs. The
+    integerized sim keeps floats out of hashed comparisons; the raw
+    cosine is bit-identical across Spark's fold and DuckDB's
+    list_cosine_similarity, so the threshold cut is engine-stable."""
+    a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.floor(_cosine(F.col("va"), F.col("vb")) * 1000).alias("sim_x1000"),
+        )
+        .filter(F.col("sim_x1000") >= min_sim_x1000)
+    )
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame, min_sim_x1000: int = 350, n_planes: int = 4, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding", multiprobe: bool = True,
+) -> DataFrame:
+    """(vec_a, vec_b, sim_x1000): bucketed embedding near-dup pairs —
+    the scale path: candidates share a hyperplane bucket (or, with
+    multiprobe, sit within Hamming-1 of one), so the pair join touches
+    ~1/2^B of the corpus² space; every emitted pair is exactly
+    verified (precision 1.0, LSH bounds recall only — same contract as
+    minhash_dedup_pairs)."""
+    bucket = _bucket_udf(dim, n_planes)
+    rows = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    probe = rows
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        probe = rows.select("_id", "_v", F.explode(probes).alias("bucket"))
+    a, b = probe.alias("a"), rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("vec_a"), F.col("b._id").alias("vec_b"),
+            F.col("a._v").alias("va"), F.col("b._v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select(
+            "vec_a", "vec_b",
+            F.floor(_cosine(F.col("va"), F.col("vb")) * 1000).alias("sim_x1000"),
+        )
+        .filter(F.col("sim_x1000") >= min_sim_x1000)
+    )
+
+
 def centroids(corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """(label, centroid array<double>, n): per-label mean embedding via
     posexplode → positional avg → re-assemble; pure built-ins."""

@@ -989,3 +989,109 @@ FROM b, UNNEST(generate_series(1, LEAST(n, 3))) AS t(p)
 
 
 PAIRS.update({"bundle_expand": (q_bundle_expand, SQL_BUNDLE_EXPAND)})
+
+
+def q_embedding_near_dups(spark, sf):
+    """Embedding-cosine near-duplicate pairs — the exact all-pairs
+    oracle (the scale path, similarity.lsh_near_dup_pairs, is the
+    bucketed equi-join variant tested against this in
+    test_similarity)."""
+    from cola_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(_t(spark, sf, "embeddings"), min_sim_x1000=350)
+
+
+SQL_EMB_NEAR_DUPS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000) AS BIGINT) AS sim_x1000
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE FLOOR(list_cosine_similarity(a.v, b.v) * 1000) >= 350
+"""
+
+
+_LANG_MARKERS = {
+    "en": ["th", "he", "ing"],
+    "de": ["sch", "ei", "und"],
+    "fr": ["le", "ou", "es"],
+    "es": ["de", "la", "os"],
+}
+
+
+def q_docs_lang_id(spark, sf):
+    """Language-ID by character-n-gram marker frequencies: per-language
+    score = Σ occurrences of that language's marker n-grams, prediction
+    = argmax with a deterministic tie-break (en > de > fr > es). The
+    scoring machinery is the real operator (the sandbox corpus is
+    synthetic English-ish for every lang label, so accuracy against the
+    label column is not a meaningful target — determinism and
+    cross-engine parity are)."""
+    d = _t(spark, sf, "documents")
+
+    def cnt(pat):
+        return F.floor(
+            (F.length("text") - F.length(F.expr(f"replace(text, '{pat}', '')")))
+            / len(pat)
+        ).cast("long")
+
+    scores = {
+        lang: sum([cnt(p) for p in pats[1:]], cnt(pats[0])).alias(f"score_{lang}")
+        for lang, pats in _LANG_MARKERS.items()
+    }
+    scored = d.select("doc_id", *scores.values())
+    langs = list(_LANG_MARKERS)
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            ge = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            # strict > against languages EARLIER in tie-break order
+            if langs.index(other) < langs.index(lang):
+                ge = F.col(f"score_{lang}") > F.col(f"score_{other}")
+            cond = ge if cond is None else (cond & ge)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return scored.select(
+        "doc_id", *[f"score_{lang}" for lang in langs],
+        F.coalesce(expr, F.lit(langs[0])).alias("lang_pred"),
+    )
+
+
+def _lang_sql() -> str:
+    def cnt(pat):
+        return (
+            f"CAST(FLOOR((length(text) - length(replace(text, '{pat}', ''))) "
+            f"/ {len(pat)}) AS BIGINT)"
+        )
+
+    score_cols = ",\n       ".join(
+        " + ".join(cnt(p) for p in pats) + f" AS score_{lang}"
+        for lang, pats in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    whens = []
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">" if langs.index(other) < langs.index(lang) else ">="
+            conds.append(f"score_{lang} {op} score_{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH s AS (SELECT doc_id,
+       {score_cols}
+FROM documents)
+SELECT doc_id, {', '.join('score_' + la for la in langs)},
+       COALESCE(CASE {' '.join(whens)} END, '{langs[0]}') AS lang_pred
+FROM s
+"""
+
+
+SQL_LANG_ID = _lang_sql()
+
+PAIRS.update({
+    "embedding_near_dups": (q_embedding_near_dups, SQL_EMB_NEAR_DUPS),
+    "docs_lang_id": (q_docs_lang_id, SQL_LANG_ID),
+})

@@ -117,3 +117,30 @@ def test_centroids(emb):
     c = centroids(one).filter(F.col("label") == 999).first()
     v = emb.filter(F.col("vec_id") == 7).first().embedding
     assert np.allclose(np.array(c.centroid), np.array(v, dtype=float), atol=1e-6)
+
+
+def test_lsh_near_dup_pairs_vs_exact(spark, emb):
+    """Bucketed near-dup pairs: precision 1.0 by construction (every
+    pair exactly verified); planted near-identical vectors are always
+    recalled; recall vs the exact oracle measured on the organic
+    corpus."""
+    from cola_spark.operators.similarity import cosine_near_dup_pairs, lsh_near_dup_pairs
+
+    base = emb.filter(F.col("vec_id") < 400)
+    planted = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 1.0001).cast("float")).alias("embedding"),
+        "label",
+    )
+    corpus = base.unionByName(planted)
+    exact = {(r.vec_a, r.vec_b): r.sim_x1000 for r in cosine_near_dup_pairs(corpus).collect()}
+    approx = {(r.vec_a, r.vec_b): r.sim_x1000 for r in lsh_near_dup_pairs(corpus).collect()}
+    # precision 1.0: every approx pair is in the exact set, same sim
+    for pair, sim in approx.items():
+        assert exact.get(pair) == sim
+    # planted scaled copies (cos = 1.0) must all be found
+    for i in range(10):
+        assert (i, i + 20000) in approx, f"planted near-dup {i} missed"
+    # organic recall (dataset-dependent) still bounded below
+    if exact:
+        assert len(approx) / len(exact) >= 0.3
