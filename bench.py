@@ -71,7 +71,13 @@ def frontier_pipeline_once(spark, n_urls: int, n_hosts: int, n_images: int,
     admitted, _ = admit(frontier, spark.createDataFrame([], "url_hash long"))
     allowed = robots_gate(admitted, gen_robots(spark, n_hosts))
     budgets = gen_budgets(spark, n_hosts).withColumn("rate_per_round", F.lit(50))
-    scheduled = schedule_cut(allowed, budget_caps(init_budget_state(budgets)))
+    # web-scale host universe (400k at sf0.1, 10^7+ at the design point):
+    # the caps join is a parallel shuffle join, NOT a serial broadcast
+    # build per round (measured: 4.95s vs 7.94s at local[32]; stage
+    # scaling 0.65 vs 0.32)
+    scheduled = schedule_cut(
+        allowed, budget_caps(init_budget_state(budgets)), broadcast_caps=False
+    )
 
     # settle before stage A as well: the warm run's shuffle/broadcast
     # heap debris otherwise bleeds GC pauses into the JVM-stage timing

@@ -29,12 +29,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def schedule_cut(pending: DataFrame, caps: DataFrame, salt_buckets: int = 16) -> DataFrame:
+def schedule_cut(
+    pending: DataFrame, caps: DataFrame, salt_buckets: int = 16,
+    broadcast_caps: bool = True,
+) -> DataFrame:
     """Pick this round's crawl set: per host, the cap(host) first rows in
     (priority, seq) order. ``caps``: (host, cap). Returns scheduled rows
     with a ``host_rank`` column (1-based position in the host's queue).
+
+    broadcast_caps=True is right when the host universe is broadcast-
+    sized (a focused crawl); pass False for web-scale host sets (10^7+
+    hosts ≈ hundreds of MB — a serial broadcast build per round is the
+    wrong plan there; the shuffle join's exchange is parallel and the
+    phase-1 window re-shuffles by (host, salt) anyway).
     """
-    df = pending.join(F.broadcast(caps.filter(F.col("cap") > 0)), "host", "inner")
+    active = caps.filter(F.col("cap") > 0)
+    df = pending.join(F.broadcast(active) if broadcast_caps else active, "host", "inner")
     salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
     w1 = Window.partitionBy("host", "_salt").orderBy("priority", "seq")
     phase1 = (

@@ -86,6 +86,7 @@ class CrawlConfig:
     fetch_mode: str = "join"  # join (images-table linkage) | fused (opener-in-worker)
     adaptive: bool = False  # cola adaptive speed: rate backs off on errors
     global_cap: int | None = None  # cola speed.max: cluster-wide pages/round
+    broadcast_caps: bool = True  # False for web-scale (10^7+) host universes
     dedup_mode: str = "exact"  # exact | hybrid | cuckoo
     filter_parts: int = 32
     filter_capacity: int = 1 << 18
@@ -223,7 +224,10 @@ def run_crawl(
         # 2-3. robots gate + this round's cut + fetch, fused into one job
         pending_next = pending.unionByName(robots_gate(admitted, robots))
         scheduled = apply_global_cap(
-            schedule_cut(pending_next, budget_caps(bstate, cfg.adaptive), cfg.salt_buckets),
+            schedule_cut(
+                pending_next, budget_caps(bstate, cfg.adaptive),
+                cfg.salt_buckets, broadcast_caps=cfg.broadcast_caps,
+            ),
             cfg.global_cap,
         )
         if cfg.decode and cfg.fetch_mode == "fused":
