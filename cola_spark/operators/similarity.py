@@ -179,6 +179,94 @@ def lsh_near_dup_pairs(
     )
 
 
+def ivf_cells(
+    corpus: DataFrame, n_cells: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(cent_id, ce): the IVF coarse quantizer — n_cells deterministic
+    centroids chosen as the corpus vectors with the smallest
+    md5('ivf:'||id) key (hash-seeded selection ≡ one k-means init step;
+    fully reproducible in ANSI SQL, unlike an iterated k-means).
+    n_cells rows — broadcast-sized by construction at any corpus scale.
+    """
+    key = F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string")))
+    return (
+        corpus.select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("ce"), key.alias("_k")
+        )
+        .orderBy("_k")
+        .limit(n_cells)
+        .drop("_k")
+    )
+
+
+def _assign_cells(rows: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """Tag each (…, _v) row with its `nprobe` nearest centroid ids
+    (cosine, ties → lower cent_id). The centroid set rides along as ONE
+    broadcast row holding an array<struct<cent_id,ce>> — the nearest-cell
+    fold is pure array expressions per row: map-side, zero shuffle,
+    no per-id window."""
+    carr = cents.agg(F.collect_list(F.struct("cent_id", "ce")).alias("_cents"))
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            _cosine(F.col("_v"), c["ce"]).alias("s"), c["cent_id"].alias("cent_id")
+        ),
+    )
+    by_sim_desc = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["s"] > b["s"], F.lit(-1))
+        .when(a["s"] < b["s"], F.lit(1))
+        .otherwise(F.signum(a["cent_id"] - b["cent_id"]).cast("int")),
+    )
+    return (
+        rows.crossJoin(F.broadcast(carr))
+        .withColumn("_near", F.slice(by_sim_desc, 1, nprobe))
+        .drop("_cents")
+        .withColumn("cell", F.explode(F.transform(F.col("_near"), lambda x: x["cent_id"])))
+        .drop("_near")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 8,
+    nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank): IVF approximate top-k — the
+    data-adaptive counterpart of lsh_bucketed_topk. Corpus vectors are
+    assigned to their single nearest coarse centroid (the inverted
+    lists); each query probes its `nprobe` nearest cells, so the
+    candidate join touches ~nprobe/n_cells of the corpus instead of all
+    of it, as an equi-join on cell — never a cross join on the corpus.
+
+    Everything is deterministic (hash-seeded centroids, id tie-breaks)
+    so the whole pipeline is DuckDB-oracle-able (queries.q_ann_ivf_topk).
+    At scale: centroid table is n_cells rows (broadcast); assignment is
+    map-side; the probe join shuffles by cell — cells are data-adaptive,
+    so hot cells are bounded by centroid spread, and n_cells grows with
+    the corpus (sqrt(N) rule) keeping per-cell lists flat.
+    """
+    cents = ivf_cells(corpus, n_cells, id_col, vec_col)
+    inv = _assign_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")),
+        cents, nprobe=1,
+    ).withColumnRenamed("_v", "ce")
+    probes = _assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v")),
+        cents, nprobe=nprobe,
+    ).withColumnRenamed("_v", "qe")
+    sims = (
+        probes.join(inv, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def centroids(corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """(label, centroid array<double>, n): per-label mean embedding via
     posexplode → positional avg → re-assemble; pure built-ins."""

@@ -656,6 +656,53 @@ def q_ann_lsh_topk(spark, sf):
     )
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF approximate cosine top-5: hash-seeded coarse centroids →
+    map-side nearest-cell assignment (inverted lists) → queries probe
+    their 2 nearest of 8 cells → exact cosine + rank inside the probed
+    lists. Deterministic end-to-end, so unlike the seeded-hyperplane
+    LSH variant the FULL pipeline is DuckDB-oracled."""
+    from cola_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    return ivf_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, n_cells=8, nprobe=2
+    ).select("query_id", "neighbor_id", "rank")
+
+
+SQL_ANN_IVF = """
+WITH cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)) LIMIT 8),
+corpus_cells AS (
+  SELECT vec_id AS neighbor_id, ve, cent_id AS cell FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) DESC,
+                      c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rn = 1),
+query_cells AS (
+  SELECT vec_id AS query_id, qe, cent_id AS cell FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS qe, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) DESC,
+                      c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
+  WHERE rn <= 2),
+sims AS (
+  SELECT q.query_id, i.neighbor_id, list_cosine_similarity(q.qe, i.ve) AS sim
+  FROM query_cells q JOIN corpus_cells i
+    ON q.cell = i.cell AND i.neighbor_id <> q.query_id)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         AS rank
+FROM sims QUALIFY rank <= 5
+"""
+
+
 def q_embedding_centroids(spark, sf):
     """Per-label centroid via posexplode/positional-avg. The float
     centroid stays out of the hashed comparison (cross-engine float
@@ -678,6 +725,7 @@ PAIRS.update({
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
     "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
 })
 

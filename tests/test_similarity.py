@@ -104,6 +104,42 @@ def test_multiprobe_lifts_recall_on_noise(emb):
     assert r_multi >= max(0.4, r_single), f"multi {r_multi:.2f} vs single {r_single:.2f}"
 
 
+def test_ivf_finds_exact_duplicate_vectors(spark, emb):
+    """A duplicated vector quantizes to the same cell and ranks #1."""
+    from cola_spark.operators.similarity import ivf_topk
+
+    dup = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    got = ivf_topk(emb.filter(F.col("vec_id") < 3), corpus, k=3, n_cells=8, nprobe=2)
+    top1 = {r.query_id: r.neighbor_id for r in got.filter(F.col("rank") == 1).collect()}
+    for i in range(3):
+        assert top1[i] == i + 9000, f"dup of {i} not found as top-1: {top1}"
+
+
+def test_ivf_recall_and_probe_tradeoff(emb):
+    """IVF recall vs brute force: nprobe=n_cells degenerates to exact
+    (recall 1.0 — every list is probed); recall is monotone in nprobe;
+    a planted perturbed near-neighbor is recalled at nprobe=2."""
+    from cola_spark.operators.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(q, emb, k=3).collect()}
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(q, emb, k=3, n_cells=8, nprobe=nprobe).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r2, r4, r8 = recall(2), recall(4), recall(8)
+    assert r8 == 1.0, f"probing every cell must be exact, got {r8:.2f}"
+    assert r2 <= r4 <= r8
+    assert r2 >= 0.3, f"nprobe=2 recall {r2:.2f} suspiciously low"
+
+
 def test_centroids(emb):
     rows = centroids(emb).collect()
     labels = {r.label for r in rows}
