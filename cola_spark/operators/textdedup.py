@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -124,31 +124,35 @@ def lsh_candidate_pairs(
 def exact_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, common, na, nb): exact shingle-set overlap.
 
-    When ``pairs`` is given (the LSH verify stage), the shingle table is
-    first semi-joined down to candidate doc_ids, so the self-join's
-    input — and therefore its common-shingle blow-up — scales with
-    |candidate docs|, not the corpus. Without this pruning the verify
-    stage would do the very all-pairs join LSH exists to avoid (the
-    left-semi on (doc_a, doc_b) alone cannot be pushed inside a
-    two-sided self-join by Catalyst).
+    Without ``pairs``: the all-pairs shingle self-join (the oracle form
+    — O(corpus²-ish) on common shingles; never the scale path).
+
+    With ``pairs`` (the LSH/prefix verify stage): per-PAIR verification
+    — candidates pick up side-A shingles by doc_a, then probe side B
+    with a (doc_b, shingle) composite-key join. No shingle-only
+    self-join exists in the plan at all, so a hot shingle shared by
+    10^6 docs costs 10^6 rows (linear scan), not 10^12 join outputs;
+    total verify cost is O(Σ over candidate pairs of |A|), i.e. it
+    scales with the candidate set, never the corpus².
     """
-    if pairs is not None:
-        cand_ids = (
-            pairs.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-        )
-        sh = sh.join(cand_ids, "doc_id", "left_semi")
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    common = joined.groupBy("doc_a", "doc_b").agg(F.count("*").alias("common"))
-    if pairs is not None:
-        common = common.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    if pairs is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        common = joined.groupBy("doc_a", "doc_b").agg(F.count("*").alias("common"))
+    else:
+        a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        common = (
+            pairs.join(a_sh, "doc_a")
+            .join(b_sh, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("common"))
+        )
     return (
         common.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
         .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
@@ -170,6 +174,67 @@ def minhash_dedup_pairs(
     sh = shingles(docs)
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, num_perm, hash_kind), bands, num_perm, compress_bands
+    )
+    j = exact_jaccard(sh, cand)
+    return j.filter(
+        F.col("common") * jaccard_den
+        >= jaccard_num * (F.col("na") + F.col("nb") - F.col("common"))
+    ).select("doc_a", "doc_b", "common", "na", "nb")
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame, jaccard_num: int = 2, jaccard_den: int = 10, n: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, common, na, nb): EXACT Jaccard ≥ num/den pairs via
+    prefix filtering (PPJoin-style) — same result set as the all-pairs
+    ngram_jaccard oracle, but scale-correct.
+
+    Why exact: order each doc's shingles by ascending global frequency
+    (one canonical order for the whole corpus). For J ≥ t = num/den the
+    overlap must satisfy c·(den+num) ≥ num·(na+nb); with c ≤ nb that
+    forces c ≥ ceil(num·na/den) =: α_A. If a qualifying pair shared no
+    shingle among A's first na-α_A+1 (its *prefix*), all shared
+    shingles would sit in A's last α_A-1 — fewer than the required α_A.
+    So joining prefixes only (both sides) loses nothing; the survivors
+    are exactly verified by the candidate-pruned exact_jaccard.
+
+    Why scale-safe: the quadratic blow-up of the naive shingle self-join
+    lives in the highest-frequency shingles ("of the and" co-occurs in
+    everything). Rare-first ordering puts exactly those at the END of
+    each doc, outside the prefix — the join keys are the rarest
+    ceil((den-num)/den) fraction of each doc's shingles. The length
+    filter least(na,nb)·(den+num) ≥ num·(na+nb) (integer-exact) prunes
+    mismatched sizes before the pair ever materializes.
+    """
+    s = jaccard_num + jaccard_den
+    sh = shingles(docs, n)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("_freq"))
+    w = Window.partitionBy("doc_id").orderBy("_freq", "shingle")
+    pref = (
+        sh.join(freq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sz, "doc_id")
+        .withColumn(  # _alpha = ceil(num*n_sh/den), integer-exact
+            "_alpha",
+            F.expr(f"(n_sh * {jaccard_num} + {jaccard_den - 1}) div {jaccard_den}"),
+        )
+        .filter(F.col("_pos") <= F.col("n_sh") - F.col("_alpha") + 1)
+        .select("doc_id", "shingle", "n_sh")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh")) * s
+                >= jaccard_num * (F.col("a.n_sh") + F.col("b.n_sh"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
     j = exact_jaccard(sh, cand)
     return j.filter(

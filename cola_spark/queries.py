@@ -448,6 +448,17 @@ WHERE common * 10 >= 2 * (sa.n_sh + sb.n_sh - common)
 """
 
 
+def q_jaccard_prefix_pairs(spark, sf):
+    """EXACT Jaccard ≥ 0.2 pairs via prefix filtering (PPJoin-style):
+    identical result set to q_ngram_jaccard_pairs (same SQL oracle) but
+    the self-join keys are only each doc's rarest-20%+1 shingles in a
+    global rare-first order — the scale-correct form of the exact join,
+    whose blow-up otherwise lives in the most common shingles."""
+    from cola_spark.operators.textdedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(_t(spark, sf, "documents"))
+
+
 def _cosine(a, b):
     da = F.transform(a, lambda x: x.cast("double"))
     db = F.transform(b, lambda x: x.cast("double"))
@@ -540,6 +551,7 @@ PAIRS: dict[str, tuple[Callable, str | None]] = {
     "docs_classify": (q_docs_classify, SQL_CLASSIFY),
     "docs_fingerprint": (q_docs_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_JACCARD),
+    "jaccard_prefix_pairs": (q_jaccard_prefix_pairs, SQL_JACCARD),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
 }

@@ -158,13 +158,40 @@ def test_multiband_pigeonhole_guarantee(spark):
             assert (a, b) in got, f"pair {i} within hamming<=3 missed"
 
 
+def test_prefix_jaccard_equals_allpairs(docs):
+    """Prefix filtering is EXACT: the PPJoin-style path must return the
+    identical pair set (with identical counts) as the all-pairs oracle,
+    at the default threshold and at a stricter one."""
+    from cola_spark.operators.textdedup import prefix_jaccard_pairs
+
+    sh = shingles(docs)
+    for num, den in [(2, 10), (5, 10)]:
+        exact = {
+            (r.doc_a, r.doc_b): (r.common, r.na, r.nb)
+            for r in exact_jaccard(sh)
+            .filter(F.col("common") * den >= num * (F.col("na") + F.col("nb") - F.col("common")))
+            .collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b): (r.common, r.na, r.nb)
+            for r in prefix_jaccard_pairs(docs, num, den).collect()
+        }
+        assert pref == exact, f"t={num}/{den}: prefix {len(pref)} vs exact {len(exact)}"
+
+
 def test_verify_stage_is_candidate_pruned(docs):
-    """The exact-Jaccard verify self-join must be restricted to LSH
-    candidate doc_ids (plan contains the LeftSemi pruning below the
-    shingle self-join) — otherwise verify is the O(corpus²) join LSH
-    exists to avoid."""
+    """The exact-Jaccard verify must never contain a shingle-only
+    self-join — otherwise verify is the O(corpus²) join LSH exists to
+    avoid. The per-pair verify's only shingle-equality join must be
+    composite-keyed with the candidate doc id (doc_b, shingle), whose
+    output is linear in the candidate pairs' shingle lists."""
     sh = shingles(docs)
     sigs = minhash_signatures(sh, 16)
     cand = lsh_candidate_pairs(sigs, 4, 16)
     plan = exact_jaccard(sh, cand)._jdf.queryExecution().optimizedPlan().toString()
-    assert "LeftSemi" in plan
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join Inner" in ln and "shingle" in ln
+    ]
+    assert join_lines, "expected a shingle-keyed verify join in the plan"
+    for ln in join_lines:
+        assert "doc_b" in ln, f"shingle-only self-join in verify plan: {ln}"
