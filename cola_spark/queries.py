@@ -448,6 +448,44 @@ WHERE common * 10 >= 2 * (sa.n_sh + sb.n_sh - common)
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Dedup keep-set: connected components over the exact Jaccard ≥ 0.2
+    near-dup pairs; cluster_id = minimum reachable doc_id; keep=true
+    for the representative. Spark side is iterative min-label
+    propagation (operators/clusters.py); the oracle closes the graph
+    with a recursive CTE — same fixpoint, different mechanics."""
+    from cola_spark.operators.clusters import dedup_keep_set
+
+    return dedup_keep_set(q_ngram_jaccard_pairs(spark, sf))
+
+
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+       FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+       WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+cp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+jp AS (SELECT doc_a, doc_b FROM cp
+       JOIN sz sa ON sa.doc_id = doc_a
+       JOIN sz sb ON sb.doc_id = doc_b
+       WHERE common * 10 >= 2 * (sa.n_sh + sb.n_sh - common)),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id,
+       LEAST(MIN(dst), src) AS cluster_id,
+       LEAST(MIN(dst), src) = src AS keep
+FROM reach GROUP BY src
+"""
+
+
 def q_jaccard_prefix_pairs(spark, sf):
     """EXACT Jaccard ≥ 0.2 pairs via prefix filtering (PPJoin-style):
     identical result set to q_ngram_jaccard_pairs (same SQL oracle) but
@@ -552,6 +590,7 @@ PAIRS: dict[str, tuple[Callable, str | None]] = {
     "docs_fingerprint": (q_docs_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_JACCARD),
     "jaccard_prefix_pairs": (q_jaccard_prefix_pairs, SQL_JACCARD),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
 }
