@@ -448,6 +448,54 @@ WHERE common * 10 >= 2 * (sa.n_sh + sb.n_sh - common)
 """
 
 
+def q_docs_repetition(spark, sf):
+    """Within-doc repetition scoring (Gopher-style quality signal):
+    per-mille of NON-distinct word 3-grams and the top gram's share —
+    high values flag boilerplate/spam for training-data filtering.
+    Integer-exact arithmetic ((1000*x) div total) so the cut is
+    engine-stable; docs under 3 words are excluded like the shingle
+    ops."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    grams = d.filter(F.size(words) >= 3).select(
+        "doc_id", F.explode(gram).alias("gram")
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_distinct",
+            F.expr("(1000 * (n_grams - n_distinct)) div n_grams").alias("dup_permille"),
+            F.expr("(1000 * top_c) div n_grams").alias("top_gram_permille"),
+        )
+    )
+
+
+SQL_REPETITION = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+      FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+      WHERE len(ws) >= 3),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct,
+       (1000 * (SUM(c) - COUNT(*))) // SUM(c) AS dup_permille,
+       (1000 * MAX(c)) // SUM(c) AS top_gram_permille
+FROM pg GROUP BY doc_id
+"""
+
+
 def q_dedup_clusters(spark, sf):
     """Dedup keep-set: connected components over the exact Jaccard ≥ 0.2
     near-dup pairs; cluster_id = minimum reachable doc_id; keep=true
@@ -591,6 +639,7 @@ PAIRS: dict[str, tuple[Callable, str | None]] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_JACCARD),
     "jaccard_prefix_pairs": (q_jaccard_prefix_pairs, SQL_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "docs_repetition": (q_docs_repetition, SQL_REPETITION),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
 }
