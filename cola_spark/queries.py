@@ -534,6 +534,78 @@ FROM reach GROUP BY src
 """
 
 
+def q_corpus_clean(spark, sf):
+    """Flagship training-data composition: the cleaned corpus a user
+    would actually train on. documents → drop near-dup cluster members
+    (keep the minimum-id representative per connected component) →
+    quality gate (≥20 tokens with stopword evidence) → repetition gate
+    (≤300‰ duplicate 3-grams) → per-language doc and token counts.
+    Every stage is individually oracled (dedup_clusters, docs_quality,
+    docs_repetition); this composes them end-to-end in both engines."""
+    from cola_spark.operators.clusters import dedup_keep_set
+
+    d = _t(spark, sf, "documents")
+    drops = dedup_keep_set(q_ngram_jaccard_pairs(spark, sf)).filter(~F.col("keep"))
+    quality = q_docs_quality(spark, sf).filter(F.col("is_quality")).select(
+        "doc_id", "n_tokens"
+    )
+    low_rep = q_docs_repetition(spark, sf).filter(
+        F.col("dup_permille") <= 300
+    ).select("doc_id")
+    return (
+        d.join(drops.select("doc_id"), "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .join(low_rep, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+SQL_CORPUS_CLEAN = r"""
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+       FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+       WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+cp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+jp AS (SELECT doc_a, doc_b FROM cp
+       JOIN sz sa ON sa.doc_id = doc_a
+       JOIN sz sb ON sb.doc_id = doc_b
+       WHERE common * 10 >= 2 * (sa.n_sh + sb.n_sh - common)),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+drops AS (SELECT src AS doc_id FROM reach GROUP BY src
+          HAVING LEAST(MIN(dst), src) <> src),
+g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+      FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+      WHERE len(ws) >= 3),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+rep AS (SELECT doc_id FROM pg GROUP BY doc_id
+        HAVING (1000 * (SUM(c) - COUNT(*))) // SUM(c) <= 300),
+q AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+        AND (length(text) - length(replace(text, 'the', ''))) / 3 > 0)
+SELECT d.lang, COUNT(*) AS n_docs, SUM(q.n_tokens) AS total_tokens
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+GROUP BY d.lang
+"""
+
+
 def q_jaccard_prefix_pairs(spark, sf):
     """EXACT Jaccard ≥ 0.2 pairs via prefix filtering (PPJoin-style):
     identical result set to q_ngram_jaccard_pairs (same SQL oracle) but
@@ -640,6 +712,7 @@ PAIRS: dict[str, tuple[Callable, str | None]] = {
     "jaccard_prefix_pairs": (q_jaccard_prefix_pairs, SQL_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "docs_repetition": (q_docs_repetition, SQL_REPETITION),
+    "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
 }
