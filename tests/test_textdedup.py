@@ -179,6 +179,66 @@ def test_prefix_jaccard_equals_allpairs(docs):
         assert pref == exact, f"t={num}/{den}: prefix {len(pref)} vs exact {len(exact)}"
 
 
+def test_prefix_join_prunes_common_shingle_blowup(spark):
+    """The quantified scale claim: on a corpus where every doc shares a
+    boilerplate sentence (the 'of the and' problem), the all-pairs
+    join's output is quadratic in corpus size, while the prefix join's
+    input excludes the universal shingles — its candidate volume must
+    be a small fraction — AND the final result set stays identical."""
+    from cola_spark.operators.textdedup import prefix_jaccard_pairs
+
+    boiler = "all rights reserved contact us terms of service apply here"
+    # 10 boiler words (8 shared 3-grams) + 40 unique words per doc:
+    # n = 48 grams, alpha = ceil(0.2*48) = 10, so the 9 highest-frequency
+    # grams per doc — all 8 boiler grams among them — sit OUTSIDE the
+    # prefix; and J = 8/88 < 0.2, so boilerplate alone pairs nothing.
+    rows = [
+        (i, boiler + " " + " ".join(f"u{i}w{j}" for j in range(40)))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(docs)
+
+    def join_volume(t):
+        # Σ over join-key shingles of C(c,2) — the rows the self-join emits
+        return (
+            t.groupBy("shingle").agg(F.count("*").alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2))
+            .first()[0]
+        )
+
+    all_pairs_vol = join_volume(sh)
+    # reproduce the prefix table exactly as prefix_jaccard_pairs builds it
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("_freq"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("_freq", "shingle")
+    pref = (
+        sh.join(freq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sz, "doc_id")
+        .withColumn("_alpha", F.expr("(n_sh * 2 + 9) div 10"))
+        .filter(F.col("_pos") <= F.col("n_sh") - F.col("_alpha") + 1)
+        .select("doc_id", "shingle")
+    )
+    prefix_vol = join_volume(pref)
+    # 300 docs sharing 8 boilerplate shingles -> all-pairs emits ≥ 8·C(300,2)
+    assert all_pairs_vol >= 8 * 300 * 299 / 2
+    assert prefix_vol <= all_pairs_vol * 0.05, (
+        f"prefix join volume {prefix_vol} not ≪ all-pairs {all_pairs_vol}"
+    )
+    # and the result is still EXACT (empty: boilerplate alone keeps J =
+    # 8/88 < 0.2 — common shingles must not pair docs)
+    exact = exact_jaccard(sh).filter(
+        F.col("common") * 10 >= 2 * (F.col("na") + F.col("nb") - F.col("common"))
+    )
+    got = prefix_jaccard_pairs(docs)
+    assert sorted((r.doc_a, r.doc_b) for r in got.collect()) == sorted(
+        (r.doc_a, r.doc_b) for r in exact.collect()
+    )
+
+
 def test_verify_stage_is_candidate_pruned(docs):
     """The exact-Jaccard verify must never contain a shingle-only
     self-join — otherwise verify is the O(corpus²) join LSH exists to
