@@ -26,6 +26,30 @@ def _run(master, wd):
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def test_driver_queries_invariant_to_shuffle_partitions(spark):
+    """The round-2 training-pipeline queries must return identical rows
+    at different shuffle-partition counts (partitioning is the main
+    nondeterminism surface inside one JVM: hash vs range boundaries,
+    agg/window task layout, iterative-join ordering)."""
+    from cola_spark.queries import PAIRS
+
+    sf = "/root/testdata/sf0.001"
+    names = ["dedup_clusters", "corpus_clean", "jaccard_prefix_pairs", "ann_ivf_topk"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            results[parts] = {
+                n: sorted(map(tuple, PAIRS[n][0](spark, sf).collect())) for n in names
+            }
+        for n in names:
+            assert results["7"][n] == results["32"][n], f"{n} varies with partitions"
+            assert results["7"][n], f"{n} returned no rows at sf0.001"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_identical_crawl_at_two_parallelism_levels(tmp_path):
     r2 = _run("local[2]", str(tmp_path / "p2"))
     r16 = _run("local[16]", str(tmp_path / "p16"))
