@@ -920,6 +920,22 @@ def q_phash_near_dups(spark, sf):
     return phash_near_dup_pairs(image_features(gen_images(spark, 64)), max_hamming=16)
 
 
+def q_image_dedup_clusters(spark, sf):
+    """Image dedup keep-set: pHash near-dup pairs → connected
+    components → one representative per visual cluster (the image-side
+    mirror of dedup_clusters; rows-only — pHash depends on the
+    in-engine synthetic image codec, asserted against the in-repo exact
+    oracle in test_multimodal/test_clusters)."""
+    from cola_spark.operators.clusters import dedup_keep_set
+    from cola_spark.operators.multimodal import image_features, phash_near_dup_pairs
+    from cola_spark.sources import gen_images
+
+    pairs = phash_near_dup_pairs(image_features(gen_images(spark, 64)), max_hamming=16)
+    return dedup_keep_set(pairs, a_col="img_a", b_col="img_b").withColumnRenamed(
+        "doc_id", "image_id"
+    )
+
+
 def q_frame_sample(spark, sf):
     """VIDF frame sampling: 1 video row in → N frame rows out (UDTF
     shape); per-frame metadata only (deterministic)."""
@@ -947,6 +963,7 @@ def q_frame_sample(spark, sf):
 PAIRS.update({
     "image_features": (q_image_features, None),
     "phash_near_dups": (q_phash_near_dups, None),
+    "image_dedup_clusters": (q_image_dedup_clusters, None),
     "frame_sample": (q_frame_sample, None),
 })
 

@@ -44,6 +44,33 @@ def test_keep_set_semantics(spark):
     assert sorted(keepers) == [5, 30]
 
 
+def test_image_dedup_clusters_query(spark):
+    """The image-side keep-set: every pHash near-dup pair must land in
+    one cluster, representatives are cluster minima, and exactly one
+    keeper exists per cluster."""
+    from cola_spark.operators.multimodal import image_features, phash_near_dup_pairs
+    from cola_spark.queries import PAIRS
+    from cola_spark.sources import gen_images
+
+    rows = PAIRS["image_dedup_clusters"][0](spark, "/root/testdata/sf0.001").collect()
+    cluster = {r.image_id: r.cluster_id for r in rows}
+    for r in rows:
+        assert r.cluster_id <= r.image_id
+        assert r.keep == (r.image_id == r.cluster_id)
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert sum(m.keep for m in members) == 1
+        assert min(m.image_id for m in members) == cid
+    pairs = phash_near_dup_pairs(
+        image_features(gen_images(spark, 64)), max_hamming=16
+    ).collect()
+    assert pairs, "fixture should produce near-dup image pairs"
+    for p in pairs:
+        assert cluster[p.img_a] == cluster[p.img_b]
+
+
 def test_empty_pairs(spark):
     df = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(df).count() == 0
