@@ -35,6 +35,20 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_PERSISTED: list = []  # shingle tables reused across pipeline branches
+
+
+def release_persisted() -> None:
+    """Unpersist shingle caches (loop drivers call this per iteration)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
 
 def hash_family(kind: str = "xxhash64"):
     """Seeded 64-bit hash family as a column-expression factory.
@@ -171,7 +185,7 @@ def minhash_dedup_pairs(
     nb) matches q_ngram_jaccard_pairs' shape so the two are directly
     comparable.
     """
-    sh = shingles(docs)
+    sh = _persist(shingles(docs))  # reused: signatures + verify + sizes
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, num_perm, hash_kind), bands, num_perm, compress_bands
     )
@@ -207,7 +221,9 @@ def prefix_jaccard_pairs(
     mismatched sizes before the pair ever materializes.
     """
     s = jaccard_num + jaccard_den
-    sh = shingles(docs, n)
+    # the shingle explode feeds four branches (freq, sizes, prefix rows,
+    # per-pair verify) — persist once instead of recomputing the explode
+    sh = _persist(shingles(docs, n))
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("_freq"))
     w = Window.partitionBy("doc_id").orderBy("_freq", "shingle")
