@@ -413,7 +413,10 @@ def _shingles(doc):
 
 def q_ngram_jaccard_pairs(spark, sf):
     """Near-dup detection: exact word-3-gram Jaccard ≥ 0.2 pairs."""
-    sh = _shingles(_t(spark, sf, "documents"))
+    from cola_spark.operators.textdedup import _persist
+
+    # the shingle explode feeds the self-join (twice) + the size agg
+    sh = _persist(_shingles(_t(spark, sf, "documents")))
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
