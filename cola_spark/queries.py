@@ -492,9 +492,9 @@ g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
       FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
       WHERE len(ws) >= 3),
 pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
-SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct,
-       (1000 * (SUM(c) - COUNT(*))) // SUM(c) AS dup_permille,
-       (1000 * MAX(c)) // SUM(c) AS top_gram_permille
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*) AS n_distinct,
+       CAST((1000 * (SUM(c) - COUNT(*))) // SUM(c) AS BIGINT) AS dup_permille,
+       CAST((1000 * MAX(c)) // SUM(c) AS BIGINT) AS top_gram_permille
 FROM pg GROUP BY doc_id
 """
 
@@ -600,7 +600,7 @@ q AS (SELECT doc_id,
       FROM documents
       WHERE len(string_split_regex(trim(text), '\s+')) >= 20
         AND (length(text) - length(replace(text, 'the', ''))) / 3 > 0)
-SELECT d.lang, COUNT(*) AS n_docs, SUM(q.n_tokens) AS total_tokens
+SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens
 FROM documents d
 JOIN q ON q.doc_id = d.doc_id
 JOIN rep ON rep.doc_id = d.doc_id

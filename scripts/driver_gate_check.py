@@ -20,12 +20,16 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 
 def norm(pdf):
+    """DTYPE-STRICT: the driver's value hash is dtype-sensitive (a
+    DuckDB HUGEINT vs Spark BIGINT mismatch fails it even when values
+    are equal — the round-2 docs_repetition/corpus_clean failure mode),
+    so this gate must never coerce numerics. Only the object/datetime
+    → str normalization survives (the driver compares those as values,
+    not dtypes)."""
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
         if pdf[c].dtype == object or str(pdf[c].dtype).startswith("datetime"):
             pdf[c] = pdf[c].astype(str)
-        elif str(pdf[c].dtype).startswith(("int", "uint", "Int")):
-            pdf[c] = pdf[c].astype("int64")
     return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
 
 
@@ -62,9 +66,13 @@ def main() -> int:
             continue
         a, b = norm(got.toPandas()), norm(con.execute(o[name]).df())
         ok = list(a.columns) == list(b.columns) and len(a) == len(b)
+        if ok and [str(t) for t in a.dtypes] != [str(t) for t in b.dtypes]:
+            print(f"  dtype mismatch: spark={list(map(str, a.dtypes))}"
+                  f" oracle={list(map(str, b.dtypes))}")
+            ok = False
         if ok:
             try:
-                pd.testing.assert_frame_equal(a, b, check_dtype=False)
+                pd.testing.assert_frame_equal(a, b, check_dtype=True)
             except AssertionError:
                 ok = False
         print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(a)} rows)")
