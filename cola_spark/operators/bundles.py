@@ -44,9 +44,15 @@ def paged_bundle_generator(max_pages: int = 3):
 
     Given one bundle's member rows, re-emits them and appends pages
     1..min(n_members, max_pages) at the bundle's best priority with
-    seq = min_seq * 10 + page — injective, larger than any member seq,
-    so FIFO by discovery holds. Pure function of the member set:
-    deterministic across partitionings.
+    seq = gmax + min_seq * max_pages + page, where gmax is the global
+    max seq of the whole frontier (threaded in by expand_bundles as the
+    `_gmax` column). GLOBALLY injective: member seqs are globally
+    unique, so bundle min_seqs are distinct and the per-bundle blocks
+    [gmax + min*K + 1, gmax + min*K + K] never overlap — and every
+    generated seq exceeds gmax ≥ every member seq, so FIFO by
+    discovery holds and scheduler anti-joins on seq stay sound. Pure
+    function of (member set, gmax): deterministic across
+    partitionings.
     """
 
     def gen(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -57,8 +63,10 @@ def paged_bundle_generator(max_pages: int = 3):
         out = pdf[["bundle_label", "host", "url", "priority", "seq", "force"]].copy()
         out["generated"] = False
         bs, bp = int(pdf["seq"].min()), int(pdf["priority"].min())
+        gmax = int(pdf["_gmax"].iloc[0]) if "_gmax" in pdf.columns else 0
         pages = [
-            (label, host, f"http://{host}/b/{label}/page/{p}", bp, bs * 10 + p, False, True)
+            (label, host, f"http://{host}/b/{label}/page/{p}", bp,
+             gmax + bs * max_pages + p, False, True)
             for p in range(1, min(len(pdf), max_pages) + 1)
         ]
         gen_rows = pd.DataFrame(
@@ -77,10 +85,17 @@ def expand_bundles(frontier: DataFrame, generator=None, out_schema: str = EXPAND
     the generator sees every member row and may append follow-ups.
     Downstream the expanded rows flow through the normal admission
     (dedup keeps the member set growing monotonically across rounds).
+
+    The frontier's global max seq rides along as a `_gmax` column (one
+    broadcast scalar row, no driver action) so generators can mint new
+    seqs in a namespace disjoint from every existing member seq.
     """
     gen = generator or paged_bundle_generator()
-    return frontier.groupBy("bundle_label").applyInPandas(
-        lambda pdf: gen(pdf), out_schema
+    gmax = frontier.agg(F.coalesce(F.max("seq"), F.lit(0)).alias("_gmax"))
+    return (
+        frontier.crossJoin(F.broadcast(gmax))
+        .groupBy("bundle_label")
+        .applyInPandas(lambda pdf: gen(pdf), out_schema)
     )
 
 

@@ -1216,16 +1216,17 @@ WITH fr AS (
          printf('http://c%03d/p/%d', o_custkey % 100, o_orderkey) AS url
   FROM orders),
 b AS (SELECT bundle_label, host, MIN(priority) AS bp, MIN(seq) AS bs, COUNT(*) AS n
-      FROM fr GROUP BY 1, 2)
+      FROM fr GROUP BY 1, 2),
+g AS (SELECT MAX(seq) AS gmax FROM fr)
 SELECT bundle_label, url, CAST(priority AS BIGINT) AS priority, seq, FALSE AS generated
 FROM fr
 UNION ALL
 SELECT bundle_label,
        printf('http://%s/b/%s/page/%d', host, bundle_label, p) AS url,
        CAST(bp AS BIGINT) AS priority,
-       bs * 10 + p AS seq,
+       g.gmax + bs * 3 + p AS seq,
        TRUE AS generated
-FROM b, UNNEST(generate_series(1, LEAST(n, 3))) AS t(p)
+FROM b, g, UNNEST(generate_series(1, LEAST(n, 3))) AS t(p)
 """
 
 

@@ -153,3 +153,28 @@ def test_bundle_generator_grows_member_set_across_rounds(spark):
     assert "http://h1/b/userA/page/3" in urls2  # grew
     # deterministic across evaluations
     assert urls2 == {r.url for r in expand_bundles(r1.drop("generated")).collect()}
+
+
+def test_bundle_generated_seqs_globally_unique(spark):
+    """Generated seqs must be unique across the WHOLE frontier, not just
+    within one bundle: under the old min_seq*10+page scheme a bundle
+    with min seq 5 minted 51, colliding with another bundle's member
+    seq 51 and corrupting the scheduler's seq anti-joins. The gmax-based
+    namespace keeps every generated seq above every member seq."""
+    from cola_spark.operators.bundles import expand_bundles
+
+    fr = spark.createDataFrame(
+        [("h1", "A", 1, 5, "http://h1/p/5", False),
+         ("h2", "B", 1, 51, "http://h2/p/51", False),
+         ("h2", "B", 1, 52, "http://h2/p/52", False)],
+        "host string, bundle_label string, priority int, seq long, url string, force boolean",
+    )
+    rows = expand_bundles(fr).collect()
+    seqs = [r.seq for r in rows]
+    assert len(seqs) == len(set(seqs)), f"seq collision: {sorted(seqs)}"
+    member_max = 52
+    assert all(r.seq > member_max for r in rows if r.generated)
+    # FIFO-by-discovery: every generated seq sorts after every member seq
+    assert min(r.seq for r in rows if r.generated) > max(
+        r.seq for r in rows if not r.generated
+    )
