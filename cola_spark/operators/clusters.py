@@ -24,6 +24,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_local_checkpoint(df: DataFrame | None) -> None:
+    """Eagerly free a localCheckpoint'ed DataFrame's storage blocks.
+
+    localCheckpoint data is ContextCleaner-managed (freed when the RDD
+    is GC'd), but an iterative loop that checkpoints every round should
+    not wait for a JVM GC cycle to drop O(iters·|V|) of superseded label
+    copies. The analyzed plan of a checkpointed frame is a LogicalRDD;
+    unpersisting its RDD is the eager release. Best-effort (private
+    accessor) — on failure the cleaner reclaims it later anyway."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
     max_iter: int = 50,
@@ -77,6 +94,9 @@ def connected_components(
                 .filter(F.col("cluster_id") != F.col("old"))
                 .count()
             )
+            # `changed` was the last reader of the previous round's
+            # checkpoint — free its blocks now, not at JVM GC time
+            _release_local_checkpoint(labels)
             labels = new_labels
             if changed == 0:
                 break
@@ -85,15 +105,113 @@ def connected_components(
         edges.unpersist()
 
 
+def connected_components_star(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components via alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — O(log n) rounds on ANY graph shape,
+    including the adversarial long chains where min-label propagation
+    (connected_components) needs O(diameter) shuffles. Same contract:
+    cluster_id = minimum member id; only nodes appearing in ``pairs``
+    are returned. Ordering is the column type's natural order (longs
+    numeric, strings lexicographic — same as connected_components).
+
+      large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+      small-star(u) over edges oriented big→small: m = min(N(u) ∪ {u});
+                    emit (v, m) for v ∈ N(u) \\ {m}, plus (u, m)
+
+    Each phase is a groupBy-min + re-join + dedup, all key-partitioned
+    shuffles; every emitted edge points toward a smaller node, and at
+    the fixpoint the edge set is a union of stars rooted at each
+    component's minimum. Convergence is detected with an order-
+    independent edge-set fingerprint (count + XOR of pair hashes), a
+    scalar driver action per round like min-label's changed-count.
+    """
+    nodes = (
+        pairs.select(F.col(a_col).alias("doc_id"))
+        .unionByName(pairs.select(F.col(b_col).alias("doc_id")))
+        .distinct()
+    )
+    # start oriented big→small; self-pairs carry no connectivity
+    edges = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_fp = None
+    for _ in range(max_iter):
+        # ---- large-star: group over the SYMMETRIC neighborhood
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.min("v").alias("m")).select(
+            "u", F.least(F.col("m"), F.col("u")).alias("m")
+        )
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )  # every edge already big→small (v > u >= m)
+        # ---- small-star on the oriented edges
+        mn = large.groupBy("u").agg(F.min("v").alias("m"))
+        j = large.join(mn, "u")
+        small = (
+            j.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mn.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_edges = small.localCheckpoint()
+        # order-independent set fingerprint: count + XOR of pair hashes
+        # (edges are distinct, so XOR cannot cancel duplicates; never
+        # overflows under ANSI mode, unlike SUM)
+        fp_row = new_edges.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        fp = (fp_row.n if fp_row.n else 0, fp_row.h)
+        _release_local_checkpoint(edges)
+        edges = new_edges
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    roots = edges.groupBy("u").agg(F.min("v").alias("_root"))
+    return nodes.join(
+        roots, nodes.doc_id == roots.u, "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id")
+    )
+
+
 def dedup_keep_set(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """(doc_id, cluster_id, keep): cluster assignment plus the keep
     flag — keep=true iff the doc is its cluster's representative (the
     minimum id). Every non-kept row is a drop candidate; downstream
     `docs.join(keep_set.filter(~keep), 'doc_id', 'left_anti')` removes
-    the near-duplicates while retaining one exemplar per cluster."""
-    cc = connected_components(pairs, a_col, b_col)
+    the near-duplicates while retaining one exemplar per cluster.
+
+    algorithm: "minlabel" (default — O(diameter) rounds; ideal for the
+    clique-shaped graphs near-dup pair lists produce) or "star"
+    (large-star/small-star — O(log n) rounds on any shape; pick it when
+    chains/long paths are possible, e.g. transitive fuzzy matches)."""
+    if algorithm == "minlabel":
+        cc = connected_components(pairs, a_col, b_col)
+    elif algorithm == "star":
+        cc = connected_components_star(pairs, a_col, b_col)
+    else:
+        raise ValueError(f"algorithm must be minlabel|star, got {algorithm!r}")
     return cc.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
     )

@@ -42,13 +42,23 @@ def release_persisted() -> None:
 
 
 def global_rank(
-    df: DataFrame, keys: list[str], out_col: str = "global_rank", parts: int | None = None
+    df: DataFrame, keys: list[str], out_col: str = "global_rank",
+    parts: int | None = None, eager_release: bool = False,
 ) -> DataFrame:
     """Add an exact 1-based global rank over the total order ``keys``.
 
     Equivalent to row_number() over (ORDER BY keys) — keys must be a
     total order (no ties), which (…, seq) guarantees — but scales: no
     stage moves more than 1/P of the rows through one task.
+
+    eager_release=False (default): the ranged intermediate stays pinned
+    in _PERSISTED and the caller releases it via release_persisted()
+    once the (lazy) result is materialized — the loop-driver protocol
+    (scheduler releases per round). eager_release=True: materialize the
+    result now (localCheckpoint — its blocks are ContextCleaner-managed,
+    freed when the result is GC'd) and unpersist the ranged frame before
+    returning, so repeated one-shot invocations (driver gate, bench
+    loops) never accumulate pinned cache entries.
     """
     spark = df.sparkSession
     parts = parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -57,16 +67,21 @@ def global_rank(
         "_pid", F.spark_partition_id()
     )
     ranged = ranged.persist()
-    _PERSISTED.append(ranged)
+    if not eager_release:
+        _PERSISTED.append(ranged)
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
     )
     w_local = Window.partitionBy("_pid").orderBy(*key_cols)
-    return (
+    out = (
         ranged.withColumn("_lr", F.row_number().over(w_local))
         .join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
         .drop("_pid", "_lr", "_off")
     )
+    if eager_release:
+        out = out.localCheckpoint(eager=True)
+        ranged.unpersist()
+    return out

@@ -50,6 +50,23 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _finalize(result: DataFrame, handles: list, eager: bool) -> DataFrame:
+    """Close a pipeline over persisted intermediates. eager=False: pin
+    the handles in _PERSISTED for the caller's release_persisted() (the
+    loop-driver protocol). eager=True: materialize the (small) pair
+    result via localCheckpoint — blocks are ContextCleaner-managed, so
+    they free when the result is GC'd — and unpersist the shingle
+    caches immediately, so repeated one-shot invocations (driver gate,
+    bench loops) never accumulate pinned cache entries."""
+    if not eager:
+        _PERSISTED.extend(handles)
+        return result
+    out = result.localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    return out
+
+
 def hash_family(kind: str = "xxhash64"):
     """Seeded 64-bit hash family as a column-expression factory.
 
@@ -176,7 +193,7 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
 def minhash_dedup_pairs(
     docs: DataFrame, num_perm: int = 16, bands: int = 4,
     jaccard_num: int = 2, jaccard_den: int = 10, hash_kind: str = "xxhash64",
-    compress_bands: bool = True,
+    compress_bands: bool = True, eager_release: bool = False,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard ≥ num/den.
 
@@ -185,19 +202,21 @@ def minhash_dedup_pairs(
     nb) matches q_ngram_jaccard_pairs' shape so the two are directly
     comparable.
     """
-    sh = _persist(shingles(docs))  # reused: signatures + verify + sizes
+    sh = shingles(docs).persist()  # reused: signatures + verify + sizes
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, num_perm, hash_kind), bands, num_perm, compress_bands
     )
     j = exact_jaccard(sh, cand)
-    return j.filter(
+    out = j.filter(
         F.col("common") * jaccard_den
         >= jaccard_num * (F.col("na") + F.col("nb") - F.col("common"))
     ).select("doc_a", "doc_b", "common", "na", "nb")
+    return _finalize(out, [sh], eager_release)
 
 
 def prefix_jaccard_pairs(
     docs: DataFrame, jaccard_num: int = 2, jaccard_den: int = 10, n: int = 3,
+    eager_release: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, common, na, nb): EXACT Jaccard ≥ num/den pairs via
     prefix filtering (PPJoin-style) — same result set as the all-pairs
@@ -223,7 +242,7 @@ def prefix_jaccard_pairs(
     s = jaccard_num + jaccard_den
     # the shingle explode feeds four branches (freq, sizes, prefix rows,
     # per-pair verify) — persist once instead of recomputing the explode
-    sh = _persist(shingles(docs, n))
+    sh = shingles(docs, n).persist()
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("_freq"))
     w = Window.partitionBy("doc_id").orderBy("_freq", "shingle")
@@ -253,10 +272,11 @@ def prefix_jaccard_pairs(
         .distinct()
     )
     j = exact_jaccard(sh, cand)
-    return j.filter(
+    out = j.filter(
         F.col("common") * jaccard_den
         >= jaccard_num * (F.col("na") + F.col("nb") - F.col("common"))
     ).select("doc_a", "doc_b", "common", "na", "nb")
+    return _finalize(out, [sh], eager_release)
 
 
 # --------------------------------------------------------------- SimHash

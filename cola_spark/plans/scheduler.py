@@ -338,7 +338,9 @@ def crawl_log(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
             schema += ", fmt string, psnr double, invariant_ok boolean"
         return spark.createDataFrame([], schema + ", global_rank long")
     log = spark.read.option("basePath", _p(cfg, "log")).parquet(_p(cfg, "log", "round=*"))
-    return global_rank(log, ["round", "priority", "host", "seq"])
+    # eager_release: crawl_log is a one-shot artifact call (end of
+    # run_crawl, gate, bench) — don't leave the ranged frame pinned
+    return global_rank(log, ["round", "priority", "host", "seq"], eager_release=True)
 
 
 def final_state(spark: SparkSession, cfg: CrawlConfig):

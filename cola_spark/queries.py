@@ -413,10 +413,11 @@ def _shingles(doc):
 
 def q_ngram_jaccard_pairs(spark, sf):
     """Near-dup detection: exact word-3-gram Jaccard ≥ 0.2 pairs."""
-    from cola_spark.operators.textdedup import _persist
+    from cola_spark.operators.textdedup import _finalize
 
-    # the shingle explode feeds the self-join (twice) + the size agg
-    sh = _persist(_shingles(_t(spark, sf, "documents")))
+    # the shingle explode feeds the self-join (twice) + the size agg;
+    # eager _finalize below frees it once the pair list materializes
+    sh = _shingles(_t(spark, sf, "documents")).persist()
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -427,11 +428,12 @@ def q_ngram_jaccard_pairs(spark, sf):
     )
     sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
+    out = (
         pairs.join(sza, "doc_a").join(szb, "doc_b")
         .filter(F.col("common") * 10 >= 2 * (F.col("na") + F.col("nb") - F.col("common")))
         .select("doc_a", "doc_b", "common", "na", "nb")
     )
+    return _finalize(out, [sh], eager=True)
 
 
 SQL_JACCARD = r"""
@@ -617,7 +619,7 @@ def q_jaccard_prefix_pairs(spark, sf):
     whose blow-up otherwise lives in the most common shingles."""
     from cola_spark.operators.textdedup import prefix_jaccard_pairs
 
-    return prefix_jaccard_pairs(_t(spark, sf, "documents"))
+    return prefix_jaccard_pairs(_t(spark, sf, "documents"), eager_release=True)
 
 
 def _cosine(a, b):
@@ -742,7 +744,8 @@ def q_minhash_lsh_pairs(spark, sf):
     from cola_spark.operators.textdedup import minhash_dedup_pairs
 
     return minhash_dedup_pairs(
-        _t(spark, sf, "documents"), hash_kind="md5", compress_bands=False
+        _t(spark, sf, "documents"), hash_kind="md5", compress_bands=False,
+        eager_release=True,
     )
 
 
@@ -998,6 +1001,7 @@ def q_flagship_oneround(spark, sf):
     return global_rank(
         cut.select("host", "page", "priority", "seq", "host_rank"),
         ["priority", "host", "seq"],
+        eager_release=True,
     )
 
 
