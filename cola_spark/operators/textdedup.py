@@ -328,10 +328,30 @@ def simhash(
     )
 
 
+def _complement_bits(hash_col: str, band_id: int, bits: int):
+    """The 64-bits hash with band ``band_id``'s ``bits`` removed and the
+    remaining bits packed contiguously (a 64-bits value of 64-bits
+    significant bits). Within one (band_id, band_val) bucket every
+    member shares the band bits, so ALL differing bits of any pair live
+    in this complement."""
+    o = bits * band_id
+    if o + bits >= 64:
+        hi = F.lit(0).cast("long")
+    else:
+        # Java shifts are mod-64 — never shift by >= 64
+        hi = F.shiftleft(F.shiftrightunsigned(F.col(hash_col), o + bits), o)
+    if o == 0:
+        lo = F.lit(0).cast("long")
+    else:
+        lo = F.col(hash_col).bitwiseAND(F.lit((1 << o) - 1))
+    return hi.bitwiseOR(lo)
+
+
 def banded_hamming_pairs(
     df: DataFrame, id_col: str, hash_col: str,
     bands: int = 4, max_hamming: int = 8,
     out_a: str = "doc_a", out_b: str = "doc_b",
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """(a, b, hamming): near-dup pairs by multi-band bucketing on a
     64-bit hash column + bit_count(xor) verify.
@@ -342,6 +362,24 @@ def banded_hamming_pairs(
     degrades gracefully above. A single-band (top-16-bits) bucket would
     silently miss any pair whose differing bits land in that band.
     Shared by SimHash text near-dup and pHash image near-dup.
+
+    HOT-BUCKET GUARD (max_bucket): the within-bucket join is quadratic
+    in bucket size, so a degenerate band value shared by k docs (near-
+    empty boilerplate SimHashes, flat-image pHash bands) materializes
+    k² candidates before the Hamming filter. Buckets larger than
+    ``max_bucket`` are therefore SUB-SPLIT: their members' complement
+    bits (the 64 − 64/bands bits outside the matching band — which by
+    construction carry ALL of a bucket-pair's differing bits) are
+    re-banded into ``bands`` sub-bands, and a candidate additionally
+    requires one sub-band to match. Pigeonhole again: ≤ bands−1
+    differing bits cannot dirty all ``bands`` sub-bands, so the
+    Hamming ≤ bands−1 guarantee is fully preserved; recall above that
+    degrades gracefully exactly like the primary banding. Candidate
+    volume for a k-doc hot bucket drops from k² to Σ sub-bucket²
+    (k²/bands^… for spread complements; k² only when members are near-
+    identical overall — i.e. when the OUTPUT itself is k²). The guard
+    costs one map-side-combinable count over band rows plus a broadcast
+    of the (few) oversized keys. max_bucket=None disables it.
     """
     bits = 64 // bands
     mask = (1 << bits) - 1
@@ -360,22 +398,59 @@ def banded_hamming_pairs(
             ])
         ).alias("bd"),
     ).select("_id", "_h", "bd.band_id", "bd.band_val")
-    a, b = band_rows.alias("a"), band_rows.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
+
+    def pair_join(rows: DataFrame, keys: list[str]) -> DataFrame:
+        a, b = rows.alias("a"), rows.alias("b")
+        cond = F.col("a._id") < F.col("b._id")
+        for k in keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        return a.join(b, cond).select(
             F.col("a._id").alias(out_a),
             F.col("b._id").alias(out_b),
             F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h"))).alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+
+    if max_bucket is None:
+        cand = pair_join(band_rows, ["band_id", "band_val"])
+    else:
+        giants = (
+            band_rows.groupBy("band_id", "band_val")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band_id", "band_val", F.lit(True).alias("_giant"))
+        )
+        tagged = band_rows.join(F.broadcast(giants), ["band_id", "band_val"], "left")
+        normal = tagged.filter(F.col("_giant").isNull()).drop("_giant")
+        comp = F.lit(0).cast("long")
+        for b in range(bands):
+            comp = F.when(
+                F.col("band_id") == b, _complement_bits("_h", b, bits)
+            ).otherwise(comp)
+        sub_bits = (64 - bits) // bands
+        sub_mask = (1 << sub_bits) - 1
+        giant_sub = (
+            tagged.filter(F.col("_giant"))
+            .withColumn("_comp", comp)
+            .select(
+                "_id", "_h", "band_id", "band_val",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(j).alias("sub_id"),
+                            F.shiftrightunsigned(F.col("_comp"), sub_bits * j)
+                            .bitwiseAND(F.lit(sub_mask))
+                            .alias("sub_val"),
+                        )
+                        for j in range(bands)
+                    ])
+                ).alias("sb"),
+            )
+            .select("_id", "_h", "band_id", "band_val", "sb.sub_id", "sb.sub_val")
+        )
+        cand = pair_join(normal, ["band_id", "band_val"]).unionByName(
+            pair_join(giant_sub, ["band_id", "band_val", "sub_id", "sub_val"])
+        )
+    return cand.filter(F.col("hamming") <= max_hamming).distinct()
 
 
 def simhash_near_pairs(

@@ -255,3 +255,94 @@ def test_verify_stage_is_candidate_pruned(docs):
     assert join_lines, "expected a shingle-keyed verify join in the plan"
     for ln in join_lines:
         assert "doc_b" in ln, f"shingle-only self-join in verify plan: {ln}"
+
+
+def _mk_hash_df(spark, hashes):
+    def to_signed(h):
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    return spark.createDataFrame(
+        [(i, to_signed(h)) for i, h in hashes], "id long, h long"
+    )
+
+
+def test_hot_bucket_guard_bounds_candidates(spark):
+    """VERDICT r2 #4: 10^3 docs sharing one degenerate band value (the
+    boilerplate-SimHash / flat-pHash shape) must NOT materialize k²
+    candidates. With the guard, the giant bucket is sub-split on the
+    complement bits, and (measured via max_hamming=64, where the output
+    IS the distinct candidate set) the candidate count stays orders of
+    magnitude under C(1000, 2) — while every pair within the pigeonhole
+    guarantee (Hamming ≤ bands-1) is still found."""
+    from cola_spark.operators.textdedup import banded_hamming_pairs
+
+    SHARED_BAND0 = 0x1234  # low 16 bits identical for every doc
+    hashes = []
+    for i in range(1000):
+        comp = (i * 2654435761 * 11400714819323198485) & ((1 << 48) - 1)
+        hashes.append((i, (comp << 16) | SHARED_BAND0))
+    # planted near-pairs INSIDE the giant bucket (diffs in complement bits)
+    base = hashes[500][1]
+    hashes.append((2000, base ^ (1 << 20)))                      # ham 1 vs id 500
+    hashes.append((2001, base ^ (1 << 17) ^ (1 << 33) ^ (1 << 50)))  # ham 3 vs id 500
+    df = _mk_hash_df(spark, hashes)
+
+    guarded = banded_hamming_pairs(
+        df, "id", "h", bands=4, max_hamming=64, max_bucket=100
+    )
+    n_cand = guarded.count()
+    assert n_cand < 50_000, f"guard failed to bound candidates: {n_cand}"
+
+    got = {(r.doc_a, r.doc_b): r.hamming for r in guarded.collect()}
+    assert got[(500, 2000)] == 1
+    assert got[(500, 2001)] == 3
+    # and the near-dup result at the production threshold agrees with
+    # the UNGUARDED result for everything the pigeonhole guarantees
+    unguarded_g3 = {
+        (r.doc_a, r.doc_b)
+        for r in banded_hamming_pairs(
+            df, "id", "h", bands=4, max_hamming=3, max_bucket=None
+        ).collect()
+    }
+    guarded_g3 = {
+        (r.doc_a, r.doc_b)
+        for r in banded_hamming_pairs(
+            df, "id", "h", bands=4, max_hamming=3, max_bucket=100
+        ).collect()
+    }
+    assert unguarded_g3 <= guarded_g3 or unguarded_g3 == guarded_g3
+    assert {(500, 2000), (500, 2001)} <= guarded_g3
+
+
+def test_hot_bucket_guard_identical_hashes_still_pair(spark):
+    """Degenerate-degenerate case: k docs with IDENTICAL hashes (the
+    output itself is k² — nothing to prune). The guard's sub-split puts
+    them in the same sub-buckets; all pairs must survive at hamming 0."""
+    from cola_spark.operators.textdedup import banded_hamming_pairs
+
+    df = _mk_hash_df(spark, [(i, 0xDEADBEEF12345678) for i in range(40)])
+    rows = banded_hamming_pairs(
+        df, "id", "h", bands=4, max_hamming=8, max_bucket=10
+    ).collect()
+    assert len(rows) == 40 * 39 // 2
+    assert all(r.hamming == 0 for r in rows)
+
+
+def test_guard_disabled_matches_guarded_below_threshold(spark):
+    """With every bucket under max_bucket the guard is a no-op: byte-
+    identical results to max_bucket=None (the oracled md5 query shape)."""
+    from cola_spark.operators.textdedup import banded_hamming_pairs, simhash
+
+    import pyspark.sql.functions as F
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[F.concat(F.lit(f"w{k}_"), (F.col("id") % (k + 2)).cast("string"))
+                           for k in range(12)]).alias("text"),
+    )
+    s = simhash(docs, hash_kind="md5")
+    a = sorted((r.doc_a, r.doc_b, r.hamming) for r in banded_hamming_pairs(
+        s, "doc_id", "simhash", max_bucket=4096).collect())
+    b = sorted((r.doc_a, r.doc_b, r.hamming) for r in banded_hamming_pairs(
+        s, "doc_id", "simhash", max_bucket=None).collect())
+    assert a == b
