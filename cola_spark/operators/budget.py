@@ -17,6 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: adaptive-rate window: the backoff is ceil(mean(errors)) over the
+#: last ERR_WINDOW rounds, so one noisy round can't over-throttle a
+#: host (SURVEY §2 row 22: "avg(errors) over last k rounds scaling
+#: rate") and recovery after a genuinely bad patch is gradual.
+ERR_WINDOW = 3
+
 
 def init_budget_state(budgets: DataFrame) -> DataFrame:
     return budgets.select(
@@ -25,6 +31,7 @@ def init_budget_state(budgets: DataFrame) -> DataFrame:
         F.lit(0).cast("long").alias("finished"),
         F.lit(0).cast("long").alias("errored"),
         F.lit(0).cast("long").alias("last_errored"),
+        F.array().cast("array<long>").alias("err_hist"),
     )
 
 
@@ -33,13 +40,23 @@ def budget_caps(state: DataFrame, adaptive: bool = False) -> DataFrame:
 
     adaptive=True mirrors cola's adaptive speed mode
     (cola/functions/speed.py ~L150-220: rate drops as "banned"/error
-    counts rise): the effective rate backs off by last round's error
-    count for that host, floored at 1 page/round so recovery is
-    possible. Deterministic — derived only from ledger columns.
+    counts rise): the effective rate backs off by ceil(mean(errors))
+    over the host's last ERR_WINDOW rounds (err_hist, newest first),
+    floored at 1 page/round so recovery is possible. Windowed rather
+    than last-round-only: a single noisy round among clean ones only
+    contributes 1/ERR_WINDOW of its error count to the backoff, and
+    the rate ramps back over the window instead of snapping.
+    Deterministic — derived only from ledger columns, integer-exact
+    ((sum + n - 1) div n is ceil for non-negative sums).
     """
     rate = F.col("rate_per_round")
     if adaptive:
-        rate = F.greatest(rate - F.col("last_errored"), F.lit(1))
+        backoff = F.expr(
+            "CASE WHEN size(err_hist) > 0 THEN "
+            "(aggregate(err_hist, 0L, (a, x) -> a + x)"
+            " + size(err_hist) - 1) div size(err_hist) ELSE 0L END"
+        )
+        rate = F.greatest(rate - backoff, F.lit(1))
     return state.select(
         "host",
         F.least(F.col("budget") - F.col("applied"), rate).alias("cap"),
@@ -69,6 +86,13 @@ def update_budget_state_outcomes(state: DataFrame, outcomes: DataFrame) -> DataF
         (F.col("finished") + F.col("n_finished")).alias("finished"),
         (F.col("errored") + F.col("n_errored")).alias("errored"),
         F.col("n_errored").cast("long").alias("last_errored"),
+        F.slice(
+            F.concat(
+                F.array(F.col("n_errored").cast("long")),
+                F.coalesce(F.col("err_hist"), F.array().cast("array<long>")),
+            ),
+            1, ERR_WINDOW,
+        ).alias("err_hist"),
     )
 
 

@@ -16,6 +16,8 @@ import re
 import zlib
 from urllib.parse import urlsplit
 
+from cola_spark.operators.budget import ERR_WINDOW
+
 CHILD_SEQ_OFFSET = 10**12
 FAIL_MOD = 20
 
@@ -65,6 +67,7 @@ def run_oracle(
         b["host"]: {
             "budget": b["budget"], "rate": b["rate_per_round"],
             "applied": 0, "finished": 0, "errored": 0, "last_errored": 0,
+            "err_hist": [],
         }
         for b in budgets
     }
@@ -108,7 +111,12 @@ def run_oracle(
             lg = ledger.get(host)
             if lg is None:
                 continue
-            rate = max(lg["rate"] - lg["last_errored"], 1) if adaptive else lg["rate"]
+            if adaptive and lg["err_hist"]:
+                # windowed backoff: ceil(mean(errors over last k rounds))
+                h = lg["err_hist"]
+                rate = max(lg["rate"] - -(-sum(h) // len(h)), 1)
+            else:
+                rate = lg["rate"]
             cap = min(lg["budget"] - lg["applied"], rate)
             if cap <= 0:
                 continue
@@ -164,6 +172,7 @@ def run_oracle(
             order.append(s)
         for host, lg in ledger.items():
             lg["last_errored"] = round_errors.get(host, 0)
+            lg["err_hist"] = ([round_errors.get(host, 0)] + lg["err_hist"])[:ERR_WINDOW]
 
     order.sort(key=lambda s: (s["round"], s["priority"], s["host"], s["seq"]))
     for i, s in enumerate(order, start=1):

@@ -50,26 +50,54 @@ def test_inc_requeue_force_and_disjoint_seq(spark):
 
 
 def test_adaptive_rate_backoff_and_recovery(spark):
+    """Windowed adaptive speed (SURVEY §2 row 22): the backoff is
+    ceil(mean(errors)) over the last ERR_WINDOW=3 rounds — one bad
+    round's effect fades over the window instead of snapping."""
     budgets = spark.createDataFrame([("h1", 100, 10)], "host string, budget long, rate_per_round long")
     st = init_budget_state(budgets)
     caps = {r.host: r.cap for r in budget_caps(st, adaptive=True).collect()}
     assert caps["h1"] == 10  # no errors yet
     c = lambda d, n: spark.createDataFrame(list(d.items()), f"host string, {n} long")
-    # a bad round: 7 errors → next-round rate backs off to 3
+    # a bad round: 7 errors, hist [7] → next-round rate backs off to 3
     st = update_budget_state(st, c({"h1": 10}, "n_granted"), c({"h1": 3}, "n_finished"), c({"h1": 7}, "n_errored"))
     caps = {r.host: r.cap for r in budget_caps(st, adaptive=True).collect()}
     assert caps["h1"] == 3
     # non-adaptive ignores the backoff
     caps = {r.host: r.cap for r in budget_caps(st, adaptive=False).collect()}
     assert caps["h1"] == 10
-    # a clean round: rate recovers fully
+    # a clean round: hist [0,7] → backoff ceil(7/2)=4 → gradual recovery
     st = update_budget_state(st, c({"h1": 3}, "n_granted"), c({"h1": 3}, "n_finished"), c({}, "n_errored"))
     caps = {r.host: r.cap for r in budget_caps(st, adaptive=True).collect()}
-    assert caps["h1"] == 10
-    # floor at 1: catastrophic round never kills the host entirely
-    st = update_budget_state(st, c({"h1": 10}, "n_granted"), c({}, "n_finished"), c({"h1": 10}, "n_errored"))
+    assert caps["h1"] == 6
+    # two more clean rounds: the bad round ages out → full recovery
+    st = update_budget_state(st, c({"h1": 6}, "n_granted"), c({"h1": 6}, "n_finished"), c({}, "n_errored"))
+    caps = {r.host: r.cap for r in budget_caps(st, adaptive=True).collect()}
+    assert caps["h1"] == 7  # hist [0,0,7] → ceil(7/3)=3
+    st = update_budget_state(st, c({"h1": 7}, "n_granted"), c({"h1": 7}, "n_finished"), c({}, "n_errored"))
+    caps = {r.host: r.cap for r in budget_caps(st, adaptive=True).collect()}
+    assert caps["h1"] == 10  # hist [0,0,0]
+    # floor at 1: SUSTAINED catastrophe never kills the host entirely
+    for _ in range(3):
+        st = update_budget_state(st, c({"h1": 10}, "n_granted"), c({}, "n_finished"), c({"h1": 10}, "n_errored"))
     caps = {r.host: r.cap for r in budget_caps(st, adaptive=True).collect()}
     assert caps["h1"] == 1
+
+
+def test_adaptive_window_no_overthrottle_on_one_noisy_round(spark):
+    """VERDICT r2 #7 done-criterion: a single noisy round among clean
+    history must NOT throttle the host to the floor — last-round-only
+    backoff would cut rate 10 → 1 after a 9-error spike; the 3-round
+    window keeps it at 10-ceil(9/3) = 7."""
+    budgets = spark.createDataFrame([("h1", 1000, 10)], "host string, budget long, rate_per_round long")
+    st = init_budget_state(budgets)
+    c = lambda d, n: spark.createDataFrame(list(d.items()), f"host string, {n} long")
+    # two clean rounds of history, then one 9-error spike
+    for errs in ({}, {}, {"h1": 9}):
+        st = update_budget_state(st, c({"h1": 10}, "n_granted"),
+                                 c({"h1": 10 - errs.get("h1", 0)}, "n_finished"),
+                                 c(errs, "n_errored"))
+    caps = {r.host: r.cap for r in budget_caps(st, adaptive=True).collect()}
+    assert caps["h1"] == 7  # hist [9,0,0] → ceil(9/3)=3; NOT 1
 
 
 def test_global_cap_bounds_every_round(spark, tmp_path):
