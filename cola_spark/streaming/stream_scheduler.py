@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     IntegerType,
     LongType,
@@ -101,43 +102,114 @@ _GATE_STATE = StructType([
     StructField("applied", LongType()),
     StructField("budget", LongType()),
     StructField("rate", LongType()),
+    # over-cap carry-over: the host's pending queue rides in state so a
+    # row denied this micro-batch competes again next batch (the pure-
+    # streaming twin of the batch loop's state/round=N/pending)
+    StructField("pend_url", ArrayType(StringType())),
+    StructField("pend_hash", ArrayType(LongType())),
+    StructField("pend_prio", ArrayType(IntegerType())),
+    StructField("pend_seq", ArrayType(LongType())),
 ])
+_GATE_COLS = ["url_canon", "url_hash", "priority", "seq"]
 
 
-def _gate_fn(budget_default: int, rate_default: int):
+def _gate_fn(budget_default: int, rate_default: int, timeout_revisit: bool = False):
     def gate(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        """Per-host token bucket: grant up to min(budget-applied, rate)
-        rows per micro-batch, in (priority, seq) order — the streaming
-        twin of BudgetApplyServer.apply + the per-round rate cap."""
+        """Per-host token bucket with PENDING CARRY-OVER: each
+        micro-batch grants up to min(budget-applied, rate) rows from
+        (carried pending ∪ new arrivals) in (priority, seq) order —
+        the streaming twin of BudgetApplyServer.apply + the per-round
+        rate cap + the batch loop's pending state. Rows over the cap
+        are emitted once as granted=false (the arrival decision) and
+        carried in state; when capacity refills in a later batch they
+        are re-emitted granted=true — so the output is a decision log
+        whose granted=true rows are exactly the grant stream, and
+        nothing is ever silently dropped.
+
+        With timeout_revisit, a key with leftover pending arms a (1 ms)
+        processing-time timeout: applyInPandasWithState only invokes
+        keys present in the micro-batch, so without the timeout a host
+        with carried rows but no new arrivals would starve until its
+        next arrival.
+        """
         if state.exists:
-            applied, budget, rate = state.get
+            applied, budget, rate, p_url, p_hash, p_prio, p_seq = state.get
+            pending = pd.DataFrame({
+                "url_canon": list(p_url or []),
+                "url_hash": list(p_hash or []),
+                "priority": list(p_prio or []),
+                "seq": list(p_seq or []),
+            })
         else:
             applied, budget, rate = 0, budget_default, rate_default
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["priority", "seq"], kind="mergesort")
-            cap = max(min(budget - applied, rate), 0)
-            granted_mask = [i < cap for i in range(len(pdf))]
-            applied += min(cap, len(pdf))
-            out = pdf[["host", "url_canon", "url_hash", "priority", "seq"]].copy()
-            out["granted"] = granted_mask
-            yield out
-        state.update((applied, budget, rate))
+            pending = pd.DataFrame(columns=_GATE_COLS)
+        host = key[0]
+        chunks = [pdf[_GATE_COLS] for pdf in pdfs]
+        new = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame(
+            columns=_GATE_COLS
+        )
+        queue = pd.concat([pending, new], ignore_index=True).sort_values(
+            ["priority", "seq"], kind="mergesort"
+        )
+        cap = max(min(budget - applied, rate), 0)
+        granted = queue.iloc[:cap].copy()
+        rest = queue.iloc[cap:]
+        applied += len(granted)
+
+        granted["granted"] = True
+        # first-arrival denials only — carried rows were already logged
+        new_denied = new[new["seq"].isin(set(rest["seq"]))].copy()
+        new_denied["granted"] = False
+        out = pd.concat([granted, new_denied], ignore_index=True)
+        out.insert(0, "host", host)
+        state.update((
+            applied, budget, rate,
+            rest["url_canon"].tolist(),
+            [int(x) for x in rest["url_hash"]],
+            [int(x) for x in rest["priority"]],
+            [int(x) for x in rest["seq"]],
+        ))
+        # Re-arm only while the key can make progress: rate >= 1 means a
+        # revisit with applied < budget always grants something, so the
+        # queue drains in finitely many batches. A budget-exhausted key
+        # must NOT re-arm — it would busy-loop timeout batches forever
+        # (its pending can never be granted by this gate).
+        if timeout_revisit and len(rest) and applied < budget:
+            state.setTimeoutDuration(1)  # revisit this key next batch
+        yield out[["host", "url_canon", "url_hash", "priority", "seq", "granted"]]
 
     return gate
 
 
 def token_bucket_gate(
-    frontier: DataFrame, budget: int = 20, rate: int = 5
+    frontier: DataFrame, budget: int = 20, rate: int = 5,
+    timeout_revisit: bool = False,
 ) -> DataFrame:
-    """Stateful per-host politeness gate (applyInPandasWithState)."""
+    """Stateful per-host politeness gate (applyInPandasWithState) with
+    over-cap carry-over across micro-batches.
+
+    timeout_revisit=True additionally revisits pending-holding hosts
+    via a processing-time timeout even when no new rows arrive for
+    them — starvation-free draining for CONTINUOUS deployments
+    (processingTime/continuous triggers). Leave it False for
+    drain-and-stop runs: Spark's FlatMapGroupsWithState with
+    ProcessingTimeTimeout always reports "may need another batch"
+    (processing time keeps advancing), so a Trigger.AvailableNow query
+    would run state-cleanup micro-batches forever and
+    processAllAvailable() would never return.
+    """
     return frontier.groupBy("host").applyInPandasWithState(
-        _gate_fn(budget, rate),
+        _gate_fn(budget, rate, timeout_revisit),
         outputStructType=_GATE_OUT,
         stateStructType=_GATE_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_revisit
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -68,6 +68,77 @@ def test_token_bucket_grants_bounded_per_host(spark, seed_dir, tmp_path):
     assert 0 < granted < total
 
 
+def test_token_bucket_carries_pending_across_batches(spark, tmp_path):
+    """VERDICT r2 #8: over-cap rows must NOT be dropped in the pure-
+    streaming path — they ride in gate state and are re-granted when
+    capacity refills. 6 URLs on one host at rate 2 → all 6 granted
+    within 3 micro-batches, no foreachBatch involved."""
+    import time as _time
+
+    d = str(tmp_path / "carry_drops")
+    os.makedirs(d)
+    schema = "url string, priority int, seq long, force boolean, discovered_ts timestamp"
+    six = spark.createDataFrame(
+        [(f"http://h1.example/p/{i}", 0, i, False) for i in range(6)],
+        "url string, priority int, seq long, force boolean",
+    ).withColumn("discovered_ts", F.current_timestamp())
+    six.coalesce(1).write.parquet(f"{d}/f1")
+    # two later drops (other host) whose only job is to trigger batches
+    for i, fn in enumerate(["f2", "f3"]):
+        spark.createDataFrame(
+            [(f"http://h2.example/p/{i}", 0, 100 + i, False)],
+            "url string, priority int, seq long, force boolean",
+        ).withColumn("discovered_ts", F.current_timestamp()).coalesce(1).write.parquet(
+            f"{d}/{fn}"
+        )
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    fr = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/f*")
+    )
+    from cola_spark.functions.urls import canonicalize_url, host_of, path_of, url_hash_col
+
+    fr = (
+        fr.withColumn("url_canon", canonicalize_url(F.col("url")))
+        .filter(F.col("url_canon").isNotNull())
+        .withColumn("url_hash", url_hash_col(F.col("url_canon")))
+        .withColumn("host", host_of(F.col("url_canon")))
+        .withColumn("path", path_of(F.col("url_canon")))
+    )
+    # NB: processingTime trigger, not availableNow — pending-only keys
+    # are revisited via processing-time timeouts, which the terminating
+    # availableNow trigger does not service
+    q = (
+        token_bucket_gate(fr, budget=20, rate=2, timeout_revisit=True)
+        .writeStream.format("memory").queryName("carry_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_carry"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = _time.time() + 90
+    while _time.time() < deadline:
+        n = spark.sql(
+            "SELECT count(*) c FROM carry_out WHERE granted AND host='h1.example'"
+        ).first().c
+        if n >= 6:
+            break
+        _time.sleep(1)
+    q.stop()
+    out = spark.sql("SELECT * FROM carry_out")
+    h1 = out.filter(F.col("host") == "h1.example")
+    granted_seqs = sorted(r.seq for r in h1.filter(F.col("granted")).collect())
+    assert granted_seqs == [0, 1, 2, 3, 4, 5], granted_seqs
+    # grants arrive rate-bounded: batch 1 granted seqs {0,1} plus the
+    # carried queue drained 2-per-batch in (priority, seq) order; the
+    # arrival-denial log records each over-cap row exactly once
+    denied = h1.filter(~F.col("granted"))
+    assert denied.count() == 4  # seqs 2..5 denied on arrival, once each
+    assert sorted(r.seq for r in denied.collect()) == [2, 3, 4, 5]
+
+
 def test_streaming_dedup_rocksdb_provider_with_restart(spark, seed_dir, tmp_path):
     """The scale configuration: unbounded seen-state on the RocksDB
     store (disk-spilling, bounded block cache), including a checkpoint
