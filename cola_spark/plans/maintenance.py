@@ -22,9 +22,7 @@ deterministic even on ties.
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -34,8 +32,8 @@ from cola_spark.plans.scheduler import CrawlConfig, _p, _read_filters, _read_see
 
 def _state_dirs(cfg: CrawlConfig, kind: str) -> tuple[list[str], list[str], int]:
     """(delta_dirs, compacted_dirs, next_compaction_index)."""
-    deltas = sorted(glob.glob(_p(cfg, kind, "delta=*")))
-    compacted = sorted(glob.glob(_p(cfg, kind, "compacted=*")))
+    deltas = cfg.io.list_dirs(_p(cfg, kind, "delta=*"))
+    compacted = cfg.io.list_dirs(_p(cfg, kind, "compacted=*"))
     nxt = 1 + max(
         (int(os.path.basename(d).split("=")[1]) for d in compacted), default=-1
     )
@@ -43,17 +41,19 @@ def _state_dirs(cfg: CrawlConfig, kind: str) -> tuple[list[str], list[str], int]
 
 
 def _commit_compaction(cfg: CrawlConfig, kind: str, df) -> int:
-    """Write → rename-commit → remove superseded. Returns dirs removed."""
+    """Write → rename-commit → remove superseded. Returns dirs removed.
+    All driver-side FS mutations go through the cfg.io seam (the Spark
+    parquet write speaks the workdir URI natively)."""
     deltas, compacted, nxt = _state_dirs(cfg, kind)
     if len(deltas) + len(compacted) <= 1:
         return 0
     tmp = _p(cfg, kind, "_compact_tmp")
-    shutil.rmtree(tmp, ignore_errors=True)  # stale tmp from a crashed run
+    cfg.io.remove_dir(tmp)  # stale tmp from a crashed run
     df.write.mode("overwrite").parquet(tmp)
-    os.replace(tmp, _p(cfg, kind, f"compacted={nxt}"))  # the commit point
+    cfg.io.rename(tmp, _p(cfg, kind, f"compacted={nxt}"))  # the commit point
     removed = 0
     for d in deltas + compacted:  # superseded only after the commit
-        shutil.rmtree(d)
+        cfg.io.remove_dir(d)
         removed += 1
     return removed
 
@@ -80,11 +80,11 @@ def vacuum_old_state(cfg: CrawlConfig, keep_last: int = 2) -> int:
     ``keep_last`` rounds (the manifest only ever points at the newest).
     Crawl logs are never vacuumed — they are the output."""
     dirs = sorted(
-        glob.glob(_p(cfg, "state", "round=*")),
+        cfg.io.list_dirs(_p(cfg, "state", "round=*")),
         key=lambda d: int(os.path.basename(d).split("=")[1]),
     )
     removed = 0
     for d in dirs[:-keep_last] if keep_last else dirs:
-        shutil.rmtree(d)
+        cfg.io.remove_dir(d)
         removed += 1
     return removed

@@ -43,14 +43,14 @@ dedup_mode:
 
 from __future__ import annotations
 
-import glob as _glob
-import json
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+from cola_spark.stateio import DEFAULT_IO, StateIO
 
 from cola_spark.operators.budget import (
     budget_caps,
@@ -91,6 +91,9 @@ class CrawlConfig:
     filter_parts: int = 32
     filter_capacity: int = 1 << 18
     seen_parts: int = 32
+    # driver-side state IO seam (stateio.py): swap for an HDFS/S3/
+    # Iceberg-backed implementation on a real cluster
+    io: StateIO = field(default_factory=lambda: DEFAULT_IO)
 
 
 def _p(cfg: CrawlConfig, *parts: str) -> str:
@@ -98,11 +101,7 @@ def _p(cfg: CrawlConfig, *parts: str) -> str:
 
 
 def _manifest(cfg: CrawlConfig) -> dict | None:
-    mf = _p(cfg, "manifest.json")
-    if not os.path.exists(mf):
-        return None
-    with open(mf) as f:
-        return json.load(f)
+    return cfg.io.read_json(_p(cfg, "manifest.json"))
 
 
 def latest_round(cfg: CrawlConfig) -> int | None:
@@ -112,23 +111,21 @@ def latest_round(cfg: CrawlConfig) -> int | None:
 
 def _commit_manifest(cfg: CrawlConfig, rnd: int, stats: dict) -> None:
     """Iceberg-snapshot-style commit: round r state is only visible once
-    the manifest points at it (atomic rename)."""
+    the manifest points at it (atomic write through the IO seam)."""
     mf = _p(cfg, "manifest.json")
-    tmp = mf + ".tmp"
-    hist = []
-    if os.path.exists(mf):
-        with open(mf) as f:
-            hist = json.load(f).get("history", [])
-    with open(tmp, "w") as f:
-        json.dump({"round": rnd, "stats": stats, "history": hist + [stats]}, f, indent=1)
-    os.replace(tmp, mf)
+    prev = cfg.io.read_json(mf)
+    hist = (prev or {}).get("history", [])
+    cfg.io.write_json_atomic(
+        mf, {"round": rnd, "stats": stats, "history": hist + [stats]}
+    )
 
 
 def _state_glob(cfg: CrawlConfig, kind: str) -> list[str]:
     """Per-round deltas plus compaction snapshots (maintenance.py);
     overlap between the two is a superset by construction — harmless."""
     return sorted(
-        _glob.glob(_p(cfg, kind, "delta=*")) + _glob.glob(_p(cfg, kind, "compacted=*"))
+        cfg.io.list_dirs(_p(cfg, kind, "delta=*"))
+        + cfg.io.list_dirs(_p(cfg, kind, "compacted=*"))
     )
 
 
@@ -189,7 +186,7 @@ def run_crawl(
         return crawl_log(spark, cfg)  # crawl already reached its natural stop
     start = mft["round"] if mft is not None else None
     if start is None:
-        os.makedirs(cfg.workdir, exist_ok=True)
+        cfg.io.makedirs(cfg.workdir)
         pending = spark.createDataFrame([], FRONTIER_SCHEMA)
         bstate = init_budget_state(budgets)
         rnd = 0
@@ -332,7 +329,7 @@ def crawl_log(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     + per-partition rank + offsets), never a single-partition window."""
     from cola_spark.operators.ranking import global_rank
 
-    if not _glob.glob(_p(cfg, "log", "round=*")):
+    if not cfg.io.list_dirs(_p(cfg, "log", "round=*")):
         schema = FRONTIER_SCHEMA + ", round int, host_rank int, image_id string, fetch_ok boolean"
         if cfg.decode:
             schema += ", fmt string, psnr double, invariant_ok boolean"
