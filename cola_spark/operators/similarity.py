@@ -115,6 +115,82 @@ def lsh_bucketed_topk(
     )
 
 
+def hash_plane_weights(dim: int = 64, n_planes: int = 4, scale: int = 1000) -> list[list[int]]:
+    """Deterministic INTEGER hyperplane weights derived from md5 —
+    reproducible in any engine, so the whole LSH pipeline can be
+    SQL-oracled (the IVF-centroid trick applied to hyperplanes):
+    w[j][d] = md5int("lsh:j:d") mod (2·scale+1) − scale ∈ [−scale, scale].
+    An integer grid is as good a random rotation as a gaussian for sign
+    tests, and both engines see bit-identical literals."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"lsh:{j}:{d}".encode()).hexdigest()[:15], 16)
+            % (2 * scale + 1) - scale
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def _hashed_bucket_expr(vec_col, weights: list[list[int]]):
+    """Pure-column bucket id: bit j = [vec · plane_j > 0]. The dot is a
+    left-to-right fold over zip_with products (doubles) — the same
+    fold DuckDB's list_dot_product evaluates, so the sign (and hence
+    the bucket) is engine-stable."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    b = F.lit(0)
+    for j, row in enumerate(weights):
+        warr = F.array(*[F.lit(float(x)) for x in row])
+        dot = F.aggregate(
+            F.zip_with(v, warr, lambda a, c: a * c),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        b = b + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return b
+
+
+def lsh_bucketed_topk_hashed(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 4,
+    dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """lsh_bucketed_topk with md5-derived integer hyperplanes instead of
+    the seeded-numpy matrix: identical join/probe/rank structure (bucket
+    equi-join, Hamming-1 multiprobe on the query side only), but every
+    stage is reproducible in ANSI SQL — this is the variant the DuckDB
+    oracle verifies end-to-end (queries.q_ann_lsh_topk). The numpy
+    variant remains the vectorized-pandas-UDF exemplar; this one is
+    pure column expressions (JVM, codegen)."""
+    w = hash_plane_weights(dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"),
+        _hashed_bucket_expr(F.col(vec_col), w).alias("bucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q = q.select("query_id", "qe", F.explode(probes).alias("bucket"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"),
+        _hashed_bucket_expr(F.col(vec_col), w).alias("bucket"),
+    )
+    sims = (
+        q.join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("sim"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame, min_sim_x1000: int = 350,
     id_col: str = "vec_id", vec_col: str = "embedding",

