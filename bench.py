@@ -32,8 +32,12 @@ SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 BENCH_QUERIES = [
     "dedup_anti_join", "priority_fifo_order", "counter_rollup", "rate_window",
     "robots_gate", "running_budget_total", "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",  # the SCALE dedup path: candidate-pruned verify —
-    # its cost tracks |LSH candidates|, vs ngram_jaccard_pairs' corpus²
+    "minhash_lsh_pairs",  # NOTE: the md5/raw-band-key ORACLE form (DuckDB-
+    # reproducible); the xxhash64/compressed production default is benched
+    # separately below as minhash_production
+    "jaccard_prefix_pairs",  # the SCALE exact-dedup path: prefix-filtered
+    # join — keys exclude the high-frequency shingles where corpus² lives
+    "dedup_clusters",  # pairs → connected components → keep-set
     "ann_cosine_topk", "docs_exact_dedup", "multimodal_meta",
 ]
 
@@ -164,17 +168,28 @@ def main() -> None:
     robots = gen_robots(spark, n_hosts)
     budgets = gen_budgets(spark, n_hosts)
     images = gen_images(spark, n_images, parts=64)
-    workdir = tempfile.mkdtemp(prefix="cola_bench_", dir="/dev/shm")
-    cfg = CrawlConfig(workdir=workdir, n_images=n_images, max_rounds=5, salt_buckets=16, fetch_mode="fused")
-    t0 = time.monotonic()
-    log = run_crawl(spark, seeds, robots, budgets, images, cfg)
-    n_crawled = log.count()
-    crawl_secs = time.monotonic() - t0
+    # min-of-2 draws, fresh workdir each (same protocol as the pipeline
+    # stage): single-VM 32-thread draws spread ~2.5× across the day
+    # (measured 37–94 s at sf0.1 in round 2) and a single draw committed
+    # the worst of it to the record; the min is the reproducible signal
+    crawl_secs, n_crawled = None, 0
+    for _ in range(2):
+        workdir = tempfile.mkdtemp(prefix="cola_bench_", dir="/dev/shm")
+        cfg = CrawlConfig(workdir=workdir, n_images=n_images, max_rounds=5,
+                          salt_buckets=16, fetch_mode="fused")
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+        t0 = time.monotonic()
+        log = run_crawl(spark, seeds, robots, budgets, images, cfg)
+        n_crawled = log.count()
+        secs = time.monotonic() - t0
+        shutil.rmtree(workdir, ignore_errors=True)
+        if crawl_secs is None or secs < crawl_secs:
+            crawl_secs = secs
     timings["crawl_5rounds"] = round(crawl_secs, 3)
     # URLs that completed canonicalize→dedup→schedule gate per second:
     # every candidate row is processed by the admission+cut pipeline
     frontier_throughput = n_urls / crawl_secs
-    shutil.rmtree(workdir, ignore_errors=True)
 
     # --- driver-table operator queries -------------------------------------
     for name in BENCH_QUERIES:
@@ -182,6 +197,17 @@ def main() -> None:
         t0 = time.monotonic()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+
+    # the production-default MinHash configuration (xxhash64 family,
+    # 8-byte compressed band keys) — the scale path itself, distinct
+    # from the md5/raw-band-key oracle form benched above
+    from cola_spark.operators.textdedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.monotonic()
+    minhash_dedup_pairs(docs, eager_release=True).write.format(
+        "noop").mode("overwrite").save()
+    timings["minhash_production"] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

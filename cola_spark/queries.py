@@ -1017,6 +1017,133 @@ PAIRS.update({
 })
 
 
+# ------------------------------------------------- in-repo exact oracles
+# The four image-codec queries cannot be SQL-oracled (DuckDB has no
+# PNG/JPGQ decoder), but they ARE exactly verifiable: a sequential
+# pure-Python recomputation on the driver — no Spark, no partitioning,
+# no Arrow — produces the byte-identical expected result. The driver
+# gate (scripts/driver_gate_check.py) runs these so every row in the
+# correctness report is accounted: SQL-oracled, locally-oracled, or
+# neither (none remain).
+
+
+def _local_decoded_images(n: int = 64):
+    import hashlib
+
+    from cola_spark.codecs import decode_image, encode_image
+    from cola_spark.codecs.pixels import gen_pixels
+
+    dims = (16, 24, 32)
+    out = []
+    for i in range(n):
+        image_id = f"img{i:08d}"
+        d = hashlib.md5(image_id.encode()).digest()
+        w, h = dims[d[2] % 3], dims[d[3] % 3]
+        fmt = "png" if d[4] % 2 == 0 else "jpgq"
+        data = encode_image(gen_pixels(image_id, w, h), fmt)
+        out.append((image_id, decode_image(data, fmt)))
+    return out
+
+
+def _local_feature_rows(n: int = 64):
+    import numpy as np
+
+    from cola_spark.codecs.pixels import phash64
+
+    rows = []
+    for image_id, px in _local_decoded_images(n):
+        luma = px.astype(np.float32) @ np.array([0.299, 0.587, 0.114], np.float32)
+        rows.append((
+            image_id, px.shape[1], px.shape[0],
+            int(luma.mean() * 1000), int(luma.std() * 1000), phash64(px),
+        ))
+    return rows
+
+
+def local_oracle_image_features(spark, sf):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        _local_feature_rows(),
+        columns=["image_id", "w", "h", "mean_luma_x1000", "std_luma_x1000", "phash"],
+    )
+    return pdf.astype({"w": "int32", "h": "int32"})
+
+
+def _local_phash_pairs(max_hamming: int = 16, bands: int = 4):
+    """Banded-Hamming semantics replicated sequentially: a pair is
+    emitted iff hamming <= max AND at least one 16-bit band matches."""
+    feats = _local_feature_rows()
+    U = (1 << 64) - 1
+    out = []
+    for i, (a, _, _, _, _, ha) in enumerate(feats):
+        for b, _, _, _, _, hb in feats[i + 1:]:
+            ua, ub = ha & U, hb & U
+            ham = bin(ua ^ ub).count("1")
+            band = any(
+                ((ua >> (16 * k)) & 0xFFFF) == ((ub >> (16 * k)) & 0xFFFF)
+                for k in range(bands)
+            )
+            if ham <= max_hamming and band:
+                out.append((min(a, b), max(a, b), ham))
+    return out
+
+
+def local_oracle_phash_near_dups(spark, sf):
+    import pandas as pd
+
+    pdf = pd.DataFrame(_local_phash_pairs(), columns=["img_a", "img_b", "hamming"])
+    return pdf.astype({"hamming": "int32"})
+
+
+def local_oracle_image_dedup_clusters(spark, sf):
+    import pandas as pd
+
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = _local_phash_pairs()
+    for a, b, _ in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n), n == find(n)) for n in sorted(parent)]
+    return pd.DataFrame(rows, columns=["image_id", "cluster_id", "keep"])
+
+
+def local_oracle_frame_sample(spark, sf):
+    import pandas as pd
+
+    from cola_spark.codecs import encode_jpgq
+    from cola_spark.codecs.pixels import gen_pixels
+
+    rows = []
+    for i in range(8):
+        frames = [encode_jpgq(gen_pixels(f"v{i}f{j}", 16, 16)) for j in range(6)]
+        for j, fr in enumerate(frames):
+            if j % 3 == 0:
+                rows.append((f"v{i}", j, len(fr)))
+    pdf = pd.DataFrame(rows, columns=["video_id", "frame_no", "n_bytes"])
+    return pdf.astype({"frame_no": "int32"})
+
+
+#: name -> callable(spark, sf) -> pandas.DataFrame with the exact
+#: expected result (columns and dtypes matching the Spark query)
+LOCAL_ORACLES: dict[str, Callable] = {
+    "image_features": local_oracle_image_features,
+    "phash_near_dups": local_oracle_phash_near_dups,
+    "image_dedup_clusters": local_oracle_image_dedup_clusters,
+    "frame_sample": local_oracle_frame_sample,
+}
+
+
 def q_flagship_oneround(spark, sf):
     """The flagship one-round scheduler composition (entry()'s exact
     semantics on the orders table), SQL-oracled: canonical-dup collapse
