@@ -135,6 +135,17 @@ def discover_links(fetched_ok: DataFrame, pages_per_host: int = 50) -> DataFrame
     )
 
 
+def fused_parts(row_bound: int, parallelism: int, rows_per_task: int = 150) -> int:
+    """Python-stage partition count derived from the scheduled-row upper
+    bound (the budget ledger's cap sum — exact, known before the job):
+    ~rows_per_task rows per task keeps decode tasks at a few hundred ms,
+    capped at 8× cluster parallelism so task count never explodes,
+    floored at 1. Data-derived rather than a constant: a fixed 128 is
+    2-rows-per-task scheduling overhead at small rounds and a hard
+    parallelism ceiling on a large cluster."""
+    return max(1, min((row_bound + rows_per_task - 1) // rows_per_task, 8 * parallelism))
+
+
 def fetch_decode_verify(
     scheduled: DataFrame, n_images: int, dims: tuple = (16, 24, 32), parts: int = 128,
     carry_all: bool = False,

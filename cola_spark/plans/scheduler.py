@@ -220,18 +220,28 @@ def run_crawl(
 
         # 2-3. robots gate + this round's cut + fetch, fused into one job
         pending_next = pending.unionByName(robots_gate(admitted, robots))
+        caps = budget_caps(bstate, cfg.adaptive)
         scheduled = apply_global_cap(
             schedule_cut(
-                pending_next, budget_caps(bstate, cfg.adaptive),
+                pending_next, caps,
                 cfg.salt_buckets, broadcast_caps=cfg.broadcast_caps,
             ),
             cfg.global_cap,
         )
         if cfg.decode and cfg.fetch_mode == "fused":
-            from cola_spark.operators.fetch import fetch_decode_verify
+            from cola_spark.operators.fetch import fetch_decode_verify, fused_parts
 
+            # exact upper bound on this round's scheduled rows: the
+            # ledger's cap sum (tiny agg on the broadcast-size budget
+            # state), further clamped by the global cap — sizes the
+            # Python stage instead of a fixed partition constant
+            bound = caps.agg(F.sum("cap")).first()[0] or 0
+            if cfg.global_cap is not None:
+                bound = min(int(bound), cfg.global_cap)
             fetched = fetch_decode_verify(
-                scheduled, cfg.n_images, parts=cfg.salt_buckets * 8, carry_all=True
+                scheduled, cfg.n_images,
+                parts=fused_parts(int(bound), spark.sparkContext.defaultParallelism),
+                carry_all=True,
             )
         else:
             fetched = synthetic_fetch(scheduled, images, cfg.n_images, decode=cfg.decode)
@@ -244,9 +254,11 @@ def run_crawl(
         log_cols = ["round", *FRONTIER_COLS, "host_rank", "image_id", "fetch_ok"]
         if cfg.decode:
             log_cols += ["fmt", "psnr", "invariant_ok"]
+        t_log0 = time.monotonic()
         fetched.withColumn("round", F.lit(rnd)).select(*log_cols).write.mode(
             "overwrite"
         ).parquet(_p(cfg, "log", f"round={rnd}"))
+        t_log = time.monotonic() - t_log0
         n_scheduled = obs.get["n_scheduled"]
         stopped = n_scheduled == 0
 
@@ -291,9 +303,11 @@ def run_crawl(
                 _p(cfg, "state", f"round={rnd}", "budget")
             )
         )
+        t_st0 = time.monotonic()
         with ThreadPoolExecutor(max_workers=len(writes)) as ex:
             for fut in [ex.submit(w) for w in writes]:
                 fut.result()  # surface the first failure, after all joined
+        t_state = time.monotonic() - t_st0
 
         _commit_manifest(
             cfg, rnd,
@@ -303,6 +317,11 @@ def run_crawl(
                 "fetched_ok": int(obs.get["n_ok"] or 0),
                 "stopped": stopped,
                 "secs": round(time.monotonic() - t0, 3),
+                # per-round stage metrics: the fused log job vs the
+                # concurrent state-commit barrier (the rest is candidate
+                # derivation + driver bookkeeping)
+                "log_secs": round(t_log, 3),
+                "state_secs": round(t_state, 3),
             },
         )
         admitted.unpersist()
