@@ -83,8 +83,23 @@ def hash_family(kind: str = "xxhash64"):
     raise ValueError(f"unknown hash family {kind!r}")
 
 
+def spread_small_scan(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Spread a small-file scan across the cluster before CPU-heavy
+    fan-out (shingle explode, per-token hashing). A sub-128MB parquet
+    input arrives in O(1) scan partitions, which serializes all
+    downstream per-doc work onto one core; hash-repartitioning by the
+    doc key (deterministic) restores parallelism. No-op when the scan
+    is already at least as parallel as the cluster — at real corpus
+    scale the file splits make this a pass-through."""
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= p:
+        return docs
+    return docs.repartition(p, F.col(key_col))
+
+
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, shingle): distinct word n-gram shingles per document."""
+    docs = spread_small_scan(docs, id_col)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
     gram = F.transform(
@@ -152,21 +167,99 @@ def lsh_candidate_pairs(
     )
 
 
-def exact_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+def jaccard_join_volumes(
+    docs: DataFrame, jaccard_num: int = 2, jaccard_den: int = 10, n: int = 3
+) -> tuple:
+    """(allpairs_rows, prefix_rows): EXACT row counts the two dedup
+    plans push through their shingle equi-join — Σ C(f,2) over join-key
+    occurrences — computed from frequency aggregates in linear time (no
+    quadratic work). This is the scale determinant the wall-clock at
+    sandbox SF can't show: the all-pairs volume grows with the square
+    of hot-shingle frequency (boilerplate shared by every page), while
+    the prefix volume excludes precisely those keys and tracks the true
+    near-dup output instead."""
+    sh = shingles(docs, n).persist()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+    ap = freq.agg(F.sum(F.expr("f*(f-1) div 2"))).first()[0] or 0
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy("f", "shingle")
+    pref = (
+        sh.join(freq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sz, "doc_id")
+        .withColumn(
+            "_alpha",
+            F.expr(f"(n_sh * {jaccard_num} + {jaccard_den - 1}) div {jaccard_den}"),
+        )
+        .filter(F.col("_pos") <= F.col("n_sh") - F.col("_alpha") + 1)
+    )
+    pf = (
+        pref.groupBy("shingle")
+        .agg(F.count("*").alias("fp"))
+        .agg(F.sum(F.expr("fp*(fp-1) div 2")))
+        .first()[0]
+        or 0
+    )
+    sh.unpersist()
+    return int(ap), int(pf)
+
+
+def exact_jaccard(
+    sh: DataFrame, pairs: DataFrame | None = None, verify: str = "arrays"
+) -> DataFrame:
     """(doc_a, doc_b, common, na, nb): exact shingle-set overlap.
 
     Without ``pairs``: the all-pairs shingle self-join (the oracle form
     — O(corpus²-ish) on common shingles; never the scale path).
 
-    With ``pairs`` (the LSH/prefix verify stage): per-PAIR verification
-    — candidates pick up side-A shingles by doc_a, then probe side B
-    with a (doc_b, shingle) composite-key join. No shingle-only
-    self-join exists in the plan at all, so a hot shingle shared by
-    10^6 docs costs 10^6 rows (linear scan), not 10^12 join outputs;
-    total verify cost is O(Σ over candidate pairs of |A|), i.e. it
-    scales with the candidate set, never the corpus².
+    With ``pairs`` (the LSH/prefix verify stage): per-PAIR verification,
+    two exact plans — neither contains a shingle self-join, so a hot
+    shingle shared by 10^6 docs never produces 10^12 join outputs:
+
+    verify="arrays" (default): each candidate row joins the two docs'
+      shingle arrays (one groupBy collect_list per doc — a row is
+      O(doc bytes), the same order as the source document row itself)
+      and computes size(array_intersect(..)) JVM-side. ONE row per
+      candidate through the shuffle instead of one per (pair, shingle):
+      verify shuffle volume is O(|candidates|), the intersect CPU is
+      O(Σ |A|+|B|). The right plan unless outlier docs are so large
+      that a single doc's shingle array breaks a row (multi-GB docs —
+      which a training pipeline length-filters long before dedup).
+
+    verify="probe": candidates pick up side-A shingles by doc_a, then
+      probe side B with a (doc_b, shingle) composite-key join —
+      one row per (pair, shingle), O(Σ over candidates of |A|) shuffle
+      volume. Row sizes stay tiny regardless of doc size; use for
+      corpora with pathological outlier documents.
     """
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if pairs is not None and verify == "arrays":
+        arrs = sh.groupBy("doc_id").agg(
+            F.collect_list("shingle").alias("_arr"), F.count("*").alias("_n")
+        )
+        return (
+            pairs.join(
+                arrs.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("_arr").alias("_aa"),
+                    F.col("_n").alias("na"),
+                ),
+                "doc_a",
+            )
+            .join(
+                arrs.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("_arr").alias("_ab"),
+                    F.col("_n").alias("nb"),
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a", "doc_b",
+                F.size(F.array_intersect("_aa", "_ab")).alias("common"),
+                "na", "nb",
+            )
+        )
     if pairs is None:
         a = sh.alias("a")
         b = sh.alias("b")
@@ -255,9 +348,20 @@ def prefix_jaccard_pairs(
             F.expr(f"(n_sh * {jaccard_num} + {jaccard_den - 1}) div {jaccard_den}"),
         )
         .filter(F.col("_pos") <= F.col("n_sh") - F.col("_alpha") + 1)
-        .select("doc_id", "shingle", "n_sh")
+        .select("doc_id", "shingle", "n_sh", "_pos")
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin positional bound: a common prefix shingle at (sorted) 1-based
+    # positions (pa, pb) caps the total overlap at 1 + min(na-pa, nb-pb)
+    # (everything else shared must sit after it on both sides); the pair
+    # needs c*(den+num) >= num*(na+nb), so rows whose positional cap
+    # can't reach that die BEFORE the distinct shuffle and the verify
+    # join — the prefix-extent filter alone is weak at low thresholds
+    # (t=0.2 keeps ~80% of each doc), the positional cap is what cuts
+    # the candidate set down.
+    ubound = 1 + F.least(
+        F.col("a.n_sh") - F.col("a._pos"), F.col("b.n_sh") - F.col("b._pos")
+    )
     cand = (
         a.join(
             b,
@@ -266,7 +370,8 @@ def prefix_jaccard_pairs(
             & (
                 F.least(F.col("a.n_sh"), F.col("b.n_sh")) * s
                 >= jaccard_num * (F.col("a.n_sh") + F.col("b.n_sh"))
-            ),
+            )
+            & (ubound * s >= jaccard_num * (F.col("a.n_sh") + F.col("b.n_sh"))),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -309,7 +414,7 @@ def simhash(
     8 MB collect_list row.
     """
     h = hash_family(hash_kind)
-    toks = docs.select(
+    toks = spread_small_scan(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )

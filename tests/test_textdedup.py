@@ -248,13 +248,32 @@ def test_verify_stage_is_candidate_pruned(docs):
     sh = shingles(docs)
     sigs = minhash_signatures(sh, 16)
     cand = lsh_candidate_pairs(sigs, 4, 16)
-    plan = exact_jaccard(sh, cand)._jdf.queryExecution().optimizedPlan().toString()
+    # probe mode: the only shingle-equality join is composite-keyed
+    plan = (
+        exact_jaccard(sh, cand, verify="probe")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
     join_lines = [
         ln for ln in plan.splitlines() if "Join Inner" in ln and "shingle" in ln
     ]
     assert join_lines, "expected a shingle-keyed verify join in the plan"
     for ln in join_lines:
         assert "doc_b" in ln, f"shingle-only self-join in verify plan: {ln}"
+    # arrays mode (the default): no shingle-equality join AT ALL — the
+    # verify moves one row per candidate, never one per (pair, shingle)
+    plan_a = exact_jaccard(sh, cand)._jdf.queryExecution().optimizedPlan().toString()
+    bad = [
+        ln for ln in plan_a.splitlines() if "Join Inner" in ln and "shingle" in ln
+    ]
+    assert not bad, f"array verify must not join on shingle: {bad}"
+    # both modes produce identical exact results (column order differs
+    # pre-select: the probe path's size joins reorder the key columns)
+    cols = ["doc_a", "doc_b", "common", "na", "nb"]
+    r_probe = sorted(
+        map(tuple, exact_jaccard(sh, cand, verify="probe").select(*cols).collect())
+    )
+    r_arr = sorted(map(tuple, exact_jaccard(sh, cand).select(*cols).collect()))
+    assert r_probe == r_arr
 
 
 def _mk_hash_df(spark, hashes):
