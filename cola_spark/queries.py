@@ -506,10 +506,12 @@ def q_dedup_clusters(spark, sf):
     near-dup pairs; cluster_id = minimum reachable doc_id; keep=true
     for the representative. Spark side is iterative min-label
     propagation (operators/clusters.py); the oracle closes the graph
-    with a recursive CTE — same fixpoint, different mechanics."""
+    with a recursive CTE — same fixpoint, different mechanics. Pairs
+    come from the prefix-filtered exact join (identical result set to
+    the all-pairs form — equality-tested — and the scale path)."""
     from cola_spark.operators.clusters import dedup_keep_set
 
-    return dedup_keep_set(q_ngram_jaccard_pairs(spark, sf))
+    return dedup_keep_set(q_jaccard_prefix_pairs(spark, sf))
 
 
 SQL_DEDUP_CLUSTERS = r"""
@@ -550,7 +552,7 @@ def q_corpus_clean(spark, sf):
     from cola_spark.operators.clusters import dedup_keep_set
 
     d = _t(spark, sf, "documents")
-    drops = dedup_keep_set(q_ngram_jaccard_pairs(spark, sf)).filter(~F.col("keep"))
+    drops = dedup_keep_set(q_jaccard_prefix_pairs(spark, sf)).filter(~F.col("keep"))
     quality = q_docs_quality(spark, sf).filter(F.col("is_quality")).select(
         "doc_id", "n_tokens"
     )
