@@ -1011,10 +1011,58 @@ def q_frame_sample(spark, sf):
     )
 
 
+def q_image_corpus_clean(spark, sf):
+    """Flagship image-side cleaning composition — the image mirror of
+    corpus_clean: corpus (with injected byte-identical duplicates) →
+    exact byte dedup (md5 groupBy, min-id representative) → pHash
+    near-dup keep-set (multi-band Hamming pairs → connected components,
+    drop non-representatives) → luma-variance quality gate (flat images
+    out) → per-format counts and integer feature sums. Rows-only (the
+    image codec has no DuckDB twin); exact sequential recomputation in
+    LOCAL_ORACLES."""
+    from cola_spark.operators.clusters import dedup_keep_set
+    from cola_spark.operators.multimodal import image_features, phash_near_dup_pairs
+    from cola_spark.sources import gen_images
+
+    base = gen_images(spark, 64)
+    dups = base.filter(F.col("image_id") < "img00000008").withColumn(
+        "image_id", F.concat(F.col("image_id"), F.lit("-dup"))
+    )
+    corpus = base.unionByName(dups)
+    keep_exact = corpus.groupBy(F.md5(F.col("bytes")).alias("_d")).agg(
+        F.min("image_id").alias("image_id")
+    )
+    survivors = corpus.join(keep_exact.select("image_id"), "image_id", "semi")
+    feats = image_features(survivors)
+    # Hamming <= 1: true visual duplicates (the synthetic gradient
+    # textures cluster tightly — median pair Hamming is 8, so a loose
+    # radius would collapse the whole corpus); detection is guaranteed
+    # by the 4x16-bit banding for Hamming <= 3
+    pairs = phash_near_dup_pairs(feats, max_hamming=1)
+    drops = (
+        dedup_keep_set(pairs, a_col="img_a", b_col="img_b")
+        .filter(~F.col("keep"))
+        .select(F.col("doc_id").alias("image_id"))
+    )
+    gated = (
+        survivors.join(drops, "image_id", "left_anti")
+        .select("image_id", "fmt")
+        .join(feats, "image_id")
+        .filter(F.col("std_luma_x1000") >= 30000)
+    )
+    return gated.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum("w").alias("sum_w"),
+        F.sum("h").alias("sum_h"),
+        F.sum("mean_luma_x1000").alias("sum_mean_luma"),
+    )
+
+
 PAIRS.update({
     "image_features": (q_image_features, None),
     "phash_near_dups": (q_phash_near_dups, None),
     "image_dedup_clusters": (q_image_dedup_clusters, None),
+    "image_corpus_clean": (q_image_corpus_clean, None),
     "frame_sample": (q_frame_sample, None),
 })
 
@@ -1136,12 +1184,54 @@ def local_oracle_frame_sample(spark, sf):
     return pdf.astype({"frame_no": "int32"})
 
 
+def local_oracle_image_corpus_clean(spark, sf):
+    import hashlib
+
+    import pandas as pd
+
+    # injected duplicates share bytes with an original and a strictly
+    # larger id ("imgX" < "imgX-dup"), so exact byte dedup keeps
+    # exactly the 64 originals — the oracle composes from there
+    feats = _local_feature_rows(64)
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in _local_phash_pairs(1, 4):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drops = {n for n in parent if find(n) != n}
+    agg: dict[str, list] = {}
+    for image_id, w, h, mean, std, _ph in feats:
+        if image_id in drops or std < 30000:
+            continue
+        d = hashlib.md5(image_id.encode()).digest()
+        fmt = "png" if d[4] % 2 == 0 else "jpgq"
+        acc = agg.setdefault(fmt, [0, 0, 0, 0])
+        acc[0] += 1
+        acc[1] += w
+        acc[2] += h
+        acc[3] += mean
+    rows = [(f, *agg[f]) for f in sorted(agg)]
+    return pd.DataFrame(
+        rows, columns=["fmt", "n_images", "sum_w", "sum_h", "sum_mean_luma"]
+    )
+
+
 #: name -> callable(spark, sf) -> pandas.DataFrame with the exact
 #: expected result (columns and dtypes matching the Spark query)
 LOCAL_ORACLES: dict[str, Callable] = {
     "image_features": local_oracle_image_features,
     "phash_near_dups": local_oracle_phash_near_dups,
     "image_dedup_clusters": local_oracle_image_dedup_clusters,
+    "image_corpus_clean": local_oracle_image_corpus_clean,
     "frame_sample": local_oracle_frame_sample,
 }
 

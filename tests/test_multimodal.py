@@ -81,3 +81,23 @@ def test_frame_sample_bad_container(spark):
     df = spark.createDataFrame([("bad", bytearray(b"nope"))], "video_id string, bytes binary")
     with pytest.raises(Exception):
         frame_sample(df).collect()
+
+
+def test_image_corpus_clean_matches_local_oracle(spark):
+    """The image-side cleaning composition (exact byte dedup -> pHash
+    keep-set -> luma quality gate -> per-format stats) equals its
+    sequential pure-Python recomputation exactly, dtypes included."""
+    import pandas as pd
+
+    from cola_spark.queries import LOCAL_ORACLES, PAIRS
+
+    got = PAIRS["image_corpus_clean"][0](spark, "unused").toPandas()
+    want = LOCAL_ORACLES["image_corpus_clean"](spark, "unused")
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    # the composition is non-degenerate: both formats survive and the
+    # injected duplicates plus pHash-identical twins were dropped
+    assert set(want["fmt"]) == {"png", "jpgq"}
+    assert int(want["n_images"].sum()) < 64
