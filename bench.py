@@ -73,7 +73,7 @@ def frontier_pipeline_once(spark, n_urls: int, n_hosts: int, n_images: int,
     seeds = gen_frontier_seeds(spark, n_urls, n_hosts=n_hosts, parts=parts)
     frontier = prepare_frontier(seeds.select("url", "priority", "seq", "force"))
     admitted, _ = admit(frontier, spark.createDataFrame([], "url_hash long"))
-    allowed = robots_gate(admitted, gen_robots(spark, n_hosts))
+    allowed = robots_gate(admitted, gen_robots(spark, n_hosts), broadcast=False)
     budgets = gen_budgets(spark, n_hosts).withColumn("rate_per_round", F.lit(50))
     # web-scale host universe (400k at sf0.1, 10^7+ at the design point):
     # the caps join is a parallel shuffle join, NOT a serial broadcast

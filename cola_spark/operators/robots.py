@@ -13,10 +13,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+def robots_gate(
+    frontier: DataFrame, robots: DataFrame, broadcast: bool = True
+) -> DataFrame:
     """Drop frontier rows disallowed by robots (supports multiple
-    disallow prefixes per host)."""
-    r = F.broadcast(robots.select("host", "disallow_prefix"))
+    disallow prefixes per host).
+
+    broadcast=True for broadcast-sized host universes (a focused
+    crawl). At web-scale host sets (10^5+ rules) the per-round
+    broadcast build is serial driver-adjacent work that caps stage
+    scaling — pass False for a parallel shuffled anti-join on host
+    (same knob rationale as schedule_cut's broadcast_caps)."""
+    r = robots.select("host", "disallow_prefix")
+    if broadcast:
+        r = F.broadcast(r)
     cond = (frontier["host"] == r["host"]) & frontier["path"].startswith(
         r["disallow_prefix"]
     )

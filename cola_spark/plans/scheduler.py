@@ -87,6 +87,8 @@ class CrawlConfig:
     adaptive: bool = False  # cola adaptive speed: rate backs off on errors
     global_cap: int | None = None  # cola speed.max: cluster-wide pages/round
     broadcast_caps: bool = True  # False for web-scale (10^7+) host universes
+    # (governs BOTH per-host side tables: the budget-caps join and the
+    # robots-rules join — broadcast builds are serial per-round work)
     dedup_mode: str = "exact"  # exact | hybrid | cuckoo
     filter_parts: int = 32
     filter_capacity: int = 1 << 18
@@ -219,7 +221,9 @@ def run_crawl(
         new_seen = admitted.filter(~F.col("force")).select("url_hash")
 
         # 2-3. robots gate + this round's cut + fetch, fused into one job
-        pending_next = pending.unionByName(robots_gate(admitted, robots))
+        pending_next = pending.unionByName(
+            robots_gate(admitted, robots, broadcast=cfg.broadcast_caps)
+        )
         caps = budget_caps(bstate, cfg.adaptive)
         scheduled = apply_global_cap(
             schedule_cut(

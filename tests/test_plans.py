@@ -43,6 +43,34 @@ def test_robots_gate_is_broadcast(spark):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
 
 
+def test_shuffle_mode_knobs_match_broadcast(spark):
+    """The web-scale shuffle variants of the two per-host side-table
+    joins (robots rules, budget caps) must produce the exact same rows
+    as the broadcast default — the knob changes the physical plan, not
+    the semantics."""
+    from cola_spark.operators.budget import budget_caps, init_budget_state
+    from cola_spark.operators.dedup import prepare_frontier
+    from cola_spark.operators.priority import schedule_cut
+    from cola_spark.operators.robots import robots_gate
+    from cola_spark.sources import gen_budgets, gen_frontier_seeds, gen_robots
+
+    fr = prepare_frontier(
+        gen_frontier_seeds(spark, 1000, n_hosts=20).select(
+            "url", "priority", "seq", "force"
+        )
+    )
+    robots = gen_robots(spark, 20)
+    bc = sorted(r.url for r in robots_gate(fr, robots, broadcast=True).collect())
+    sh = sorted(r.url for r in robots_gate(fr, robots, broadcast=False).collect())
+    assert bc == sh and len(bc) > 0
+
+    caps = budget_caps(init_budget_state(gen_budgets(spark, 20)))
+    cut_bc = schedule_cut(fr, caps, broadcast_caps=True)
+    cut_sh = schedule_cut(fr, caps, broadcast_caps=False)
+    key = lambda r: (r.url, r.host_rank)
+    assert sorted(map(key, cut_bc.collect())) == sorted(map(key, cut_sh.collect()))
+
+
 def test_budget_caps_join_is_broadcast(spark):
     from cola_spark.operators.budget import budget_caps, init_budget_state
     from cola_spark.operators.priority import schedule_cut
