@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "jaccard_prefix_pairs",  # the SCALE exact-dedup path: prefix-filtered
     # join — keys exclude the high-frequency shingles where corpus² lives
     "dedup_clusters",  # pairs → connected components → keep-set
+    "span_dedup",  # exact substring dedup: linear window-hash + keep-first
     "ann_cosine_topk", "docs_exact_dedup", "multimodal_meta",
 ]
 

@@ -256,7 +256,7 @@ def exact_jaccard(
             )
             .select(
                 "doc_a", "doc_b",
-                F.size(F.array_intersect("_aa", "_ab")).alias("common"),
+                F.size(F.array_intersect("_aa", "_ab")).cast("long").alias("common"),
                 "na", "nb",
             )
         )
@@ -566,3 +566,105 @@ def simhash_near_pairs(
     distance itself is JVM-side bit_count(xor)."""
     s = simhash(docs, hash_kind=hash_kind)
     return banded_hamming_pairs(s, "doc_id", "simhash", bands, max_hamming)
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    remove every occurrence-after-the-first of any >= min_len-token
+    span that repeats anywhere in the corpus (across documents or
+    within one). No reference analogue — cola dedups URL identity only;
+    this is the span-level dedup modality a training corpus needs on
+    top of whole/near-document dedup (a doc can be unique overall yet
+    80% syndicated boilerplate).
+
+    Returns one row per input doc: (doc_id, n_spans, removed_tokens,
+    clean_text) — merged removed spans, their token count, and the doc
+    text with those tokens dropped (first occurrence kept verbatim).
+
+    Spark-first plan, linear where suffix arrays are superlinear:
+      1. window hashing: every overlapping min_len-token window hashed
+         JVM-side (transform/slice/md5 — whole-stage codegen), one row
+         per (doc, pos): O(corpus tokens).
+      2. keep-first marking: row_number over each window-hash partition
+         in global (doc_id, pos) order; rn > 1 marks a duplicated
+         occurrence. One shuffle on the hash — uniformly distributed
+         keys, no skew (the hottest boilerplate hash sorts a list the
+         size of its frequency, never a cross product).
+      3. span merge: gaps-and-islands per doc (marked windows overlap
+         when closer than min_len) — the window is partitioned by
+         doc_id, bounded by doc length.
+      4. rebuild: spans fold back onto the token array as a nested
+         exists() filter — pure JVM, one row per doc throughout.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+    l_ = int(min_len)
+
+    idx = F.sequence(F.lit(1), F.size("ws") - (l_ - 1))
+    win_arr = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i, l_))))
+    wins = (
+        base.filter(F.size("ws") >= l_)
+        .select("doc_id", F.posexplode(win_arr).alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+
+    wh = Window.partitionBy("h").orderBy("doc_id", "pos")
+    marked = (
+        wins.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+
+    # gaps-and-islands: a marked window [pos, pos+l) merges into the
+    # current span unless it starts past the running max end
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        marked.withColumn("prev_end", F.max(F.col("pos") + l_).over(wprev))
+        .withColumn(
+            "ni",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("g", F.sum("ni").over(wrun))
+    )
+    spans = isl.groupBy("doc_id", "g").agg(
+        F.min("pos").alias("s"), (F.max("pos") + l_).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("removed_tokens"),
+        F.collect_list(F.struct("s", "e")).alias("sp"),
+    )
+
+    def kept(t, i):  # 0-based i; spans are 1-based [s, e)
+        return ~F.exists(
+            F.col("sp"), lambda p: (i + 1 >= p["s"]) & (i + 1 < p["e"])
+        )
+
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("removed_tokens"), F.lit(0))
+        .cast("long")
+        .alias("removed_tokens"),
+        F.when(F.col("sp").isNull(), F.concat_ws(" ", F.col("ws")))
+        .otherwise(F.concat_ws(" ", F.filter("ws", kept)))
+        .alias("clean_text"),
+    )

@@ -1603,3 +1603,61 @@ PAIRS.update({
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMB_NEAR_DUPS),
     "docs_lang_id": (q_docs_lang_id, SQL_LANG_ID),
 })
+
+
+def q_span_dedup(spark, sf):
+    """Cross-document exact substring dedup (Lee et al. 2022): every
+    occurrence-after-the-first of any repeated 5-token span is removed
+    corpus-wide (first occurrence in global (doc_id, pos) order kept).
+    Linear window-hashing + keep-first rank + gaps-and-islands span
+    merge — the span-level dedup modality beside whole-doc (md5) and
+    near-doc (MinHash/SimHash/Jaccard) dedup. Output per doc: merged
+    span count, removed token count, cleaned text."""
+    from cola_spark.operators.textdedup import duplicate_spans, spread_small_scan
+
+    docs = spread_small_scan(_t(spark, sf, "documents"))
+    return duplicate_spans(docs, min_len=5)
+
+
+SQL_SPAN_DEDUP = r"""
+WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents),
+wins AS (SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+4], ' ')) AS h
+         FROM base, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+         WHERE len(ws) >= 5),
+marked AS (SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+                    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+             FROM wins) WHERE rn > 1),
+isl AS (SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS ni
+        FROM marked),
+grp AS (SELECT doc_id, pos,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM isl),
+spans AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + 5 AS e
+          FROM grp GROUP BY doc_id, g),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s) AS BIGINT) AS removed_tokens
+        FROM spans GROUP BY doc_id),
+toks AS (SELECT b.doc_id, i, b.ws[i] AS tok
+         FROM base b, UNNEST(generate_series(1, len(b.ws))) AS t(i)),
+keep AS (SELECT k.doc_id, k.i, k.tok FROM toks k
+         WHERE NOT EXISTS (SELECT 1 FROM spans s
+                           WHERE s.doc_id = k.doc_id
+                             AND k.i >= s.s AND k.i < s.e)),
+clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+          FROM keep GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(a.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       COALESCE(c.clean_text, '') AS clean_text
+FROM base b
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
+"""
+
+PAIRS.update({"span_dedup": (q_span_dedup, SQL_SPAN_DEDUP)})

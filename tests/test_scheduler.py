@@ -95,3 +95,18 @@ def test_retries_present_and_bounded(crawl):
     retried = log.filter(F.col("error_times") > 0)
     assert log.filter(~F.col("fetch_ok")).count() > 0, "fixture should produce failures"
     assert retried.filter(F.col("error_times") >= 3).count() == 0
+
+
+def test_fused_parts_sizing():
+    """Data-derived Python-stage sizing: ~150 rows/task, floored at 1,
+    capped at 8x cluster parallelism (the bound is the budget ledger's
+    cap sum, so it is exact and known before the job)."""
+    from cola_spark.operators.fetch import fused_parts
+
+    assert fused_parts(0, 32) == 1          # empty round still one task
+    assert fused_parts(1, 32) == 1
+    assert fused_parts(150, 32) == 1
+    assert fused_parts(151, 32) == 2        # ceil division
+    assert fused_parts(15_000, 32) == 100   # 150 rows/task
+    assert fused_parts(10**9, 32) == 256    # 8x parallelism cap
+    assert fused_parts(10**9, 1000) == 8000  # cap scales with the cluster

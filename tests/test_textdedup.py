@@ -365,3 +365,29 @@ def test_guard_disabled_matches_guarded_below_threshold(spark):
     b = sorted((r.doc_a, r.doc_b, r.hamming) for r in banded_hamming_pairs(
         s, "doc_id", "simhash", max_bucket=None).collect())
     assert a == b
+
+
+def test_duplicate_spans_keep_first_and_merge(spark):
+    """Hand-built corpus with known repeated 5-token spans: the first
+    occurrence (global (doc_id, pos) order) is kept verbatim, later
+    occurrences are removed, overlapping windows merge into one span,
+    and short docs / fully-duplicated docs behave."""
+    from cola_spark.operators.textdedup import duplicate_spans
+
+    rows = [
+        (1, "a b c d e f g h"),            # first occurrence: untouched
+        (2, "x x a b c d e f y"),          # shares 6-token run with d1
+        (3, "p q r s"),                    # shorter than min_len
+        (4, "a b c d e f g h"),            # exact copy of d1: fully removed
+        (5, "m n o p q Z m n o p q"),      # within-doc repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.removed_tokens, r.clean_text)
+        for r in duplicate_spans(docs, min_len=5).collect()
+    }
+    assert got[1] == (0, 0, "a b c d e f g h")
+    assert got[2] == (1, 6, "x x y")        # [3,9) merged from pos 3+4
+    assert got[3] == (0, 0, "p q r s")
+    assert got[4] == (1, 8, "")             # every window marked
+    assert got[5] == (1, 5, "m n o p q Z")  # second in-doc occurrence cut
