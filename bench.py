@@ -39,7 +39,11 @@ BENCH_QUERIES = [
     # join — keys exclude the high-frequency shingles where corpus² lives
     "dedup_clusters",  # pairs → connected components → keep-set
     "span_dedup",  # exact substring dedup: linear window-hash + keep-first
-    "ann_cosine_topk", "docs_exact_dedup", "multimodal_meta",
+    "decontam_overlap",  # broadcast benchmark n-gram probe
+    "docs_unigram_quality",  # two-pass corpus stats, Zipf-split join
+    "ann_cosine_topk",
+    "ann_pq_topk",  # compressed-scan ADC ANN (16 codes/vector)
+    "docs_exact_dedup", "multimodal_meta",
 ]
 
 

@@ -147,3 +147,74 @@ def frame_sample(videos: DataFrame, every_n: int = 2, frame_fmt: str = "jpgq") -
     return videos.select("video_id", "bytes").mapInPandas(
         batches, "video_id string, frame_no int, bytes binary, fmt string"
     )
+
+
+def phash_decontam(
+    corpus_feats: DataFrame, bench_feats: DataFrame,
+    max_hamming: int = 1, bands: int = 4,
+    id_col: str = "image_id", hash_col: str = "phash",
+) -> DataFrame:
+    """(image_id, best_hamming, contaminated): the image mirror of
+    benchmark decontamination — flag every corpus image whose perceptual
+    hash is within max_hamming of ANY benchmark image.
+
+    Scale shape (the text decontam argument, on the pHash axis): an
+    eval image set is small by construction, so its band rows are
+    BROADCAST; each corpus image meets only bench images sharing one of
+    its `bands` 16-bit pHash bands — a map-side broadcast equi-join, no
+    corpus-scale shuffle except the final per-image min groupBy. For
+    max_hamming <= bands-1 the pigeonhole guarantee makes the gate
+    EXACT (a missed leak is a correctness bug, not a recall number):
+    <= bands-1 differing bits cannot dirty all bands, so every within-
+    radius pair shares a band and is verified by bit_count(xor).
+
+    best_hamming is -1 for clean images (no bench hash within radius).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the exactness guarantee "
+            f"(needs <= bands-1 = {bands - 1})"
+        )
+    bits = 64 // bands
+    mask = (1 << bits) - 1
+
+    def band_rows(df: DataFrame, idn: str, hn: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idn),
+            F.col(hash_col).alias(hn),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col(hash_col), bits * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bd"),
+        ).select(idn, hn, "bd.band_id", "bd.band_val")
+
+    c = band_rows(corpus_feats, "_cid", "_ch")
+    b = band_rows(bench_feats, "_bid", "_bh").select(
+        "band_id", "band_val", "_bh"
+    ).distinct()
+    hits = (
+        c.join(F.broadcast(b), ["band_id", "band_val"])
+        .select(
+            "_cid",
+            F.bit_count(F.col("_ch").bitwiseXOR(F.col("_bh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("_cid")
+        .agg(F.min("hamming").cast("long").alias("best_hamming"))
+    )
+    return (
+        corpus_feats.select(F.col(id_col).alias("image_id"))
+        .join(hits.withColumnRenamed("_cid", "image_id"), "image_id", "left")
+        .select(
+            "image_id",
+            F.coalesce(F.col("best_hamming"), F.lit(-1)).cast("long").alias("best_hamming"),
+            F.col("best_hamming").isNotNull().alias("contaminated"),
+        )
+    )

@@ -366,3 +366,156 @@ def centroids(corpus: DataFrame, label_col: str = "label", vec_col: str = "embed
             "n",
         )
     )
+
+
+def pq_codebook(
+    corpus: DataFrame, n_sub: int = 16, n_codes: int = 32, sub_dim: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(m, code, cw array<double>): product-quantization codebook —
+    hash-seeded like ivf_cells (the n_codes corpus vectors with the
+    smallest md5('pq:'||id) key, split into n_sub contiguous
+    sub_dim-wide subvectors), so the whole PQ pipeline is deterministic
+    and SQL-oracle-able. n_sub*n_codes rows — broadcast-sized at any
+    corpus scale (a trained k-means codebook drops in via the same
+    schema)."""
+    key = F.md5(F.concat(F.lit("pq:"), F.col(id_col).cast("string")))
+    w = Window.orderBy("_k")
+    src = (
+        corpus.select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+            key.alias("_k"),
+        )
+        .orderBy("_k")
+        .limit(n_codes)
+        .withColumn("code", (F.row_number().over(w) - 1).cast("int"))
+    )
+    subs = F.array(*[
+        F.struct(
+            F.lit(m).alias("m"),
+            F.slice(F.col("_v"), m * sub_dim + 1, sub_dim).alias("cw"),
+        )
+        for m in range(n_sub)
+    ])
+    return src.select(F.explode(subs).alias("s"), "code").select(
+        F.col("s.m").alias("m"), "code", F.col("s.cw").alias("cw")
+    )
+
+
+def _expanded_dot_cos(a, b, d: int):
+    """(dot, cosine) between two d-element array columns as EXPANDED
+    scalar arithmetic — element_at products summed left-to-right, the
+    exact fold order of _cosine / DuckDB's list functions, but as plain
+    codegen-able expressions. Higher-order functions (transform /
+    aggregate / filter) are evaluated interpreted, outside whole-stage
+    codegen — per-row lambda dispatch dominated the PQ hot path (a
+    measured ~15 s floor at 500 vectors); expansion removes it."""
+    dot, na, nb = F.lit(0.0), F.lit(0.0), F.lit(0.0)
+    for j in range(1, d + 1):
+        x = F.element_at(a, j).cast("double")
+        y = F.element_at(b, j).cast("double")
+        dot = dot + x * y
+        na = na + x * x
+        nb = nb + y * y
+    return dot, dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def _sub_rows(
+    df: DataFrame, out_id: str, n_sub: int, sub_dim: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(out_id, m, sub): one row per (vector, subspace) — a pure-codegen
+    explode of the contiguous subvector views."""
+    subs = F.array(*[
+        F.struct(
+            F.lit(m).alias("m"),
+            F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim).alias("sub"),
+        )
+        for m in range(n_sub)
+    ])
+    return df.select(F.col(id_col).alias(out_id), F.explode(subs).alias("s")).select(
+        out_id, "s.m", "s.sub"
+    )
+
+
+def _pq_codes_long(
+    corpus: DataFrame, codebook: DataFrame, n_sub: int, sub_dim: int,
+    id_col: str, vec_col: str, out_id: str = "vec_id",
+) -> DataFrame:
+    """(out_id, m, code): nearest codeword per (vector, subspace) by
+    cosine, ties → lower code. Relational shape: subspace rows × the
+    BROADCAST codebook (n_sub·n_codes rows), cosine as expanded scalar
+    arithmetic, argmax as a max(struct(s, -code)) aggregate with a
+    map-side partial — no shuffle larger than n_sub rows per vector,
+    everything inside whole-stage codegen."""
+    sub = _sub_rows(corpus, out_id, n_sub, sub_dim, id_col, vec_col)
+    _, cos = _expanded_dot_cos(F.col("sub"), F.col("cw"), sub_dim)
+    return (
+        sub.join(F.broadcast(codebook), "m")
+        .select(out_id, "m", cos.alias("s"), F.col("code"))
+        .groupBy(out_id, "m")
+        .agg(F.max(F.struct(F.col("s"), (-F.col("code")).alias("nc"))).alias("b"))
+        .select(out_id, "m", (-F.col("b.nc")).cast("int").alias("code"))
+    )
+
+
+def pq_encode(
+    corpus: DataFrame, codebook: DataFrame, n_sub: int = 16, sub_dim: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>): each vector compressed to n_sub
+    codebook indices. At 100 TB this is the point of PQ: the corpus's
+    n_sub bytes-per-vector code table fits an order of magnitude more
+    vectors per executor than raw float arrays."""
+    long = _pq_codes_long(corpus, codebook, n_sub, sub_dim, id_col, vec_col)
+    return (
+        long.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "code"))).alias("mc"))
+        .select("vec_id", F.transform("mc", lambda s: s["code"]).alias("codes"))
+    )
+
+
+def pq_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, n_sub: int = 16,
+    n_codes: int = 32, sub_dim: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank): approximate top-k by asymmetric
+    distance computation (ADC) over PQ codes — the score is the inner
+    product between the raw query and the corpus vector's codebook
+    reconstruction. The query side precomputes its (m, code) → dot
+    lookup table (n_queries·n_sub·n_codes rows — broadcast-sized);
+    the corpus side scans CODES, not vectors, meeting the LUT in a
+    map-side broadcast equi-join on (m, code); the per-pair score is a
+    16-way pivot summed in fixed subspace order (engine-stable float
+    fold, matching the SQL oracle's MAX(CASE) pivot). Pair with IVF
+    cells for candidate pruning at extreme scale; here the full
+    compressed scan IS the scale story (n_sub bytes/vector)."""
+    cb = pq_codebook(corpus, n_sub, n_codes, sub_dim, id_col, vec_col)
+    enc = _pq_codes_long(
+        corpus, cb, n_sub, sub_dim, id_col, vec_col, out_id="neighbor_id"
+    )
+    qsub = _sub_rows(queries, "query_id", n_sub, sub_dim, id_col, vec_col)
+    dot, _ = _expanded_dot_cos(F.col("sub"), F.col("cw"), sub_dim)
+    qlut = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "code", dot.alias("t")
+    )
+    pivot = [
+        F.max(F.when(F.col("m") == i, F.col("t"))).alias(f"_t{i}")
+        for i in range(n_sub)
+    ]
+    score = F.col("_t0")
+    for i in range(1, n_sub):
+        score = score + F.col(f"_t{i}")
+    sims = (
+        enc.join(F.broadcast(qlut), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(*pivot)
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1661,3 +1661,199 @@ LEFT JOIN clean c USING (doc_id)
 """
 
 PAIRS.update({"span_dedup": (q_span_dedup, SQL_SPAN_DEDUP)})
+
+
+def q_decontam_overlap(spark, sf):
+    """Benchmark decontamination (GPT-3 App. C style): every training
+    doc sharing at least one 8-token n-gram with the benchmark split
+    (here: doc_id % 20 == 7 — a deterministic stand-in eval set) is
+    flagged, with its distinct-hit count. Benchmark n-grams broadcast;
+    the corpus probes them map-side during its own n-gram fan-out."""
+    from cola_spark.operators.decontam import benchmark_overlap
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 7)
+    corpus = docs.filter(F.col("doc_id") % 20 != 7)
+    return benchmark_overlap(corpus, bench, n=8)
+
+
+SQL_DECONTAM = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS ng
+      FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+      WHERE len(ws) >= 8),
+bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 20 = 7),
+hits AS (SELECT g.doc_id, CAST(COUNT(DISTINCT g.ng) AS BIGINT) AS n_hits
+         FROM g JOIN bench USING (ng)
+         WHERE g.doc_id % 20 <> 7 GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 20 <> 7
+"""
+
+
+def q_domain_sample(spark, sf):
+    """Deterministic stratified domain-mix sample: keep 60% of en, 30%
+    of de/es/fr, 15% of zh by hashing doc_id into a permille bucket
+    (md5 family — bit-identical in DuckDB, so the exact sample
+    membership is oracled). Pure map-side filter: zero shuffles,
+    rerun-stable, nested under rate increases."""
+    from cola_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf, "documents"),
+        {"en": 600, "de": 300, "es": 300, "fr": 300, "zh": 150},
+        default_permille=0,
+        hash_kind="md5",
+    )
+
+
+SQL_DOMAIN_SAMPLE = """
+WITH b AS (
+  SELECT doc_id, lang AS stratum,
+         CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000 AS bucket,
+         CASE lang WHEN 'en' THEN 600 WHEN 'de' THEN 300 WHEN 'es' THEN 300
+                   WHEN 'fr' THEN 300 WHEN 'zh' THEN 150 ELSE 0 END AS rate
+  FROM documents)
+SELECT doc_id, stratum, bucket FROM b WHERE bucket < rate
+"""
+
+
+# PQ geometry: 16 subspaces × 4 dims, 32 hash-seeded codewords each —
+# 80 bits/vector. On isotropic synthetic embeddings (no cluster
+# structure — PQ's worst case) this is the coarsest grid that still
+# ranks usefully (recall@5 ≈ 0.4 vs brute force, test-gated); a trained
+# k-means codebook drops into the same schema.
+_PQ_M, _PQ_K, _PQ_D = 16, 32, 4
+
+
+def q_ann_pq_topk(spark, sf):
+    """Product-quantization approximate top-5 (ADC scoring): the
+    compressed-vector complement of IVF — corpus vectors become _PQ_M
+    codebook indices (hash-seeded codebook, the ivf_cells trick), the
+    query scores against codeword reconstructions subspace-by-subspace
+    in a fixed fold order, so the FULL pipeline is DuckDB-oracled."""
+    from cola_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf, "embeddings")
+    return pq_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5,
+        n_sub=_PQ_M, n_codes=_PQ_K, sub_dim=_PQ_D,
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def _sql_ann_pq(m: int = _PQ_M, k: int = _PQ_K, d: int = _PQ_D) -> str:
+    ms = ", ".join(str(i) for i in range(m))
+    pivot = "\n                  + ".join(
+        f"MAX(CASE WHEN m = {i} THEN t END)" for i in range(m)
+    )
+    return f"""
+WITH src AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR))) - 1 AS INTEGER) AS code
+  FROM embeddings ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)) LIMIT {k}),
+cb AS (SELECT m, code, array_slice(v, m*{d} + 1, m*{d} + {d}) AS cw
+       FROM src, UNNEST([{ms}]) AS t(m)),
+corp AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+         FROM embeddings),
+enc1 AS (SELECT neighbor_id, m, code,
+                ROW_NUMBER() OVER (
+                  PARTITION BY neighbor_id, m
+                  ORDER BY list_cosine_similarity(
+                             array_slice(cv, m*{d} + 1, m*{d} + {d}), cw) DESC,
+                           code) AS rn
+         FROM corp CROSS JOIN cb),
+codes AS (SELECT neighbor_id, m, code FROM enc1 WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+terms AS (SELECT q.query_id, c.neighbor_id, c.m,
+                 list_dot_product(array_slice(q.qv, c.m*{d} + 1, c.m*{d} + {d}),
+                                  b.cw) AS t
+          FROM q CROSS JOIN codes c
+          JOIN cb b ON b.m = c.m AND b.code = c.code
+          WHERE c.neighbor_id <> q.query_id),
+scores AS (SELECT query_id, neighbor_id,
+                  {pivot} AS score
+           FROM terms GROUP BY 1, 2)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+         AS rank
+FROM scores QUALIFY rank <= 5
+"""
+
+
+SQL_ANN_PQ = _sql_ann_pq()
+
+
+PAIRS.update({
+    "decontam_overlap": (q_decontam_overlap, SQL_DECONTAM),
+    "domain_sample": (q_domain_sample, SQL_DOMAIN_SAMPLE),
+    "ann_pq_topk": (q_ann_pq_topk, SQL_ANN_PQ),
+})
+
+
+def q_image_decontam(spark, sf):
+    """Image-side benchmark decontamination: flag corpus images whose
+    pHash is within Hamming 1 of any benchmark image (bench = every
+    8th texture, a planted verbatim leak). Bench band rows broadcast;
+    pigeonhole makes the radius-1 gate exact. Rows-only (pHash rides
+    the in-engine codec); exact sequential oracle in LOCAL_ORACLES."""
+    from cola_spark.operators.multimodal import image_features, phash_decontam
+    from cola_spark.sources import gen_images
+
+    feats = image_features(gen_images(spark, 64))
+    bench = feats.filter(
+        F.substring("image_id", 4, 8).cast("long") % 8 == 3
+    )
+    return phash_decontam(feats, bench, max_hamming=1)
+
+
+def local_oracle_image_decontam(spark, sf):
+    import pandas as pd
+
+    feats = _local_feature_rows()
+    U = (1 << 64) - 1
+    bench = [ph for (iid, _, _, _, _, ph) in feats if int(iid[3:]) % 8 == 3]
+    rows = []
+    for iid, _, _, _, _, ph in feats:
+        best = min(bin((ph & U) ^ (b & U)).count("1") for b in bench)
+        rows.append((iid, best if best <= 1 else -1, best <= 1))
+    return pd.DataFrame(rows, columns=["image_id", "best_hamming", "contaminated"])
+
+
+def q_docs_unigram_quality(spark, sf):
+    """Corpus-statistics quality score (the learned counterpart of the
+    static docs_quality heuristics): per doc, the sum and scaled mean
+    of floor(log2(corpus unigram frequency)) over token occurrences —
+    integer-exact via length(bin(cnt))-1, so the whole two-pass
+    pipeline (vocab counts, Zipf-split head-broadcast/tail-shuffle
+    score join) is DuckDB-oracled."""
+    from cola_spark.operators.textstats import unigram_quality
+
+    return unigram_quality(_t(spark, sf, "documents"))
+
+
+SQL_UNIGRAM_QUALITY = r"""
+WITH toks AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents),
+vocab AS (SELECT tok, CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS bucket
+          FROM toks GROUP BY tok),
+scored AS (SELECT t.doc_id, v.bucket FROM toks t JOIN vocab v USING (tok))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(bucket) AS BIGINT) AS sum_log2f,
+       CAST((1000 * CAST(SUM(bucket) AS BIGINT)) // COUNT(*) AS BIGINT)
+         AS mean_millilog
+FROM scored GROUP BY doc_id
+"""
+
+
+PAIRS.update({
+    "image_decontam": (q_image_decontam, None),
+    "docs_unigram_quality": (q_docs_unigram_quality, SQL_UNIGRAM_QUALITY),
+})
+LOCAL_ORACLES["image_decontam"] = local_oracle_image_decontam

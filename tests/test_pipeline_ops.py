@@ -1,0 +1,202 @@
+"""Training-pipeline hygiene ops: decontamination, stratified domain
+sampling, product-quantization ANN."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cola_spark.operators.decontam import benchmark_overlap
+from cola_spark.operators.sampling import stratified_sample
+from cola_spark.operators.similarity import (
+    brute_force_topk,
+    pq_codebook,
+    pq_encode,
+    pq_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+# ------------------------------------------------------------- decontam
+
+
+def test_decontam_planted_overlap(spark):
+    """A corpus doc embedding a verbatim benchmark sentence is flagged;
+    a disjoint doc is clean; every corpus doc gets exactly one row."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words then the quick brown fox jumps over the lazy dog tonight and more"),
+            (2, "completely different content with no shared long grams at all here"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in benchmark_overlap(corpus, bench, n=8).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1][1] and got[1][0] >= 1
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)  # shorter than n: cannot be contaminated
+
+
+def test_decontam_bench_plan_is_broadcast(docs):
+    """The benchmark n-gram membership probe must broadcast the bench
+    side — a corpus-sized shuffle here is the 100 TB failure mode."""
+    bench = docs.filter(F.col("doc_id") % 20 == 7)
+    corpus = docs.filter(F.col("doc_id") % 20 != 7)
+    plan = benchmark_overlap(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------- sampling
+
+
+def test_stratified_sample_deterministic_and_nested(docs):
+    """Same input → identical sample; raising a stratum's rate only ADDS
+    docs (buckets nest), the incremental-top-up property."""
+    r1 = {r.doc_id for r in stratified_sample(docs, {"en": 300}).collect()}
+    r1b = {r.doc_id for r in stratified_sample(docs, {"en": 300}).collect()}
+    r2 = {r.doc_id for r in stratified_sample(docs, {"en": 600}).collect()}
+    assert r1 == r1b
+    assert r1 <= r2 and len(r2) > len(r1)
+
+
+def test_stratified_sample_rates_and_strata(docs):
+    """Kept fraction per stratum tracks its permille rate (binomial
+    tolerance at n≈100/stratum); zero-rate strata are absent."""
+    got = stratified_sample(
+        docs, {"en": 500, "de": 200}, default_permille=0
+    ).groupBy("stratum").count().collect()
+    kept = {r.stratum: r["count"] for r in got}
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert set(kept) <= {"en", "de"}
+    assert abs(kept["en"] / totals["en"] - 0.5) < 0.2
+    assert abs(kept.get("de", 0) / totals["de"] - 0.2) < 0.2
+
+
+def test_stratified_sample_md5_equals_contract_and_no_shuffle(docs):
+    """The md5 family keeps the same doc set as the oracle contract
+    requires regardless of hash kind chosen for scale (both are valid
+    samples — just different), and the plan has NO exchange: sampling
+    is map-side by design."""
+    s = stratified_sample(docs, {"en": 400}, hash_kind="md5")
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert s.count() > 0
+
+
+# ------------------------------------------------------------------ PQ
+
+
+def test_pq_codebook_shape(emb):
+    cb = pq_codebook(emb)  # defaults: 16 subspaces x 32 codes x 4 dims
+    rows = cb.collect()
+    assert len(rows) == 16 * 32
+    assert {(r.m, r.code) for r in rows} == {(m, k) for m in range(16) for k in range(32)}
+    assert all(len(r.cw) == 4 for r in rows)
+
+
+def test_pq_encode_source_vectors_reconstruct_exactly(emb):
+    """A vector that IS a codebook source must encode to codes whose
+    codewords equal its own subvectors (argmax cosine with itself = 1)."""
+    cb = pq_codebook(emb)
+    cbmap = {(r.m, r.code): [float(x) for x in r.cw] for r in cb.collect()}
+    src_ids = {r.vec_id for r in
+               emb.select("vec_id",
+                          F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))).alias("k"))
+               .orderBy("k").limit(32).collect()}
+    enc = pq_encode(emb.filter(F.col("vec_id").isin(src_ids)), cb)
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.filter(F.col("vec_id").isin(src_ids)).collect()}
+    for r in enc.collect():
+        v = vecs[r.vec_id]
+        recon = sum((cbmap[(m, r.codes[m])] for m in range(16)), [])
+        assert max(abs(a - b) for a, b in zip(v, recon)) < 1e-9, r.vec_id
+
+
+def test_pq_topk_shape_and_recall_vs_brute(emb):
+    """PQ ADC is approximate — gate a recall floor vs brute force and
+    the exact output shape (5 ranked rows per query, no self-match)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    got = pq_topk(q, emb, k=5).collect()
+    assert len(got) == 50
+    assert all(r.neighbor_id != r.query_id for r in got)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(q, emb, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"PQ recall@5 collapsed: {recall}"
+
+
+# --------------------------------------------------- image decontam
+
+
+def test_phash_decontam_planted_leak(spark):
+    """Benchmark images leaked verbatim into the corpus are flagged at
+    Hamming 0; the radius guard refuses a radius beyond the banding
+    exactness guarantee."""
+    from cola_spark.operators.multimodal import image_features, phash_decontam
+    from cola_spark.sources import gen_images
+
+    feats = image_features(gen_images(spark, 32))
+    bench = feats.filter(F.substring("image_id", 4, 8).cast("long") < 4)
+    got = {r.image_id: (r.best_hamming, r.contaminated)
+           for r in phash_decontam(feats, bench, max_hamming=1).collect()}
+    assert len(got) == 32
+    for i in range(4):
+        assert got[f"img{i:08d}"] == (0, True)
+    with pytest.raises(ValueError):
+        phash_decontam(feats, bench, max_hamming=4, bands=4)
+
+
+def test_phash_decontam_bench_is_broadcast(spark):
+    from cola_spark.operators.multimodal import image_features, phash_decontam
+    from cola_spark.sources import gen_images
+
+    feats = image_features(gen_images(spark, 32))
+    bench = feats.filter(F.substring("image_id", 4, 8).cast("long") < 4)
+    plan = phash_decontam(feats, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------- unigram quality
+
+
+def test_unigram_quality_hand_corpus(spark):
+    """Known corpus frequencies: 'a' x4 (bucket 2), 'b' x2 (bucket 1),
+    'c' x1 (bucket 0) — per-doc sums and the integer mean check out."""
+    from cola_spark.operators.textstats import unigram_quality
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.sum_log2f, r.mean_millilog)
+           for r in unigram_quality(docs).collect()}
+    # doc 1: buckets 2+2+1+0 = 5 over 4 tokens -> 1250
+    # doc 2: buckets 2+2+1   = 5 over 3 tokens -> 1666
+    assert got[1] == (4, 5, 1250)
+    assert got[2] == (3, 5, 1666)
+
+
+def test_unigram_quality_head_tail_split_invariant(docs):
+    """The Zipf head-broadcast/tail-shuffle split is a pure execution
+    choice: head_k=1 and head_k=10^6 give identical scores."""
+    from cola_spark.operators.textstats import unigram_quality
+
+    a = {r.doc_id: (r.n_tokens, r.sum_log2f, r.mean_millilog)
+         for r in unigram_quality(docs, head_k=1).collect()}
+    b = {r.doc_id: (r.n_tokens, r.sum_log2f, r.mean_millilog)
+         for r in unigram_quality(docs, head_k=1_000_000).collect()}
+    assert a == b and len(a) > 0
