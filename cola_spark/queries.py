@@ -1857,3 +1857,100 @@ PAIRS.update({
     "docs_unigram_quality": (q_docs_unigram_quality, SQL_UNIGRAM_QUALITY),
 })
 LOCAL_ORACLES["image_decontam"] = local_oracle_image_decontam
+
+
+def q_corpus_mix_clean(spark, sf):
+    """The COMPLETE training-data composition — what actually ships to
+    the trainer: documents → drop near-dup cluster members (min-id
+    representative kept) → quality gate → repetition gate → drop the
+    eval split AND every doc contaminated by it (8-token n-gram
+    overlap) → stratified domain-mix sample → per-language doc/token
+    counts. Every stage is individually oracled (dedup_clusters,
+    docs_quality, docs_repetition, decontam_overlap, domain_sample);
+    this composes all of them end-to-end in both engines."""
+    from cola_spark.operators.clusters import dedup_keep_set
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 20 != 7)
+    drops = dedup_keep_set(q_jaccard_prefix_pairs(spark, sf)).filter(~F.col("keep"))
+    quality = q_docs_quality(spark, sf).filter(F.col("is_quality")).select(
+        "doc_id", "n_tokens"
+    )
+    low_rep = q_docs_repetition(spark, sf).filter(
+        F.col("dup_permille") <= 300
+    ).select("doc_id")
+    contaminated = q_decontam_overlap(spark, sf).filter(
+        F.col("contaminated")
+    ).select("doc_id")
+    sample = q_domain_sample(spark, sf).select("doc_id")
+    return (
+        d.join(drops.select("doc_id"), "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .join(low_rep, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(sample, "doc_id", "semi")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+SQL_CORPUS_MIX_CLEAN = r"""
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+       FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+       WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+cp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+jp AS (SELECT doc_a, doc_b FROM cp
+       JOIN sz sa ON sa.doc_id = doc_a
+       JOIN sz sb ON sb.doc_id = doc_b
+       WHERE common * 10 >= 2 * (sa.n_sh + sb.n_sh - common)),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+drops AS (SELECT src AS doc_id FROM reach GROUP BY src
+          HAVING LEAST(MIN(dst), src) <> src),
+g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+      FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+      WHERE len(ws) >= 3),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+rep AS (SELECT doc_id FROM pg GROUP BY doc_id
+        HAVING (1000 * (SUM(c) - COUNT(*))) // SUM(c) <= 300),
+q AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+        AND (length(text) - length(replace(text, 'the', ''))) / 3 > 0),
+g8 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS ng
+       FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+       WHERE len(ws) >= 8),
+bench8 AS (SELECT DISTINCT ng FROM g8 WHERE doc_id % 20 = 7),
+contam AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN bench8 USING (ng)
+           WHERE g8.doc_id % 20 <> 7),
+samp AS (SELECT doc_id FROM documents
+         WHERE CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1000
+               < CASE lang WHEN 'en' THEN 600 WHEN 'de' THEN 300
+                           WHEN 'es' THEN 300 WHEN 'fr' THEN 300
+                           WHEN 'zh' THEN 150 ELSE 0 END)
+SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+WHERE d.doc_id % 20 <> 7
+  AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+  AND d.doc_id IN (SELECT doc_id FROM samp)
+GROUP BY d.lang
+"""
+
+
+PAIRS.update({"corpus_mix_clean": (q_corpus_mix_clean, SQL_CORPUS_MIX_CLEAN)})
