@@ -34,7 +34,14 @@ def test_driver_queries_invariant_to_shuffle_partitions(spark):
     from cola_spark.queries import PAIRS
 
     sf = "/root/testdata/sf0.001"
-    names = ["dedup_clusters", "corpus_clean", "jaccard_prefix_pairs", "ann_ivf_topk"]
+    names = [
+        "dedup_clusters", "corpus_clean", "jaccard_prefix_pairs", "ann_ivf_topk",
+        # round-3 additions: span rebuild (window+islands), decontam
+        # (broadcast probe + groupBy), sampling (map-side), PQ (argmax
+        # aggregate + pivot), unigram (Zipf-split join), full mix
+        "span_dedup", "decontam_overlap", "domain_sample", "ann_pq_topk",
+        "docs_unigram_quality", "corpus_mix_clean",
+    ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}

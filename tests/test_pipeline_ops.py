@@ -200,3 +200,15 @@ def test_unigram_quality_head_tail_split_invariant(docs):
     b = {r.doc_id: (r.n_tokens, r.sum_log2f, r.mean_millilog)
          for r in unigram_quality(docs, head_k=1_000_000).collect()}
     assert a == b and len(a) > 0
+
+
+def test_pq_plan_is_broadcast_no_cartesian(emb):
+    """The PQ pipeline must never shuffle the corpus against the
+    codebook or the query LUT: both joins broadcast, and there is no
+    cartesian product anywhere (the failure mode that turns a
+    compressed scan into corpus x queries rows pre-filter)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    plan = pq_topk(q, emb, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
