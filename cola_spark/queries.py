@@ -1954,3 +1954,44 @@ GROUP BY d.lang
 
 
 PAIRS.update({"corpus_mix_clean": (q_corpus_mix_clean, SQL_CORPUS_MIX_CLEAN)})
+
+
+# BPE-ish pretokenizer (GPT-2 shape, reduced to the Java-regex/RE2
+# intersection: no \p classes, no lookahead): a word / number / punct
+# run with its leading space, or a whitespace run. Verified to produce
+# identical piece sequences in Spark and DuckDB.
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def q_docs_bpe_tokens(spark, sf):
+    """Token counting, tokenizer-aware: whitespace tokens beside a
+    BPE-ish pretokenizer piece count and the integer chars-per-piece
+    ratio — the number that actually budgets training data (a low
+    ratio flags punctuation/code-like text that explodes under BPE)."""
+    d = _t(spark, sf, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0)
+    n_pieces = F.size(pieces).cast("long")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+        n_pieces.alias("n_bpe_pieces"),
+        F.when(n_pieces == 0, F.lit(0))
+        .otherwise(F.expr(f"(1000 * length(text)) DIV size(regexp_extract_all(text, '{_BPE_PAT}', 0))"))
+        .cast("long")
+        .alias("milli_chars_per_piece"),
+    )
+
+
+SQL_BPE_TOKENS = rf"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS n_bpe_pieces,
+       CAST(CASE WHEN len(regexp_extract_all(text, '{_BPE_PAT}')) = 0 THEN 0
+                 ELSE (1000 * length(text))
+                      // len(regexp_extract_all(text, '{_BPE_PAT}')) END
+            AS BIGINT) AS milli_chars_per_piece
+FROM documents
+"""
+
+
+PAIRS.update({"docs_bpe_tokens": (q_docs_bpe_tokens, SQL_BPE_TOKENS)})
