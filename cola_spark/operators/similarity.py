@@ -519,3 +519,36 @@ def pq_topk(
         sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def embedding_decontam(
+    corpus: DataFrame, bench: DataFrame, min_sim_x1000: int = 350,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, best_sim_x1000, contaminated): the embedding leg of
+    benchmark decontamination (text n-grams → decontam.py, images →
+    multimodal.phash_decontam) — flag every corpus vector whose cosine
+    to ANY benchmark vector clears the threshold (a paraphrased eval
+    item survives n-gram checks but not an embedding check).
+
+    The bench side is broadcast (eval sets are small by construction);
+    the corpus meets it in a map-side broadcast nested-loop — linear in
+    the corpus, never corpus², with only the final per-vector max
+    groupBy as a corpus-scale exchange. best_sim_x1000 is the
+    integerized max cosine (-1001 sentinel when the bench is empty
+    never occurs: floor(cos*1000) >= -1000)."""
+    b = bench.select(F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bv"))
+    sims = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "vec_id",
+            F.floor(_cosine(F.col("_cv"), F.col("_bv")) * 1000).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("s").cast("long").alias("best_sim_x1000"))
+    )
+    return sims.select(
+        "vec_id", "best_sim_x1000",
+        (F.col("best_sim_x1000") >= min_sim_x1000).alias("contaminated"),
+    )

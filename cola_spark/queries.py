@@ -1995,3 +1995,93 @@ FROM documents
 
 
 PAIRS.update({"docs_bpe_tokens": (q_docs_bpe_tokens, SQL_BPE_TOKENS)})
+
+
+def q_embedding_decontam(spark, sf):
+    """Embedding-side benchmark decontamination: flag corpus vectors
+    within cosine >= 0.35 of any benchmark vector (bench = vec_id % 25
+    == 3) — catches paraphrased eval items that n-gram checks miss.
+    Bench broadcast; integerized max cosine keeps floats out of hashed
+    columns."""
+    from cola_spark.operators.similarity import embedding_decontam
+
+    e = _t(spark, sf, "embeddings")
+    return embedding_decontam(
+        e.filter(F.col("vec_id") % 25 != 3),
+        e.filter(F.col("vec_id") % 25 == 3),
+        min_sim_x1000=350,
+    )
+
+
+SQL_EMB_DECONTAM = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+best AS (SELECT c.vec_id,
+                CAST(MAX(FLOOR(list_cosine_similarity(c.v, b.v) * 1000)) AS BIGINT)
+                  AS best_sim_x1000
+         FROM e c CROSS JOIN e b
+         WHERE c.vec_id % 25 <> 3 AND b.vec_id % 25 = 3
+         GROUP BY c.vec_id)
+SELECT vec_id, best_sim_x1000, best_sim_x1000 >= 350 AS contaminated
+FROM best
+"""
+
+
+def q_docs_pii_scrub(spark, sf):
+    """PII redaction over documents with deterministically injected
+    contact strings (the corpus itself has none — both engines append
+    the identical doc_id-derived email/IP/phone suffix, so the oracle
+    verifies real scrubbing work, not a pass-through)."""
+    from cola_spark.operators.redact import redact_pii
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return redact_pii(injected)
+
+
+SQL_PII_SCRUB = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 (555) 010-'
+              || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t0
+  FROM documents),
+s1 AS (SELECT doc_id, t0,
+              CAST(len(regexp_extract_all(t0,
+                '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT)
+                AS n_emails,
+              regexp_replace(t0,
+                '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+',
+                '[EMAIL]', 'g') AS t1
+       FROM inj),
+s2 AS (SELECT doc_id, n_emails,
+              CAST(len(regexp_extract_all(t1,
+                '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+              regexp_replace(t1,
+                '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+                '[IP]', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_ips,
+              CAST(len(regexp_extract_all(t2,
+                '\+?[0-9][0-9()\-. ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+              regexp_replace(t2, '\+?[0-9][0-9()\-. ]{6,}[0-9]',
+                '[PHONE]', 'g') AS clean_text
+       FROM s2)
+SELECT doc_id, n_emails, n_ips, n_phones, clean_text FROM s3
+"""
+
+
+PAIRS.update({
+    "embedding_decontam": (q_embedding_decontam, SQL_EMB_DECONTAM),
+    "docs_pii_scrub": (q_docs_pii_scrub, SQL_PII_SCRUB),
+})

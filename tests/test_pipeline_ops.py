@@ -212,3 +212,47 @@ def test_pq_plan_is_broadcast_no_cartesian(emb):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------------- PII + embedding decontam
+
+
+def test_redact_pii_hand_cases(spark):
+    """Each PII type is counted and replaced; the phone pattern runs
+    LAST so it cannot swallow email digits or IPs; clean text keeps the
+    surrounding words."""
+    from cola_spark.operators.redact import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@test.org thanks"),
+            (2, "server 192.168.1.200 then call +44 20 7946 0958 now"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (1, 0, 0)
+    assert got[1].clean_text == "mail me at [EMAIL] thanks"
+    assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 1, 1)
+    assert got[2].clean_text == "server [IP] then call [PHONE] now"
+    assert (got[3].n_emails, got[3].n_ips, got[3].n_phones) == (0, 0, 0)
+    assert got[3].clean_text == "no pii here at all"
+
+
+def test_embedding_decontam_planted_leak(spark, emb):
+    """A corpus vector identical to a bench vector is flagged at
+    sim_x1000 >= 999; an orthogonal one is clean; the bench join is
+    broadcast."""
+    from cola_spark.operators.similarity import embedding_decontam
+
+    bench = emb.filter(F.col("vec_id") < 3)
+    leaked = bench.select((F.col("vec_id") + 7000).alias("vec_id"), "embedding", "label")
+    corpus = emb.filter(F.col("vec_id") >= 3).unionByName(leaked)
+    res = embedding_decontam(corpus, bench, min_sim_x1000=990)
+    got = {r.vec_id: (r.best_sim_x1000, r.contaminated) for r in res.collect()}
+    for i in range(3):
+        assert got[7000 + i][1] and got[7000 + i][0] >= 999
+    assert sum(1 for v in got.values() if v[1]) == 3, "only the planted leaks flag at 0.99"
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
