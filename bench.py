@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "span_dedup",  # exact substring dedup: linear window-hash + keep-first
     "decontam_overlap",  # broadcast benchmark n-gram probe
     "docs_unigram_quality",  # two-pass corpus stats, Zipf-split join
+    "corpus_mix_clean",  # the COMPLETE composed flagship (dedup+quality+
+    # repetition+decontam+mix-sample)
     "ann_cosine_topk",
     "ann_pq_topk",  # compressed-scan ADC ANN (16 codes/vector)
     "docs_exact_dedup", "multimodal_meta",
