@@ -416,8 +416,11 @@ def q_ngram_jaccard_pairs(spark, sf):
     from cola_spark.operators.textdedup import _finalize
 
     # the shingle explode feeds the self-join (twice) + the size agg;
-    # eager _finalize below frees it once the pair list materializes
-    sh = _shingles(_t(spark, sf, "documents")).persist()
+    # eager _finalize below frees it once the pair list materializes;
+    # the scan is spread first or the explode runs on one core
+    from cola_spark.operators.textdedup import spread_small_scan
+
+    sh = _shingles(spread_small_scan(_t(spark, sf, "documents"))).persist()
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -459,8 +462,11 @@ def q_docs_repetition(spark, sf):
     high values flag boilerplate/spam for training-data filtering.
     Integer-exact arithmetic ((1000*x) div total) so the cut is
     engine-stable; docs under 3 words are excluded like the shingle
-    ops."""
-    d = _t(spark, sf, "documents")
+    ops. The scan is spread before the gram fan-out — a small parquet
+    input otherwise serializes the whole explode onto one core."""
+    from cola_spark.operators.textdedup import spread_small_scan
+
+    d = spread_small_scan(_t(spark, sf, "documents"))
     words = F.split(F.trim(F.col("text")), r"\s+")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0)))
     gram = F.transform(
