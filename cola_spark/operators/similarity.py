@@ -552,3 +552,62 @@ def embedding_decontam(
         "vec_id", "best_sim_x1000",
         (F.col("best_sim_x1000") >= min_sim_x1000).alias("contaminated"),
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    n_cells: int = 8, nprobe: int = 2,
+    n_sub: int = 16, n_codes: int = 32, sub_dim: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank): the canonical web-scale ANN index
+    — IVF coarse cells prune the candidate set (each query scores only
+    its nprobe cells' inverted lists, ~nprobe/n_cells of the corpus),
+    and PQ/ADC scores the survivors from n_sub-byte codes instead of
+    raw vectors. Composition of the two independently-oracled parts
+    (ivf_topk's hash-seeded cells, pq_topk's relational codes + LUT),
+    so the combined pipeline is DuckDB-oracled too. Each corpus vector
+    lives in exactly one cell, so a multi-cell probe never scores the
+    same (query, neighbor) twice — no dedup stage.
+
+    With nprobe = n_cells every list is probed and the result is
+    EXACTLY pq_topk (test-pinned); recall decays gracefully as nprobe
+    shrinks while scanned bytes drop as nprobe/n_cells * n_sub/dim."""
+    cents = ivf_cells(corpus, n_cells, id_col, vec_col)
+    inv = _assign_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")),
+        cents, nprobe=1,
+    ).select("neighbor_id", "cell")
+    cb = pq_codebook(corpus, n_sub, n_codes, sub_dim, id_col, vec_col)
+    enc = _pq_codes_long(
+        corpus, cb, n_sub, sub_dim, id_col, vec_col, out_id="neighbor_id"
+    ).join(inv, "neighbor_id")
+    probes = _assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v")),
+        cents, nprobe=nprobe,
+    ).select("query_id", "cell")
+    qsub = _sub_rows(queries, "query_id", n_sub, sub_dim, id_col, vec_col)
+    dot, _ = _expanded_dot_cos(F.col("sub"), F.col("cw"), sub_dim)
+    qlut = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "code", dot.alias("t")
+    )
+    pivot = [
+        F.max(F.when(F.col("m") == i, F.col("t"))).alias(f"_t{i}")
+        for i in range(n_sub)
+    ]
+    score = F.col("_t0")
+    for i in range(1, n_sub):
+        score = score + F.col(f"_t{i}")
+    sims = (
+        enc.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qlut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(*pivot)
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

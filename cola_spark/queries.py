@@ -2091,3 +2091,85 @@ PAIRS.update({
     "embedding_decontam": (q_embedding_decontam, SQL_EMB_DECONTAM),
     "docs_pii_scrub": (q_docs_pii_scrub, SQL_PII_SCRUB),
 })
+
+
+def q_ann_ivfpq_topk(spark, sf):
+    """IVF+PQ approximate top-5 — the canonical web-scale ANN shape:
+    IVF cells prune to nprobe/n_cells of the corpus, PQ/ADC scores the
+    survivors from 16-byte codes. Composition of the two oracled parts;
+    DuckDB reproduces the whole pipeline."""
+    from cola_spark.operators.similarity import ivfpq_topk
+
+    e = _t(spark, sf, "embeddings")
+    return ivfpq_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, n_cells=8, nprobe=2,
+        n_sub=_PQ_M, n_codes=_PQ_K, sub_dim=_PQ_D,
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def _sql_ann_ivfpq(m: int = _PQ_M, k: int = _PQ_K, d: int = _PQ_D,
+                   n_cells: int = 8, nprobe: int = 2) -> str:
+    ms = ", ".join(str(i) for i in range(m))
+    pivot = "\n                  + ".join(
+        f"MAX(CASE WHEN m = {i} THEN t END)" for i in range(m)
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)) LIMIT {n_cells}),
+corpus_cells AS (
+  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) DESC,
+                      c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rn = 1),
+query_cells AS (
+  SELECT vec_id AS query_id, qe, cent_id AS cell FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS qe, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) DESC,
+                      c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
+  WHERE rn <= {nprobe}),
+src AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR))) - 1 AS INTEGER) AS code
+  FROM embeddings ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)) LIMIT {k}),
+cb AS (SELECT m, code, array_slice(v, m*{d} + 1, m*{d} + {d}) AS cw
+       FROM src, UNNEST([{ms}]) AS t(m)),
+corp AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+         FROM embeddings),
+enc1 AS (SELECT neighbor_id, m, code,
+                ROW_NUMBER() OVER (
+                  PARTITION BY neighbor_id, m
+                  ORDER BY list_cosine_similarity(
+                             array_slice(cv, m*{d} + 1, m*{d} + {d}), cw) DESC,
+                           code) AS rn
+         FROM corp CROSS JOIN cb),
+codes AS (SELECT neighbor_id, m, code FROM enc1 WHERE rn = 1),
+terms AS (SELECT qc.query_id, c.neighbor_id, c.m,
+                 list_dot_product(array_slice(qc.qe, c.m*{d} + 1, c.m*{d} + {d}),
+                                  b.cw) AS t
+          FROM query_cells qc
+          JOIN corpus_cells ic ON ic.cell = qc.cell
+          JOIN codes c ON c.neighbor_id = ic.neighbor_id
+          JOIN cb b ON b.m = c.m AND b.code = c.code
+          WHERE ic.neighbor_id <> qc.query_id),
+scores AS (SELECT query_id, neighbor_id,
+                  {pivot} AS score
+           FROM terms GROUP BY 1, 2)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+         AS rank
+FROM scores QUALIFY rank <= 5
+"""
+
+
+SQL_ANN_IVFPQ = _sql_ann_ivfpq()
+
+PAIRS.update({"ann_ivfpq_topk": (q_ann_ivfpq_topk, SQL_ANN_IVFPQ)})

@@ -256,3 +256,23 @@ def test_embedding_decontam_planted_leak(spark, emb):
     assert sum(1 for v in got.values() if v[1]) == 3, "only the planted leaks flag at 0.99"
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_full_probe_equals_pq(emb):
+    """nprobe = n_cells probes every inverted list, so IVF+PQ must
+    reproduce plain PQ exactly; at nprobe=2 the result is a subset of
+    the per-query PQ candidates, re-ranked."""
+    from cola_spark.operators.similarity import ivfpq_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    full = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(q, emb, k=5, n_cells=8, nprobe=8).collect()
+    )
+    pq = sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in pq_topk(q, emb, k=5).collect()
+    )
+    assert full == pq
+    pruned = ivfpq_topk(q, emb, k=5, n_cells=8, nprobe=2).collect()
+    assert 0 < len(pruned) <= 50
+    assert all(r.neighbor_id != r.query_id for r in pruned)
