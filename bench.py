@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     # repetition+decontam+mix-sample)
     "ann_cosine_topk",
     "ann_pq_topk",  # compressed-scan ADC ANN (16 codes/vector)
+    "ann_ivfpq_topk",  # + IVF cell pruning: the web-scale index shape
     "docs_exact_dedup", "multimodal_meta",
 ]
 
