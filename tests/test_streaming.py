@@ -207,3 +207,43 @@ def test_rate_window_counts(spark, seed_dir, tmp_path):
     assert out.schema.simpleString() == (
         "struct<window_start:timestamp,host:string,n_urls:bigint>"
     )
+
+
+def test_clean_doc_stream_gates_across_batches(spark, tmp_path):
+    """The corpus-hygiene stream: a duplicate arriving in a LATER
+    micro-batch is dropped by the state store; a doc contaminated by
+    the benchmark set is gated; sampling decisions are deterministic
+    (replaying the same drops yields the same keep set)."""
+    from cola_spark.streaming.corpus_stream import clean_doc_stream, streaming_documents
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    batch1 = [
+        (1, "one two three four five six seven eight nine ten", "en"),
+        (2, "uno dos tres cuatro cinco seis siete ocho nueve", "es"),
+    ]
+    batch2 = [
+        (3, "one two three four five six seven eight nine ten", "en"),  # dup of 1
+        (4, "prefix then " + bench_text + " trailing words here", "en"),  # contaminated
+        (5, "fresh unique words nobody else uses anywhere at all", "en"),
+    ]
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{d}/drop={i}")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    def run(ck):
+        docs = streaming_documents(spark, f"{d}/drop=*")
+        cleaned = clean_doc_stream(
+            spark, docs, bench, {"en": 1000, "es": 1000}, n=8
+        )
+        return _run_to_memory(spark, cleaned, f"corpus_{ck}", str(tmp_path / ck))
+
+    out1 = {r.doc_id for r in run("ck_a").collect()}
+    assert 1 in out1 or 3 in out1          # exactly one copy of the dup text
+    assert not ({1, 3} <= out1)
+    assert 4 not in out1                   # contaminated gated
+    assert {2, 5} <= out1                  # clean docs kept at rate 1000
+    out2 = {r.doc_id for r in run("ck_b").collect()}
+    assert out1 == out2                    # replay-stable decisions
