@@ -24,6 +24,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class _graph_sized_shuffle:
+    """Size the iterative loop's shuffles from the GRAPH, not the
+    corpus. CC frames hold only near-dup members — orders of magnitude
+    smaller than the corpus whose shuffle.partitions the session is
+    tuned for — yet every per-iteration groupBy/join inherits that
+    corpus-sized setting, so a 3-iteration fixpoint on a 500-node graph
+    schedules hundreds of near-empty tasks per round (measured: most of
+    dedup_clusters' latency at sandbox SF, and the same scheduling tax
+    at any scale where pairs << corpus). The loop materializes each
+    round eagerly (localCheckpoint), so scoping the conf around the
+    loop is sound; ~50k edges/partition, floored at 1, capped at the
+    session's existing setting (never LARGER than the tuning for the
+    corpus). AQE coalescing solves this when enabled; the bench runs
+    AQE off, and the explicit bound is deterministic either way."""
+
+    def __init__(self, df: DataFrame, n_edges: int, per_task: int = 50_000):
+        self._spark = df.sparkSession
+        self._old = None
+        current = int(self._spark.conf.get("spark.sql.shuffle.partitions"))
+        self._parts = max(1, min((int(n_edges) + per_task - 1) // per_task, current))
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._parts))
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 def _release_local_checkpoint(df: DataFrame | None) -> None:
     """Eagerly free a localCheckpoint'ed DataFrame's storage blocks.
 
@@ -68,6 +99,13 @@ def connected_components(
         # analysis/optimization cost compounds until the driver chokes —
         # lineage must be CUT. (Production note: prefer reliable
         # checkpoint(dir) when executors can be lost mid-algorithm.)
+        return _cc_minlabel_loop(edges, max_iter)
+    finally:
+        edges.unpersist()
+
+
+def _cc_minlabel_loop(edges: DataFrame, max_iter: int) -> DataFrame:
+    with _graph_sized_shuffle(edges, edges.count()):
         labels = (
             edges.select(F.col("src").alias("doc_id")).distinct()
             .withColumn("cluster_id", F.col("doc_id"))
@@ -101,8 +139,6 @@ def connected_components(
             if changed == 0:
                 break
         return labels
-    finally:
-        edges.unpersist()
 
 
 def connected_components_star(
@@ -145,51 +181,52 @@ def connected_components_star(
         .localCheckpoint()
     )
     prev_fp = None
-    for _ in range(max_iter):
-        # ---- large-star: group over the SYMMETRIC neighborhood
-        sym = edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    with _graph_sized_shuffle(edges, edges.count()):
+        for _ in range(max_iter):
+            # ---- large-star: group over the SYMMETRIC neighborhood
+            sym = edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            m = sym.groupBy("u").agg(F.min("v").alias("m")).select(
+                "u", F.least(F.col("m"), F.col("u")).alias("m")
+            )
+            large = (
+                sym.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )  # every edge already big→small (v > u >= m)
+            # ---- small-star on the oriented edges
+            mn = large.groupBy("u").agg(F.min("v").alias("m"))
+            j = large.join(mn, "u")
+            small = (
+                j.filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(mn.select(F.col("u"), F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            new_edges = small.localCheckpoint()
+            # order-independent set fingerprint: count + XOR of pair hashes
+            # (edges are distinct, so XOR cannot cancel duplicates; never
+            # overflows under ANSI mode, unlike SUM)
+            fp_row = new_edges.agg(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            ).first()
+            fp = (fp_row.n if fp_row.n else 0, fp_row.h)
+            _release_local_checkpoint(edges)
+            edges = new_edges
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+        roots = edges.groupBy("u").agg(F.min("v").alias("_root"))
+        return nodes.join(
+            roots, nodes.doc_id == roots.u, "left"
+        ).select(
+            "doc_id", F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id")
         )
-        m = sym.groupBy("u").agg(F.min("v").alias("m")).select(
-            "u", F.least(F.col("m"), F.col("u")).alias("m")
-        )
-        large = (
-            sym.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )  # every edge already big→small (v > u >= m)
-        # ---- small-star on the oriented edges
-        mn = large.groupBy("u").agg(F.min("v").alias("m"))
-        j = large.join(mn, "u")
-        small = (
-            j.filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(mn.select(F.col("u"), F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        new_edges = small.localCheckpoint()
-        # order-independent set fingerprint: count + XOR of pair hashes
-        # (edges are distinct, so XOR cannot cancel duplicates; never
-        # overflows under ANSI mode, unlike SUM)
-        fp_row = new_edges.agg(
-            F.count("*").alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).first()
-        fp = (fp_row.n if fp_row.n else 0, fp_row.h)
-        _release_local_checkpoint(edges)
-        edges = new_edges
-        if fp == prev_fp:
-            break
-        prev_fp = fp
-    roots = edges.groupBy("u").agg(F.min("v").alias("_root"))
-    return nodes.join(
-        roots, nodes.doc_id == roots.u, "left"
-    ).select(
-        "doc_id", F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id")
-    )
 
 
 def dedup_keep_set(
