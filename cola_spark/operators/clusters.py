@@ -24,35 +24,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-class _graph_sized_shuffle:
+def _graph_parts(df: DataFrame, n_edges: int, per_task: int = 50_000) -> int:
     """Size the iterative loop's shuffles from the GRAPH, not the
     corpus. CC frames hold only near-dup members — orders of magnitude
     smaller than the corpus whose shuffle.partitions the session is
-    tuned for — yet every per-iteration groupBy/join inherits that
-    corpus-sized setting, so a 3-iteration fixpoint on a 500-node graph
-    schedules hundreds of near-empty tasks per round (measured: most of
+    tuned for — yet a corpus-sized per-iteration groupBy/join schedules
+    hundreds of near-empty tasks per round (measured: most of
     dedup_clusters' latency at sandbox SF, and the same scheduling tax
-    at any scale where pairs << corpus). The loop materializes each
-    round eagerly (localCheckpoint), so scoping the conf around the
-    loop is sound; ~50k edges/partition, floored at 1, capped at the
-    session's existing setting (never LARGER than the tuning for the
-    corpus). AQE coalescing solves this when enabled; the bench runs
-    AQE off, and the explicit bound is deterministic either way."""
+    at any scale where pairs << corpus). ~50k edges/partition, floored
+    at 1, capped at the session's existing setting (never LARGER than
+    the corpus tuning).
 
-    def __init__(self, df: DataFrame, n_edges: int, per_task: int = 50_000):
-        self._spark = df.sparkSession
-        self._old = None
-        current = int(self._spark.conf.get("spark.sql.shuffle.partitions"))
-        self._parts = max(1, min((int(n_edges) + per_task - 1) // per_task, current))
-
-    def __enter__(self):
-        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
-        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._parts))
-        return self
-
-    def __exit__(self, *exc):
-        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
-        return False
+    Applied via explicit ``.repartition(parts, key)`` on the loop's
+    frames — NOT by toggling spark.sql.shuffle.partitions: the session
+    conf is global, and another thread planning a query concurrently
+    (the scheduler's own ThreadPoolExecutor state writes are precedent)
+    would inherit the clamped value. Checkpointed frames preserve their
+    output partitioning (LogicalRDD carries it), so pre-partitioning by
+    the join key at ``parts`` also lets EnsureRequirements elide the
+    per-round join exchanges entirely."""
+    spark = df.sparkSession
+    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min((int(n_edges) + per_task - 1) // per_task, current))
 
 
 def _release_local_checkpoint(df: DataFrame | None) -> None:
@@ -105,7 +98,14 @@ def connected_components(
 
 
 def _cc_minlabel_loop(edges: DataFrame, max_iter: int) -> DataFrame:
-    with _graph_sized_shuffle(edges, edges.count()):
+    parts = _graph_parts(edges, edges.count())
+    # hash(src, parts) once; labels stay hash(doc_id, parts) via
+    # checkpoint-preserved partitioning, so each round's edges⋈labels
+    # and labels⋈neighbor_min need NO new exchange — the only shuffle
+    # per round is the explicit graph-sized repartition before the
+    # per-dst min.
+    edges = edges.repartition(parts, "src").localCheckpoint()
+    try:
         labels = (
             edges.select(F.col("src").alias("doc_id")).distinct()
             .withColumn("cluster_id", F.col("doc_id"))
@@ -114,6 +114,7 @@ def _cc_minlabel_loop(edges: DataFrame, max_iter: int) -> DataFrame:
         for _ in range(max_iter):
             neighbor_min = (
                 edges.join(labels, edges.src == labels.doc_id)
+                .repartition(parts, "dst")
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
@@ -139,6 +140,8 @@ def _cc_minlabel_loop(edges: DataFrame, max_iter: int) -> DataFrame:
             if changed == 0:
                 break
         return labels
+    finally:
+        _release_local_checkpoint(edges)
 
 
 def connected_components_star(
@@ -181,52 +184,55 @@ def connected_components_star(
         .localCheckpoint()
     )
     prev_fp = None
-    with _graph_sized_shuffle(edges, edges.count()):
-        for _ in range(max_iter):
-            # ---- large-star: group over the SYMMETRIC neighborhood
-            sym = edges.unionByName(
-                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            )
-            m = sym.groupBy("u").agg(F.min("v").alias("m")).select(
-                "u", F.least(F.col("m"), F.col("u")).alias("m")
-            )
-            large = (
-                sym.join(m, "u")
-                .filter(F.col("v") > F.col("u"))
-                .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .filter(F.col("u") != F.col("v"))
-                .distinct()
-            )  # every edge already big→small (v > u >= m)
-            # ---- small-star on the oriented edges
-            mn = large.groupBy("u").agg(F.min("v").alias("m"))
-            j = large.join(mn, "u")
-            small = (
-                j.filter(F.col("v") != F.col("m"))
-                .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .unionByName(mn.select(F.col("u"), F.col("m").alias("v")))
-                .filter(F.col("u") != F.col("v"))
-                .distinct()
-            )
-            new_edges = small.localCheckpoint()
-            # order-independent set fingerprint: count + XOR of pair hashes
-            # (edges are distinct, so XOR cannot cancel duplicates; never
-            # overflows under ANSI mode, unlike SUM)
-            fp_row = new_edges.agg(
-                F.count("*").alias("n"),
-                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-            ).first()
-            fp = (fp_row.n if fp_row.n else 0, fp_row.h)
-            _release_local_checkpoint(edges)
-            edges = new_edges
-            if fp == prev_fp:
-                break
-            prev_fp = fp
-        roots = edges.groupBy("u").agg(F.min("v").alias("_root"))
-        return nodes.join(
-            roots, nodes.doc_id == roots.u, "left"
-        ).select(
-            "doc_id", F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id")
+    parts = _graph_parts(edges, edges.count())
+    for _ in range(max_iter):
+        # ---- large-star: group over the SYMMETRIC neighborhood
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).repartition(parts, "u")
+        m = sym.groupBy("u").agg(F.min("v").alias("m")).select(
+            "u", F.least(F.col("m"), F.col("u")).alias("m")
         )
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .repartition(parts, "u", "v")
+            .distinct()
+        )  # every edge already big→small (v > u >= m)
+        # ---- small-star on the oriented edges
+        large_u = large.repartition(parts, "u")
+        mn = large_u.groupBy("u").agg(F.min("v").alias("m"))
+        j = large_u.join(mn, "u")
+        small = (
+            j.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mn.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .repartition(parts, "u", "v")
+            .distinct()
+        )
+        new_edges = small.localCheckpoint()
+        # order-independent set fingerprint: count + XOR of pair hashes
+        # (edges are distinct, so XOR cannot cancel duplicates; never
+        # overflows under ANSI mode, unlike SUM)
+        fp_row = new_edges.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        fp = (fp_row.n if fp_row.n else 0, fp_row.h)
+        _release_local_checkpoint(edges)
+        edges = new_edges
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    roots = edges.groupBy("u").agg(F.min("v").alias("_root"))
+    return nodes.join(
+        roots, nodes.doc_id == roots.u, "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id")
+    )
 
 
 def dedup_keep_set(

@@ -534,10 +534,14 @@ def embedding_decontam(
     The bench side is broadcast (eval sets are small by construction);
     the corpus meets it in a map-side broadcast nested-loop — linear in
     the corpus, never corpus², with only the final per-vector max
-    groupBy as a corpus-scale exchange. best_sim_x1000 is the
-    integerized max cosine (-1001 sentinel when the bench is empty
-    never occurs: floor(cos*1000) >= -1000)."""
+    groupBy as a corpus-scale exchange. Like its siblings
+    benchmark_overlap and phash_decontam, this returns a COMPLETE
+    decision table — one row per corpus vector — by left-joining the
+    sims back onto the corpus ids: with an empty bench every vector
+    comes back best_sim_x1000 = -1001 (below any real floor(cos*1000)
+    >= -1000), contaminated = false, instead of an empty frame."""
     b = bench.select(F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bv"))
+    ids = corpus.select(F.col(id_col).alias("vec_id"))
     sims = (
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
         .crossJoin(F.broadcast(b))
@@ -546,11 +550,12 @@ def embedding_decontam(
             F.floor(_cosine(F.col("_cv"), F.col("_bv")) * 1000).alias("s"),
         )
         .groupBy("vec_id")
-        .agg(F.max("s").cast("long").alias("best_sim_x1000"))
+        .agg(F.max("s").cast("long").alias("_best"))
     )
-    return sims.select(
-        "vec_id", "best_sim_x1000",
-        (F.col("best_sim_x1000") >= min_sim_x1000).alias("contaminated"),
+    return ids.join(sims, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("_best"), F.lit(-1001).cast("long")).alias("best_sim_x1000"),
+        F.coalesce(F.col("_best") >= min_sim_x1000, F.lit(False)).alias("contaminated"),
     )
 
 

@@ -83,6 +83,9 @@ def hash_family(kind: str = "xxhash64"):
     raise ValueError(f"unknown hash family {kind!r}")
 
 
+_SPREAD_MEMO: dict = {}
+
+
 def spread_small_scan(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """Spread a small-file scan across the cluster before CPU-heavy
     fan-out (shingle explode, per-token hashing). A sub-128MB parquet
@@ -90,9 +93,25 @@ def spread_small_scan(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
     downstream per-doc work onto one core; hash-repartitioning by the
     doc key (deterministic) restores parallelism. No-op when the scan
     is already at least as parallel as the cluster — at real corpus
-    scale the file splits make this a pass-through."""
+    scale the file splits make this a pass-through.
+
+    The partition-count probe (`df.rdd.getNumPartitions()`) forces plan
+    analysis + a DataFrame→RDD conversion on the driver, so it runs
+    ONCE per distinct source plan (memoized by semanticHash) — composed
+    queries like corpus_mix_clean build the same documents scan several
+    times per plan. Streaming frames have no .rdd and size their own
+    micro-batch partitions: pass-through."""
+    if docs.isStreaming:
+        return docs
     p = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() >= p:
+    key = (id(docs.sparkSession), docs.semanticHash())
+    n = _SPREAD_MEMO.get(key)
+    if n is None:
+        if len(_SPREAD_MEMO) > 512:
+            _SPREAD_MEMO.clear()
+        n = docs.rdd.getNumPartitions()
+        _SPREAD_MEMO[key] = n
+    if n >= p:
         return docs
     return docs.repartition(p, F.col(key_col))
 

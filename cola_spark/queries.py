@@ -2027,8 +2027,14 @@ best AS (SELECT c.vec_id,
          FROM e c CROSS JOIN e b
          WHERE c.vec_id % 25 <> 3 AND b.vec_id % 25 = 3
          GROUP BY c.vec_id)
-SELECT vec_id, best_sim_x1000, best_sim_x1000 >= 350 AS contaminated
-FROM best
+-- complete decision table: every corpus vector gets a row even when the
+-- bench is empty (sentinel -1001, contaminated=false) — mirrors the
+-- operator's left-join-back contract
+SELECT c.vec_id,
+       COALESCE(best_sim_x1000, CAST(-1001 AS BIGINT)) AS best_sim_x1000,
+       COALESCE(best_sim_x1000 >= 350, FALSE) AS contaminated
+FROM (SELECT vec_id FROM e WHERE vec_id % 25 <> 3) c
+LEFT JOIN best USING (vec_id)
 """
 
 

@@ -333,6 +333,60 @@ def test_hot_bucket_guard_bounds_candidates(spark):
     assert {(500, 2000), (500, 2001)} <= guarded_g3
 
 
+def test_hot_bucket_guard_semantics_pinned(spark):
+    """ADVICE r3: inside an OVERSIZED bucket the guard's semantics are
+    intentionally narrower — a pair with hamming in (bands-1,
+    max_hamming] additionally needs a matching complement sub-band.
+    Pin both directions of that contract explicitly (not just the
+    docstring): with bands=4 (16-bit bands, 12-bit complement
+    sub-bands over bits 16..63 of a band-0 bucket),
+
+      KEPT:    hamming 4, flips {30,31,45,50} — dirties primary bands
+               1-3 (so only the giant band-0 bucket can surface it)
+               but leaves complement sub-bands 0 and 3 clean → found.
+      DROPPED: hamming 5, flips {20,30,45,55,60} — one flip in every
+               complement sub-band AND every other primary band → the
+               guarded join has no equality to meet on; the unguarded
+               join keeps it. This is the documented recall trade
+               above the pigeonhole guarantee, now test-pinned.
+    """
+    from cola_spark.operators.textdedup import banded_hamming_pairs
+
+    SHARED_BAND0 = 0x7A3F
+    hashes = []
+    for i in range(200):  # giant band-0 bucket (> max_bucket=100)
+        comp = (i * 2654435761 * 11400714819323198485) & ((1 << 48) - 1)
+        hashes.append((i, (comp << 16) | SHARED_BAND0))
+    base = hashes[50][1]
+    kept = base
+    for b in (30, 31, 45, 50):
+        kept ^= 1 << b
+    dropped = base
+    for b in (20, 30, 45, 55, 60):
+        dropped ^= 1 << b
+    hashes.append((1000, kept))
+    hashes.append((1001, dropped))
+    df = _mk_hash_df(spark, hashes)
+
+    guarded = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in banded_hamming_pairs(
+            df, "id", "h", bands=4, max_hamming=8, max_bucket=100
+        ).collect()
+    }
+    unguarded = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in banded_hamming_pairs(
+            df, "id", "h", bands=4, max_hamming=8, max_bucket=None
+        ).collect()
+    }
+    assert unguarded[(50, 1000)] == 4 and unguarded[(50, 1001)] == 5
+    assert guarded[(50, 1000)] == 4  # sub-band 0/3 clean → survives
+    assert (50, 1001) not in guarded  # all sub-bands dirty → pruned
+    # guard only ever narrows: everything guarded finds, unguarded finds
+    assert set(guarded) <= set(unguarded)
+
+
 def test_hot_bucket_guard_identical_hashes_still_pair(spark):
     """Degenerate-degenerate case: k docs with IDENTICAL hashes (the
     output itself is k² — nothing to prune). The guard's sub-split puts
