@@ -607,9 +607,22 @@ def duplicate_spans(
     text with those tokens dropped (first occurrence kept verbatim).
 
     Spark-first plan, linear where suffix arrays are superlinear:
-      1. window hashing: every overlapping min_len-token window hashed
-         JVM-side (transform/slice/md5 — whole-stage codegen), one row
-         per (doc, pos): O(corpus tokens).
+      1. window hashing: posexplode tokens, then the min_len-token
+         window string is built RELATIONALLY — concat_ws of lead(tok,
+         1..min_len-1) over a doc-partitioned window, one Window exec,
+         md5'd JVM-side. A transform/slice HOF would be evaluated
+         INTERPRETED (higher-order functions never enter whole-stage
+         codegen — the measured PQ lesson) with an O(min_len) array
+         copy per token; lead() is codegen'd and copies nothing. This
+         is the per-token CPU stage of the one operator that touches
+         every token of the corpus — measured 5.0x on 4k-token docs
+         (2000 docs x 4000 tokens, local[32]: HOF 4.4-4.5 s vs lead
+         0.87-0.93 s, bit-identical hashes; a wash at sf0.1 only
+         because those docs are short). The doc-clustering exchange it
+         needs is token-narrow (doc_id, pos, tok) — cheaper rows than
+         step 2's unavoidable (doc_id, pos, 32-char md5) shuffle — and
+         is elided entirely when the input is already hash-clustered
+         by doc (spread_small_scan's repartition provides that here).
       2. keep-first marking: row_number over each window-hash partition
          in global (doc_id, pos) order; rn > 1 marks a duplicated
          occurrence. One shuffle on the hash — uniformly distributed
@@ -622,15 +635,23 @@ def duplicate_spans(
          exists() filter — pure JVM, one row per doc throughout.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+    base = spread_small_scan(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), words.alias("ws")
+    )
     l_ = int(min_len)
 
-    idx = F.sequence(F.lit(1), F.size("ws") - (l_ - 1))
-    win_arr = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i, l_))))
+    toks = base.filter(F.size("ws") >= l_).select(
+        "doc_id", F.size("ws").alias("_n"), F.posexplode("ws").alias("pos0", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos0")
+    leads = [F.col("tok")] + [F.lead("tok", k).over(wd) for k in range(1, l_)]
     wins = (
-        base.filter(F.size("ws") >= l_)
-        .select("doc_id", F.posexplode(win_arr).alias("pos0", "h"))
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+        toks.select(
+            "doc_id", "_n", (F.col("pos0") + 1).alias("pos"),
+            F.md5(F.concat_ws(" ", *leads)).alias("h"),
+        )
+        .filter(F.col("pos") <= F.col("_n") - (l_ - 1))
+        .drop("_n")
     )
 
     wh = Window.partitionBy("h").orderBy("doc_id", "pos")
