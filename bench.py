@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_pq_topk",  # compressed-scan ADC ANN (16 codes/vector)
     "ann_ivfpq_topk",  # + IVF cell pruning: the web-scale index shape
+    "ann_pq_trained_topk",  # Lloyd-trained codebook (3 iters), recall 0.8
+    "ann_pq_refine_topk",  # + exact re-rank of the 30-deep shortlist: 1.0
     "docs_exact_dedup", "multimodal_meta",
 ]
 

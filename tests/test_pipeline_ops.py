@@ -140,6 +140,90 @@ def test_pq_topk_shape_and_recall_vs_brute(emb):
     assert recall >= 0.2, f"PQ recall@5 collapsed: {recall}"
 
 
+def _recall_at_5(emb, df):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(q, emb, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    return len(exact & approx) / len(exact)
+
+
+def test_pq_trained_recall_floor(emb):
+    """VERDICT r3 #4 done-bar: Lloyd-trained codebook recall@5 >= 0.8
+    at sf0.001 (hash-seeded init: 0.38), and training must strictly
+    beat the init at the same geometry."""
+    q = emb.filter(F.col("vec_id") < 10)
+    trained = _recall_at_5(
+        emb, pq_topk(q, emb, k=5, n_sub=32, n_codes=64, sub_dim=2, train_iters=3)
+    )
+    untrained = _recall_at_5(
+        emb, pq_topk(q, emb, k=5, n_sub=32, n_codes=64, sub_dim=2)
+    )
+    assert trained >= 0.8, f"trained recall@5 below bar: {trained}"
+    assert trained > untrained, (trained, untrained)
+
+
+def test_pq_refine_exact_topk(emb):
+    """ADC shortlist (30) + exact re-rank must reproduce brute force
+    EXACTLY at this scale — same (query, neighbor, rank) triples, not
+    just the same sets: the refine stage re-scores with the identical
+    cosine the brute oracle ranks by."""
+    q = emb.filter(F.col("vec_id") < 10)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in pq_topk(
+            q, emb, k=5, n_sub=32, n_codes=64, sub_dim=2, train_iters=3, rerank=30
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(q, emb, k=5).collect()
+    )
+    assert got == want
+
+
+def test_ivfpq_trained_full_probe_equals_pq_trained(emb):
+    """The nprobe=n_cells ≡ pq_topk exactness invariant must hold for
+    TRAINED quantizers too (it is structural: probing every cell
+    removes IVF from the pipeline for any fixed codebook)."""
+    from cola_spark.operators.similarity import ivfpq_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    a = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(
+            q, emb, k=5, n_cells=4, nprobe=4,
+            n_sub=32, n_codes=64, sub_dim=2, train_iters=2,
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in pq_topk(
+            q, emb, k=5, n_sub=32, n_codes=64, sub_dim=2, train_iters=2
+        ).collect()
+    )
+    assert a == b
+
+
+def test_trained_codebook_grid_and_carry(emb):
+    """Trained codewords live on the integer grid (exact doubles — the
+    engine-stability invariant), the codebook never shrinks, and at
+    least one codeword moved off its init."""
+    cb0 = {(r.m, r.code): list(r.cw)
+           for r in pq_codebook(emb, n_sub=32, n_codes=64, sub_dim=2).collect()}
+    cbt = {(r.m, r.code): list(r.cw)
+           for r in pq_codebook(
+               emb, n_sub=32, n_codes=64, sub_dim=2, train_iters=3
+           ).collect()}
+    import math
+
+    assert set(cbt) == {(m, c) for m in range(32) for c in range(64)}
+    assert all(x == float(int(x)) for cw in cbt.values() for x in cw)
+    init_int = {key: [float(math.floor(x * 10000.0)) for x in cw]
+                for key, cw in cb0.items()}
+    moved = sum(1 for key in cbt if cbt[key] != init_int[key])
+    assert moved > 0
+
+
 # --------------------------------------------------- image decontam
 
 
