@@ -2455,3 +2455,101 @@ def q_ann_pq_refine_topk(spark, sf):
 SQL_ANN_PQ_REFINE = _sql_ann_pq_refine()
 
 PAIRS.update({"ann_pq_refine_topk": (q_ann_pq_refine_topk, SQL_ANN_PQ_REFINE)})
+
+
+# ---------------------------------------------------------------------------
+# Learned quality classifier (VERDICT r3 #7): hashed-ngram logistic
+# regression trained as DataFrame ops (operators/quality_lr.py) — integer
+# logits, hard-sigmoid quantized gradients, so the unrolled training
+# replays exactly in DuckDB. The query plants its own labels: docs with
+# doc_id % 3 = 1 get four deterministic junk tokens appended (label 0),
+# the rest are label 1 — so the oracle verifies REAL training work (the
+# junk-token buckets must learn negative weights that separate the
+# classes), the same injected-ground-truth trick as docs_pii_scrub.
+# ---------------------------------------------------------------------------
+
+_QLR_D, _QLR_E, _QLR_LR = 256, 8, 8.0  # 8 epochs/lr 8: full separation
+# (hard-sigmoid GD converges once junk-doc logits cross -2·WS; 3 epochs
+# left both classes positive — measured at sf0.001)
+_QLR_JUNK = " zqj0 zqj1 zqj2 zqj3"
+
+
+def _sql_docs_quality_lr(
+    n_buckets: int = _QLR_D, epochs: int = _QLR_E, lr: float = _QLR_LR,
+    junk: str = _QLR_JUNK,
+) -> str:
+    ws4 = float(4 * 65536)
+    rs = float(65536)
+    ctes = [
+        f"""base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1 THEN text || '{junk}' ELSE text END AS text,
+         CASE WHEN doc_id % 3 = 1 THEN 0.0 ELSE 1.0 END AS y
+  FROM documents)""",
+        r"""toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+  FROM base)""",
+        f"""feats AS (
+  SELECT DISTINCT doc_id,
+         CAST(CAST(('0x' || substr(md5('q:' || tok), 1, 15)) AS BIGINT)
+              % {n_buckets} AS INTEGER) AS bucket
+  FROM toks)""",
+        "w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM feats)",
+    ]
+    for t in range(1, epochs + 1):
+        ctes.append(f"""z{t} AS (
+  SELECT f.doc_id, SUM(w.w) AS z
+  FROM feats f JOIN w{t - 1} w USING (bucket) GROUP BY f.doc_id)""")
+        ctes.append(f"""r{t} AS (
+  SELECT b.doc_id,
+         CAST(FLOOR((b.y - LEAST(GREATEST(
+                0.5 + CAST(COALESCE(z.z, 0) AS DOUBLE) / {ws4}, 0.0), 1.0))
+              * {rs}) AS BIGINT) AS r
+  FROM base b LEFT JOIN z{t} z USING (doc_id))""")
+        ctes.append(f"""g{t} AS (
+  SELECT f.bucket, SUM(r.r) AS g
+  FROM feats f JOIN r{t} r USING (doc_id) GROUP BY f.bucket)""")
+        ctes.append(f"""w{t} AS (
+  SELECT w.bucket,
+         CAST(w.w + FLOOR((CAST(COALESCE(g.g, 0) AS DOUBLE) * {lr})
+              / (SELECT CAST(COUNT(*) AS DOUBLE) FROM base)) AS BIGINT) AS w
+  FROM w{t - 1} w LEFT JOIN g{t} g USING (bucket))""")
+    ctes.append(f"""zs AS (
+  SELECT f.doc_id, SUM(w.w) AS z
+  FROM feats f JOIN w{epochs} w USING (bucket) GROUP BY f.doc_id)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT b.doc_id,
+       CAST(COALESCE(z.z, 0) AS BIGINT) AS logit,
+       COALESCE(z.z, 0) > 0 AS keep
+FROM base b LEFT JOIN zs z USING (doc_id)
+"""
+    )
+
+
+def q_docs_quality_lr(spark, sf):
+    """Hashed-ngram logistic-regression quality classifier, trained
+    in-query (8 full-batch epochs, quantized hard-sigmoid gradients)
+    on planted labels: doc_id % 3 = 1 docs carry four injected junk
+    tokens (label 0). Emits one row per doc with the integer logit and
+    the keep decision — the oracle replays the entire training loop as
+    unrolled CTEs, so a single wrong gradient anywhere hash-fails."""
+    from cola_spark.operators.quality_lr import (
+        score_logreg_quality, train_logreg_quality,
+    )
+
+    d = _t(spark, sf, "documents")
+    base = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(_QLR_JUNK))
+        ).otherwise(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit(0.0)).otherwise(F.lit(1.0)).alias("y"),
+    )
+    w = train_logreg_quality(base, epochs=_QLR_E, n_buckets=_QLR_D, lr=_QLR_LR)
+    return score_logreg_quality(base, w, n_buckets=_QLR_D)
+
+
+SQL_QUALITY_LR = _sql_docs_quality_lr()
+
+PAIRS.update({"docs_quality_lr": (q_docs_quality_lr, SQL_QUALITY_LR)})
