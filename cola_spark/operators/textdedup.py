@@ -144,6 +144,29 @@ def minhash_signatures(sh: DataFrame, num_perm: int = 16, hash_kind: str = "xxha
     )
 
 
+def lsh_band_rows(
+    sigs: DataFrame, bands: int = 4, num_perm: int = 16, compress_bands: bool = True
+) -> DataFrame:
+    """(doc_id, band_id, band_hash): one row per (signature, band) —
+    the LSH bucket keys. Shared by the batch candidate join and the
+    streaming near-dup gate's band store."""
+    r = max(num_perm // bands, 1)
+
+    def key(b):
+        raw = F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])
+        return F.xxhash64(raw).cast("string") if compress_bands else raw
+
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), key(b).alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 4, num_perm: int = 16, compress_bands: bool = True
 ) -> DataFrame:
@@ -157,21 +180,7 @@ def lsh_candidate_pairs(
     keeps the raw "v1,v2,…" string so a SQL oracle can reproduce the
     exact join key.
     """
-    r = max(num_perm // bands, 1)
-
-    def key(b):
-        raw = F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])
-        return F.xxhash64(raw).cast("string") if compress_bands else raw
-
-    band_rows = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), key(b).alias("band_hash"))
-                for b in range(bands)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    band_rows = lsh_band_rows(sigs, bands, num_perm, compress_bands)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     return (

@@ -97,3 +97,153 @@ def clean_doc_stream(
         .filter(F.col("bucket") < rate)
         .select("doc_id", "lang", "fingerprint", "bucket")
     )
+
+
+class NearDupStreamGate:
+    """Streaming MinHash near-dup gate: incremental ingest drops
+    near-duplicates of anything previously admitted, with the LSH band
+    buckets (+ the first occupant's full signature) as the carried
+    state.
+
+    Mechanism: foreachBatch reusing the batch operators wholesale —
+    the module's established streaming mode (see ForeachBatchCrawler).
+    The pure-streaming form is structurally unavailable: the gate
+    needs a band-keyed stateful lookup FOLLOWED BY a per-doc all-bands
+    reduction, and Structured Streaming does not permit an arbitrary
+    stateful operator chained into a second stateful aggregation in
+    one query. Inside foreachBatch every batch operator (shingles →
+    minhash_signatures → lsh_band_rows) applies unchanged, and the
+    band store rides the same crash-safe workdir-delta pattern as the
+    crawler's URL-seen set (an admitted corpus never forgets).
+
+    Semantics vs batch minhash_dedup_pairs (which is left untouched):
+    a batch candidate is verified against TRUE Jaccard; a stream would
+    need the prior occupant's full text for that, which is unbounded
+    state. The gate stores each bucket's first-occupant SIGNATURE and
+    verifies the matching-permutation fraction instead — an unbiased
+    estimator of Jaccard (matches/num_perm), the standard bounded-state
+    streaming compromise. min_matches tunes the S-curve (default 8/16
+    ≈ J ≥ 0.5).
+
+    Within one micro-batch the smaller doc_id wins a bucket (the batch
+    keep-first convention); across batches the earlier batch wins —
+    decisions are deterministic, hence replay-stable under
+    at-least-once delivery once paired with the exact-dedup gate.
+    """
+
+    def __init__(
+        self, spark: SparkSession, workdir: str,
+        num_perm: int = 16, bands: int = 4, n: int = 3,
+        min_matches: int = 8, hash_kind: str = "xxhash64",
+    ):
+        import os
+
+        self.spark = spark
+        self.workdir = workdir
+        self.num_perm = num_perm
+        self.bands = bands
+        self.n = n
+        self.min_matches = min_matches
+        self.hash_kind = hash_kind
+        os.makedirs(workdir, exist_ok=True)
+        self._deltas = sorted(
+            int(p.split("=")[1]) for p in os.listdir(workdir)
+            if p.startswith("delta=")
+        )
+
+    def _store(self) -> DataFrame:
+        if not self._deltas:
+            return self.spark.createDataFrame(
+                [], "band_id int, band_hash string, sig array<bigint>"
+            )
+        return self.spark.read.parquet(
+            *[f"{self.workdir}/delta={i}" for i in self._deltas]
+        )
+
+    def gate(self, docs: DataFrame) -> DataFrame:
+        """Returns `docs` minus near-duplicates of (a) previously
+        admitted docs and (b) smaller-doc_id docs in this batch;
+        appends the admitted docs' band buckets to the store. Docs too
+        short to shingle are admitted (no signature — the exact-dedup
+        gate still covers them)."""
+        from cola_spark.operators.textdedup import (
+            lsh_band_rows, minhash_signatures, shingles,
+        )
+
+        sigs = minhash_signatures(
+            shingles(docs, n=self.n), self.num_perm, self.hash_kind
+        ).persist()
+        bandr = lsh_band_rows(sigs, self.bands, self.num_perm).persist()
+        est_matches = F.size(
+            F.filter(
+                F.zip_with(F.col("sig"), F.col("osig"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        # (a) cross-batch: candidate iff a band bucket is occupied;
+        # verified near-dup iff enough signature perms agree
+        store = self._store()
+        cross_drop = (
+            bandr.join(
+                store.select(
+                    "band_id", "band_hash", F.col("sig").alias("osig")
+                ),
+                ["band_id", "band_hash"],
+            )
+            .join(sigs, "doc_id")
+            .filter(est_matches >= self.min_matches)
+            .select("doc_id")
+            .distinct()
+        )
+        # (b) intra-batch: bucket's min doc_id wins; larger collider
+        # verifies against the winner's signature
+        owner = bandr.groupBy("band_id", "band_hash").agg(
+            F.min("doc_id").alias("owner_id")
+        )
+        intra_drop = (
+            bandr.join(owner, ["band_id", "band_hash"])
+            .filter(F.col("doc_id") > F.col("owner_id"))
+            .join(sigs, "doc_id")
+            .join(
+                sigs.select(
+                    F.col("doc_id").alias("owner_id"), F.col("sig").alias("osig")
+                ),
+                "owner_id",
+            )
+            .filter(est_matches >= self.min_matches)
+            .select("doc_id")
+            .distinct()
+        )
+        dropped = cross_drop.unionByName(intra_drop).distinct()
+        admitted = docs.join(dropped, "doc_id", "left_anti")
+        # persist the admitted docs' buckets: only NEW buckets (first
+        # occupant keeps ownership; bounded state per bucket)
+        new_bands = (
+            bandr.join(dropped, "doc_id", "left_anti")
+            .join(sigs, "doc_id")
+            .groupBy("band_id", "band_hash")
+            .agg(F.min(F.struct("doc_id", "sig")).alias("w"))
+            .join(store.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_anti")
+            .select("band_id", "band_hash", F.col("w.sig").alias("sig"))
+        )
+        next_delta = (self._deltas[-1] + 1) if self._deltas else 0
+        new_bands.write.mode("overwrite").parquet(
+            f"{self.workdir}/delta={next_delta}"
+        )
+        self._deltas.append(next_delta)
+        sigs.unpersist()
+        bandr.unpersist()
+        return admitted
+
+    def attach(self, doc_stream: DataFrame, out_dir: str, checkpoint: str):
+        """Run the gate as a foreachBatch sink: admitted docs land in
+        out_dir as parquet, batch by batch."""
+        def _proc(batch_df: DataFrame, batch_id: int) -> None:
+            self.gate(batch_df).write.mode("append").parquet(out_dir)
+
+        return (
+            doc_stream.writeStream.foreachBatch(_proc)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
