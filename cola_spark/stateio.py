@@ -100,4 +100,109 @@ class LocalStateIO(StateIO):
         os.replace(src, dst)
 
 
+class ObjectStoreStateIO(StateIO):
+    """Object-store-shaped implementation over a local directory —
+    the S3/GCS CONTRACT, not the POSIX one (VERDICT r3: the first
+    obstacle on a real cluster is code that leans on affordances an
+    object store lacks):
+
+      * no directories — ``makedirs`` is a no-op, keys imply their
+        prefixes, PUT creates parents, and an "empty directory" does
+        not exist (``exists`` on a childless directory is False);
+      * no atomic directory rename — ``rename`` is copy-objects +
+        delete-source, one object at a time. Each single-object copy
+        is atomic (a real PUT is), but the directory as a whole
+        appears INCREMENTALLY at the destination and the source
+        vanishes only afterwards. The commit protocols must therefore
+        tolerate a partially-copied destination: the compaction
+        rename-commit stays safe because a partial ``compacted=N`` is
+        a subset of data whose source deltas are still present
+        (superseded dirs are removed only after the copy completes,
+        and readers union + distinct), and the round manifest — a
+        single-object atomic PUT — remains the linearization point
+        for resume;
+      * listing is BY PREFIX — ``list_dirs`` walks every object under
+        the pattern's fixed prefix and reconstructs the matching
+        prefixes ("common prefixes" in S3 terms), instead of readdir
+        globbing.
+
+    Used by the test suite to run the full scheduler resume +
+    compaction protocol under object-store semantics; a real
+    deployment replaces the local walk/copy with the store's
+    LIST/GET/PUT/DELETE calls, keeping exactly this contract."""
+
+    def exists(self, path: str) -> bool:
+        if os.path.isfile(path):
+            return True
+        if os.path.isdir(path):
+            for _root, _dirs, files in os.walk(path):
+                if files:
+                    return True
+        return False
+
+    def makedirs(self, path: str) -> None:
+        pass  # object stores have no directories
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, data: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)  # PUT implies prefix
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)  # emulates the atomicity of a single PUT
+
+    def _objects_under(self, prefix: str) -> list[str]:
+        out = []
+        if os.path.isfile(prefix):
+            return [prefix]
+        for root, _dirs, files in os.walk(prefix):
+            out.extend(os.path.join(root, f) for f in files)
+        return sorted(out)
+
+    def list_dirs(self, pattern: str) -> list[str]:
+        import fnmatch
+
+        # fixed prefix up to the first wildcard, then a flat LIST +
+        # common-prefix reconstruction at the pattern's depth
+        parts = pattern.split(os.sep)
+        first_wild = next(
+            (i for i, p in enumerate(parts) if any(c in p for c in "*?[")),
+            len(parts),
+        )
+        root = os.sep.join(parts[:first_wild]) or os.sep
+        depth = len(parts)
+        hits = set()
+        for key in self._objects_under(root):
+            kparts = key.split(os.sep)
+            if len(kparts) < depth:
+                continue
+            candidate = os.sep.join(kparts[:depth])
+            if fnmatch.fnmatch(candidate, pattern):
+                hits.add(candidate)
+        return sorted(hits)
+
+    def remove_dir(self, path: str) -> None:
+        for key in self._objects_under(path):
+            try:
+                os.remove(key)
+            except FileNotFoundError:
+                pass
+        shutil.rmtree(path, ignore_errors=True)  # tidy empty local scaffolding
+
+    def rename(self, src: str, dst: str) -> None:
+        src = src.rstrip(os.sep)
+        dst = dst.rstrip(os.sep)
+        for key in self._objects_under(src):
+            rel = os.path.relpath(key, src)
+            target = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
+            tmp = target + ".tmp"
+            shutil.copyfile(key, tmp)
+            os.replace(tmp, target)  # per-object atomic PUT
+        self.remove_dir(src)
+
+
 DEFAULT_IO = LocalStateIO()

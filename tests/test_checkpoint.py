@@ -158,3 +158,26 @@ def test_fused_fetch_mode_same_schedule_and_payload(spark, inputs, tmp_path_fact
         ok = log.filter(F.col("fetch_ok"))
         assert ok.filter(~F.col("invariant_ok") | (F.col("psnr") < 40.0)).count() == 0
     assert logs["fused"] == logs["join"]
+
+
+def test_resume_reproduces_full_run_on_objectstore(spark, inputs, tmp_path_factory):
+    """The resume contract under object-store StateIO semantics (no-op
+    makedirs, prefix listing, copy+delete rename): identical final log
+    to the POSIX-backend straight run."""
+    from cola_spark.stateio import ObjectStoreStateIO
+
+    full, _ = _run(spark, inputs, str(tmp_path_factory.mktemp("os_full")),
+                   io=ObjectStoreStateIO())
+    wd = str(tmp_path_factory.mktemp("os_interrupted"))
+    seeds, robots, budgets, images = inputs
+    cfg = CrawlConfig(workdir=wd, n_images=IMGS, pages_per_host=PAGES,
+                      max_rounds=2, decode=False, io=ObjectStoreStateIO())
+    run_crawl(spark, seeds, robots, budgets, images, cfg)
+    assert latest_round(cfg) == 1
+    cfg.max_rounds = ROUNDS
+    log = run_crawl(spark, seeds, robots, budgets, images, cfg, resume=True)
+    resumed = [
+        (r.round, r.priority, r.host, r.seq, r.url_canon, r.host_rank, r.fetch_ok)
+        for r in log.orderBy("global_rank").collect()
+    ]
+    assert resumed == full

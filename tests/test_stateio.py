@@ -138,3 +138,85 @@ def test_crawl_and_maintenance_route_all_fs_ops_through_seam(spark, tmp_path):
     log2 = run_crawl(spark, seeds, robots, budgets, gen_images(spark, 30), cfg,
                      resume=True)
     assert log2.count() == n
+
+
+# ------------------------- object-store-shaped backend (VERDICT r3 #8)
+
+
+def test_objectstore_contracts(tmp_path):
+    """The S3-shaped semantics themselves: no empty directories, PUT
+    creates prefixes, prefix listing, copy+delete rename that leaves a
+    complete destination and no source."""
+    from cola_spark.stateio import ObjectStoreStateIO
+
+    io = ObjectStoreStateIO()
+    root = str(tmp_path / "store")
+
+    # no-op makedirs; an empty "directory" does not exist
+    io.makedirs(f"{root}/a")
+    assert not io.exists(f"{root}/a")
+    # PUT creates every prefix
+    io.write_text_atomic(f"{root}/a/b/obj.json", "{}")
+    assert io.exists(f"{root}/a/b/obj.json") and io.exists(f"{root}/a")
+    # prefix listing reconstructs common prefixes at the pattern depth
+    io.write_text_atomic(f"{root}/seen/delta=0/part-0", "x")
+    io.write_text_atomic(f"{root}/seen/delta=1/part-0", "y")
+    assert io.list_dirs(f"{root}/seen/delta=*") == [
+        f"{root}/seen/delta=0", f"{root}/seen/delta=1",
+    ]
+    # rename = copy objects + delete source
+    io.rename(f"{root}/seen/delta=1", f"{root}/seen/compacted=0")
+    assert io.read_text(f"{root}/seen/compacted=0/part-0") == "y"
+    assert not io.exists(f"{root}/seen/delta=1")
+    assert io.list_dirs(f"{root}/seen/compacted=*") == [f"{root}/seen/compacted=0"]
+    # remove_dir deletes by prefix; missing paths are not an error
+    io.remove_dir(f"{root}/seen/delta=0")
+    io.remove_dir(f"{root}/never/existed")
+    assert io.list_dirs(f"{root}/seen/delta=*") == []
+
+
+def test_crawl_resume_and_compaction_on_objectstore(spark, tmp_path):
+    """The full scheduler protocol under object-store semantics: run →
+    kill → resume reproduces the straight run's log; compaction's
+    copy+delete rename-commit folds the seen deltas; vacuum leaves the
+    resumable tail — all with no-op makedirs, prefix-only listing, and
+    non-atomic directory rename."""
+    from cola_spark.plans.maintenance import compact_seen, vacuum_old_state
+    from cola_spark.plans.scheduler import CrawlConfig, latest_round, run_crawl
+    from cola_spark.sources import gen_budgets, gen_frontier_seeds, gen_images, gen_robots
+    from cola_spark.stateio import ObjectStoreStateIO
+
+    seeds = gen_frontier_seeds(spark, 200, n_hosts=6, pages_per_host=20)
+    robots, budgets = gen_robots(spark, 6), gen_budgets(spark, 6)
+    images = gen_images(spark, 30)
+
+    def cfg_for(wd, max_rounds):
+        return CrawlConfig(
+            workdir=wd, n_images=30, pages_per_host=20, max_rounds=max_rounds,
+            decode=False, io=ObjectStoreStateIO(),
+        )
+
+    full_cfg = cfg_for(str(tmp_path / "full"), 3)
+    full = [
+        (r.round, r.host, r.seq, r.url_canon)
+        for r in run_crawl(spark, seeds, robots, budgets, images, full_cfg)
+        .orderBy("global_rank").collect()
+    ]
+    assert full
+
+    cfg = cfg_for(str(tmp_path / "resumed"), 1)
+    run_crawl(spark, seeds, robots, budgets, images, cfg)
+    assert latest_round(cfg) == 0
+    cfg.max_rounds = 3
+    resumed = [
+        (r.round, r.host, r.seq, r.url_canon)
+        for r in run_crawl(spark, seeds, robots, budgets, images, cfg, resume=True)
+        .orderBy("global_rank").collect()
+    ]
+    assert resumed == full
+
+    removed = compact_seen(spark, cfg)
+    assert removed >= 2
+    vacuum_old_state(cfg, keep_last=1)
+    # the compacted seen snapshot is readable and the crawl state intact
+    assert latest_round(cfg) == 2
