@@ -27,6 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ONLY = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")  # "pipeline" → scaling job only
+# A/B knobs for the scaling campaign (defaults = the committed protocol)
+SHUFFLE_PARTS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
+EXTRA_CONF = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}"))
 SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
 BENCH_QUERIES = [
@@ -67,7 +70,11 @@ def frontier_pipeline_once(spark, n_urls: int, n_hosts: int, n_images: int,
     2×cores runnable threads and the measurement collapses. Partition
     counts are FIXED so both cluster sizes run identical plans.
 
-    Returns {"jvm_secs", "py_secs", "scheduled"}.
+    Returns {"jvm_secs", "py_secs", "scheduled", "jvm_gc_secs",
+    "py_gc_secs"} — the gc fields are the delta in total JVM GC time
+    (all collectors) across each stage, readable in local mode because
+    driver and executor share one JVM; they decompose whether a scaling
+    gap is compute or collector contention.
     """
     import shutil as _sh
 
@@ -93,26 +100,41 @@ def frontier_pipeline_once(spark, n_urls: int, n_hosts: int, n_images: int,
         allowed, budget_caps(init_budget_state(budgets)), broadcast_caps=False
     )
 
+    def gc_millis():
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        total, it = 0, beans.iterator()
+        while it.hasNext():
+            total += it.next().getCollectionTime()
+        return total
+
     # settle before stage A as well: the warm run's shuffle/broadcast
     # heap debris otherwise bleeds GC pauses into the JVM-stage timing
     spark.sparkContext._jvm.System.gc()
     time.sleep(0.5)
+    gc0 = gc_millis()
     t0 = time.monotonic()
     scheduled.write.mode("overwrite").parquet(f"{workdir}/scheduled")
     jvm_secs = time.monotonic() - t0
+    jvm_gc = (gc_millis() - gc0) / 1000.0
     # settle the JVM at the stage barrier: the preceding shuffle's heap
     # debris otherwise bleeds GC pauses into the Python-stage timing
     spark.sparkContext._jvm.System.gc()
     time.sleep(1.0)
     sched = spark.read.parquet(f"{workdir}/scheduled")
+    gc0 = gc_millis()
     t0 = time.monotonic()
     fetch_decode_verify(sched, n_images, dims=(48, 64), parts=parts * 2).write.format(
         "noop"
     ).mode("overwrite").save()
     py_secs = time.monotonic() - t0
+    py_gc = (gc_millis() - gc0) / 1000.0
     n = spark.read.parquet(f"{workdir}/scheduled").count()
     _sh.rmtree(workdir, ignore_errors=True)
-    return {"jvm_secs": jvm_secs, "py_secs": py_secs, "scheduled": n}
+    return {"jvm_secs": jvm_secs, "py_secs": py_secs, "scheduled": n,
+            "jvm_gc_secs": round(jvm_gc, 3), "py_gc_secs": round(py_gc, 3)}
 
 
 def main() -> None:
@@ -128,7 +150,7 @@ def main() -> None:
     _os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = get_spark(
         "cola_spark_bench", master=f"local[{CPUS}]",
-        shuffle_partitions=64,  # fixed across cluster sizes: identical plans
+        shuffle_partitions=SHUFFLE_PARTS,  # fixed across sizes: identical plans
         extra_conf={
             # measured tunings (see BENCH/BASELINE.md + memory notes):
             # AQE's sequential stage materialization adds ~1s/stage of
@@ -137,6 +159,7 @@ def main() -> None:
             "spark.sql.adaptive.enabled": "false",
             "spark.local.dir": "/dev/shm/spark-local",
             "spark.sql.execution.arrow.maxRecordsPerBatch": "2000",
+            **EXTRA_CONF,
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -166,6 +189,8 @@ def main() -> None:
             "sf": SF, "cpus": CPUS, "pipeline_urls": n_pipe,
             "pipeline_scheduled": best["scheduled"],
             "pipeline_urls_per_sec": round(n_pipe / pipe_secs, 1),
+            "jvm_gc_secs": best["jvm_gc_secs"], "py_gc_secs": best["py_gc_secs"],
+            "shuffle_parts": SHUFFLE_PARTS,
         }))
         spark.stop()
         return
