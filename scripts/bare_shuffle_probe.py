@@ -33,6 +33,7 @@ def one(cpus: int) -> dict:
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = (
         SparkSession.builder.master(f"local[{cpus}]").appName("bare_shuffle")
+        .config("spark.driver.memory", "24g")  # VM-bench protocol heap
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.local.dir", "/dev/shm/spark-local")
