@@ -99,12 +99,19 @@ def connected_components(
 
 def _cc_minlabel_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     parts = _graph_parts(edges, edges.count())
-    # hash(src, parts) once; labels stay hash(doc_id, parts) via
-    # checkpoint-preserved partitioning, so each round's edges⋈labels
-    # and labels⋈neighbor_min need NO new exchange — the only shuffle
-    # per round is the explicit graph-sized repartition before the
-    # per-dst min.
-    edges = edges.repartition(parts, "src").localCheckpoint()
+    # EVERY shuffle in the loop is explicitly graph-sized. Note that a
+    # checkpointed frame does NOT carry its output partitioning in
+    # this Spark build (the LogicalRDD read back from localCheckpoint
+    # plans as unpartitioned — verified: groupBy after
+    # repartition+checkpoint re-exchanges at session partitions), so
+    # the per-round label frames are re-repartitioned to `parts` after
+    # each checkpoint — a one-to-few-task exchange over checkpointed
+    # blocks — instead of letting EnsureRequirements insert
+    # session-sized exchanges. `edges` is static across iterations:
+    # persist (which DOES keep the plan's partitioning) rather than
+    # checkpoint.
+    edges = edges.repartition(parts, "src").persist()
+    edges.count()
     try:
         labels = (
             edges.select(F.col("src").alias("doc_id")).distinct()
@@ -112,14 +119,15 @@ def _cc_minlabel_loop(edges: DataFrame, max_iter: int) -> DataFrame:
             .localCheckpoint()
         )
         for _ in range(max_iter):
+            labels_p = labels.repartition(parts, "doc_id")
             neighbor_min = (
-                edges.join(labels, edges.src == labels.doc_id)
+                edges.join(labels_p, edges.src == labels_p.doc_id)
                 .repartition(parts, "dst")
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
             new_labels = (
-                labels.join(neighbor_min, "doc_id", "left")
+                labels_p.join(neighbor_min, "doc_id", "left")
                 .select(
                     "doc_id",
                     F.least(
@@ -129,7 +137,8 @@ def _cc_minlabel_loop(edges: DataFrame, max_iter: int) -> DataFrame:
                 .localCheckpoint()
             )
             changed = (
-                new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+                new_labels.repartition(parts, "doc_id")
+                .join(labels_p.withColumnRenamed("cluster_id", "old"), "doc_id")
                 .filter(F.col("cluster_id") != F.col("old"))
                 .count()
             )
@@ -141,7 +150,7 @@ def _cc_minlabel_loop(edges: DataFrame, max_iter: int) -> DataFrame:
                 break
         return labels
     finally:
-        _release_local_checkpoint(edges)
+        edges.unpersist()
 
 
 def connected_components_star(
