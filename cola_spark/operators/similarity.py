@@ -360,6 +360,7 @@ def _assign_cells(rows: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 8,
     nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank): IVF approximate top-k — the
     data-adaptive counterpart of lsh_bucketed_topk. Corpus vectors are
@@ -375,7 +376,7 @@ def ivf_topk(
     so hot cells are bounded by centroid spread, and n_cells grows with
     the corpus (sqrt(N) rule) keeping per-cell lists flat.
     """
-    cents = ivf_cells(corpus, n_cells, id_col, vec_col)
+    cents = ivf_cells(corpus, n_cells, id_col, vec_col, train_iters=train_iters)
     inv = _assign_cells(
         spread_small_scan(corpus, id_col)
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")),
@@ -682,6 +683,46 @@ def pq_encode(
     )
 
 
+def _rank_or_refine(
+    sims: DataFrame, queries: DataFrame, corpus: DataFrame, k: int,
+    rerank: int, id_col: str, vec_col: str,
+) -> DataFrame:
+    """Shared ADC tail: rank the (query_id, neighbor_id, score) frame;
+    with rerank>0, take a rerank-deep ADC shortlist per query and
+    re-rank it by EXACT cosine against the raw vectors (FAISS
+    IndexRefineFlat) — k*rerank raw-vector touches per query."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    if rerank <= 0:
+        return (
+            sims.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+        )
+    shortlist = (
+        sims.withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= int(rerank))
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        shortlist
+        .join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_ce")),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qe"))
+            ),
+            "query_id",
+        )
+        .select("query_id", "neighbor_id", _cosine(F.col("_qe"), F.col("_ce")).alias("sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, n_sub: int = 16,
     n_codes: int = 32, sub_dim: int = 4,
@@ -740,36 +781,7 @@ def pq_topk(
         .agg(*pivot)
         .select("query_id", "neighbor_id", score.alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    if rerank <= 0:
-        return (
-            sims.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-        )
-    shortlist = (
-        sims.withColumn("_srn", F.row_number().over(w))
-        .filter(F.col("_srn") <= int(rerank))
-        .select("query_id", "neighbor_id")
-    )
-    exact = (
-        shortlist
-        .join(
-            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_ce")),
-            "neighbor_id",
-        )
-        .join(
-            F.broadcast(
-                queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qe"))
-            ),
-            "query_id",
-        )
-        .select("query_id", "neighbor_id", _cosine(F.col("_qe"), F.col("_ce")).alias("sim"))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_or_refine(sims, queries, corpus, k, rerank, id_col, vec_col)
 
 
 def embedding_decontam(
@@ -815,7 +827,7 @@ def ivfpq_topk(
     n_cells: int = 8, nprobe: int = 2,
     n_sub: int = 16, n_codes: int = 32, sub_dim: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    train_iters: int = 0,
+    train_iters: int = 0, rerank: int = 0,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank): the canonical web-scale ANN index
     — IVF coarse cells prune the candidate set (each query scores only
@@ -873,8 +885,4 @@ def ivfpq_topk(
         .agg(*pivot)
         .select("query_id", "neighbor_id", score.alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_or_refine(sims, queries, corpus, k, rerank, id_col, vec_col)

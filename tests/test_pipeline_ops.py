@@ -474,3 +474,45 @@ def test_redact_pii_idempotent(spark):
     twice = redact_pii(once).collect()[0]
     assert (twice.n_emails, twice.n_ips, twice.n_phones) == (0, 0, 0)
     assert twice.clean_text == "[EMAIL] at [IP] call [PHONE] end"
+
+
+def test_ivfpq_refine_full_probe_equals_brute(emb):
+    """ivfpq_topk(rerank) — the refine stage on the combined index:
+    with every cell probed the pipeline reduces to PQ+refine, which at
+    this scale reproduces brute force exactly (same property as
+    test_pq_refine_exact_topk, through the IVF code path)."""
+    from cola_spark.operators.similarity import ivfpq_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(
+            q, emb, k=5, n_cells=4, nprobe=4,
+            n_sub=32, n_codes=64, sub_dim=2, train_iters=2, rerank=30,
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(q, emb, k=5).collect()
+    )
+    assert got == want
+
+
+def test_ivf_trained_centroids_shape_and_recall(emb):
+    """ivf_topk(train_iters): trained centroids keep the contract (one
+    cell per corpus vector, probes within the trained cells) and the
+    full-probe result equals brute force on the probed candidate set —
+    with nprobe=n_cells IVF prunes nothing, so exact cosine ranking
+    must reproduce brute force."""
+    from cola_spark.operators.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    full = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(q, emb, k=5, n_cells=4, nprobe=4, train_iters=2).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(q, emb, k=5).collect()
+    )
+    assert full == want
