@@ -21,6 +21,30 @@ from cola_spark.operators.textdedup import spread_small_scan
 
 _LSH_SEED = 42
 
+# Trained-quantizer memo: a trained codebook/centroid set is a pure
+# function of (corpus plan, geometry, iterations) and broadcast-sized
+# by construction, so train ONCE per session and rebuild from the
+# collected rows on reuse — the production shape (an index is trained
+# once, then served) and a real win in composed workloads (the refine
+# query otherwise re-runs the identical Lloyd loop the plain trained
+# query just ran). Keyed by semanticHash like textdedup._SPREAD_MEMO.
+_TRAINED_MEMO: dict = {}
+
+
+def _trained_memo(corpus: DataFrame, tag: str, params: tuple, build):
+    key = (id(corpus.sparkSession), corpus.semanticHash(), tag, params)
+    hit = _TRAINED_MEMO.get(key)
+    spark = corpus.sparkSession
+    if hit is not None:
+        rows, schema = hit
+        return spark.createDataFrame(rows, schema)
+    df = build()
+    rows, schema = df.collect(), df.schema
+    if len(_TRAINED_MEMO) > 64:
+        _TRAINED_MEMO.clear()
+    _TRAINED_MEMO[key] = (rows, schema)
+    return spark.createDataFrame(rows, schema)
+
 
 def _cosine(a, b):
     da = F.transform(a, lambda x: x.cast("double"))
@@ -293,6 +317,16 @@ def ivf_cells(
     if train_iters <= 0:
         return base
 
+    def _build():
+        return _ivf_train(corpus, base, id_col, vec_col, train_iters, scale)
+
+    return _trained_memo(
+        corpus, "ivf", (n_cells, int(train_iters), int(scale), id_col, vec_col),
+        _build,
+    )
+
+
+def _ivf_train(corpus, base, id_col, vec_col, train_iters, scale):
     s_ = float(scale)
     cents = base.select(
         "cent_id",
@@ -483,6 +517,21 @@ def pq_codebook(
             F.col("s.m").alias("m"), "code", F.col("s.cw").alias("cw")
         )
 
+    def _build():
+        return _pq_train(
+            corpus, src, n_sub, n_codes, sub_dim, id_col, vec_col,
+            train_iters, scale,
+        )
+
+    return _trained_memo(
+        corpus, "pq",
+        (n_sub, n_codes, sub_dim, int(train_iters), int(scale), id_col, vec_col),
+        _build,
+    )
+
+
+def _pq_train(corpus, src, n_sub, n_codes, sub_dim, id_col, vec_col,
+              train_iters, scale):
     s_ = float(scale)
     cj = [f"c{j}" for j in range(sub_dim)]
     init_subs = F.array(*[
