@@ -46,6 +46,27 @@ def _trained_memo(corpus: DataFrame, tag: str, params: tuple, build):
     return spark.createDataFrame(rows, schema)
 
 
+def _train_sample(corpus: DataFrame, id_col: str, train_permille: int) -> DataFrame:
+    """Bounded training input: deterministic permille-bucket sample of
+    the corpus (md5 family, seed "train" — bit-identical in DuckDB, so
+    sampled training stays fully SQL-oracle-able; nested buckets, so
+    raising the rate keeps every previously-trained-on vector).
+
+    At 100 TB full-corpus Lloyd is a non-starter — standard practice
+    (FAISS) trains quantizers on a 10^5–10^6-vector sample and encodes
+    the full corpus with the result. train_permille=1000 (train on
+    everything) is the sandbox/test default ONLY; production callers
+    size the sample so `rows * permille / 1000` lands in that band."""
+    if train_permille >= 1000:
+        return corpus
+    from cola_spark.operators.sampling import permille_bucket
+
+    return corpus.filter(
+        permille_bucket(F.col(id_col), hash_kind="md5", seed="train")
+        < int(train_permille)
+    )
+
+
 def _cosine(a, b):
     da = F.transform(a, lambda x: x.cast("double"))
     db = F.transform(b, lambda x: x.cast("double"))
@@ -284,7 +305,7 @@ def lsh_near_dup_pairs(
 def ivf_cells(
     corpus: DataFrame, n_cells: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    train_iters: int = 0, scale: int = 10000,
+    train_iters: int = 0, scale: int = 10000, train_permille: int = 1000,
 ) -> DataFrame:
     """(cent_id, ce): the IVF coarse quantizer.
 
@@ -303,11 +324,16 @@ def ivf_cells(
     row; the update is one (cell, pos)-keyed aggregation per round —
     dim·n_cells agg rows, trivially small.
 
+    train_permille<1000 bounds BOTH the init selection and the Lloyd
+    input to the deterministic md5-permille sample (see _train_sample)
+    — the 100 TB shape; full-corpus training is sandbox-only.
+
     n_cells rows — broadcast-sized by construction at any corpus scale.
     """
+    tsrc = _train_sample(corpus, id_col, train_permille)
     key = F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string")))
     base = (
-        corpus.select(
+        tsrc.select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("ce"), key.alias("_k")
         )
         .orderBy("_k")
@@ -318,10 +344,12 @@ def ivf_cells(
         return base
 
     def _build():
-        return _ivf_train(corpus, base, id_col, vec_col, train_iters, scale)
+        return _ivf_train(tsrc, base, id_col, vec_col, train_iters, scale)
 
     return _trained_memo(
-        corpus, "ivf", (n_cells, int(train_iters), int(scale), id_col, vec_col),
+        corpus, "ivf",
+        (n_cells, int(train_iters), int(scale), int(train_permille),
+         id_col, vec_col),
         _build,
     )
 
@@ -394,7 +422,7 @@ def _assign_cells(rows: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 8,
     nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
-    train_iters: int = 0,
+    train_iters: int = 0, train_permille: int = 1000,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank): IVF approximate top-k — the
     data-adaptive counterpart of lsh_bucketed_topk. Corpus vectors are
@@ -410,7 +438,10 @@ def ivf_topk(
     so hot cells are bounded by centroid spread, and n_cells grows with
     the corpus (sqrt(N) rule) keeping per-cell lists flat.
     """
-    cents = ivf_cells(corpus, n_cells, id_col, vec_col, train_iters=train_iters)
+    cents = ivf_cells(
+        corpus, n_cells, id_col, vec_col,
+        train_iters=train_iters, train_permille=train_permille,
+    )
     inv = _assign_cells(
         spread_small_scan(corpus, id_col)
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")),
@@ -460,7 +491,7 @@ def centroids(corpus: DataFrame, label_col: str = "label", vec_col: str = "embed
 def pq_codebook(
     corpus: DataFrame, n_sub: int = 16, n_codes: int = 32, sub_dim: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    train_iters: int = 0, scale: int = 10000,
+    train_iters: int = 0, scale: int = 10000, train_permille: int = 1000,
 ) -> DataFrame:
     """(m, code, cw array<double>): product-quantization codebook.
 
@@ -493,11 +524,16 @@ def pq_codebook(
     n_sub·n_codes codebook) plus one integer aggregation — the
     standard distributed-k-means cost; the codebook frame is
     localCheckpoint'ed per round (2k rows) to cut iterative lineage.
+    train_permille<1000 bounds BOTH the init selection and the Lloyd
+    input to the deterministic md5-permille sample (see _train_sample);
+    full-corpus training is the sandbox/test default only.
+
     n_sub*n_codes rows — broadcast-sized at any corpus scale."""
+    tsrc = _train_sample(corpus, id_col, train_permille)
     key = F.md5(F.concat(F.lit("pq:"), F.col(id_col).cast("string")))
     w = Window.orderBy("_k")
     src = (
-        corpus.select(
+        tsrc.select(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
             key.alias("_k"),
         )
@@ -519,13 +555,14 @@ def pq_codebook(
 
     def _build():
         return _pq_train(
-            corpus, src, n_sub, n_codes, sub_dim, id_col, vec_col,
+            tsrc, src, n_sub, n_codes, sub_dim, id_col, vec_col,
             train_iters, scale,
         )
 
     return _trained_memo(
         corpus, "pq",
-        (n_sub, n_codes, sub_dim, int(train_iters), int(scale), id_col, vec_col),
+        (n_sub, n_codes, sub_dim, int(train_iters), int(scale),
+         int(train_permille), id_col, vec_col),
         _build,
     )
 
@@ -776,7 +813,7 @@ def pq_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, n_sub: int = 16,
     n_codes: int = 32, sub_dim: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    train_iters: int = 0, rerank: int = 0,
+    train_iters: int = 0, rerank: int = 0, train_permille: int = 1000,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank): approximate top-k by asymmetric
     distance computation (ADC) over PQ codes — the score is the inner
@@ -805,7 +842,8 @@ def pq_topk(
     engine-stable one."""
     metric = "l2s" if train_iters > 0 else "cos"
     cb = pq_codebook(
-        corpus, n_sub, n_codes, sub_dim, id_col, vec_col, train_iters=train_iters
+        corpus, n_sub, n_codes, sub_dim, id_col, vec_col,
+        train_iters=train_iters, train_permille=train_permille,
     )
     enc = _pq_codes_long(
         corpus, cb, n_sub, sub_dim, id_col, vec_col, out_id="neighbor_id",
@@ -876,7 +914,7 @@ def ivfpq_topk(
     n_cells: int = 8, nprobe: int = 2,
     n_sub: int = 16, n_codes: int = 32, sub_dim: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    train_iters: int = 0, rerank: int = 0,
+    train_iters: int = 0, rerank: int = 0, train_permille: int = 1000,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank): the canonical web-scale ANN index
     — IVF coarse cells prune the candidate set (each query scores only
@@ -897,14 +935,18 @@ def ivfpq_topk(
     L2 encode metric; the nprobe=n_cells ≡ pq_topk invariant holds for
     any fixed codebook, trained or not."""
     metric = "l2s" if train_iters > 0 else "cos"
-    cents = ivf_cells(corpus, n_cells, id_col, vec_col, train_iters=train_iters)
+    cents = ivf_cells(
+        corpus, n_cells, id_col, vec_col,
+        train_iters=train_iters, train_permille=train_permille,
+    )
     inv = _assign_cells(
         spread_small_scan(corpus, id_col)
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")),
         cents, nprobe=1,
     ).select("neighbor_id", "cell")
     cb = pq_codebook(
-        corpus, n_sub, n_codes, sub_dim, id_col, vec_col, train_iters=train_iters
+        corpus, n_sub, n_codes, sub_dim, id_col, vec_col,
+        train_iters=train_iters, train_permille=train_permille,
     )
     enc = _pq_codes_long(
         corpus, cb, n_sub, sub_dim, id_col, vec_col, out_id="neighbor_id",

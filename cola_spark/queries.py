@@ -630,13 +630,16 @@ def q_jaccard_prefix_pairs(spark, sf):
     return prefix_jaccard_pairs(_t(spark, sf, "documents"), eager_release=True)
 
 
-def _cosine(a, b):
-    da = F.transform(a, lambda x: x.cast("double"))
-    db = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+def _cosine(a, b, d: int = 64):
+    """Expanded (codegen) cosine — same left-to-right fold order as the
+    HOF aggregate form it replaced and as DuckDB's list functions, but
+    as plain scalar expressions inside whole-stage codegen. HOFs
+    (transform/zip_with/aggregate) evaluate interpreted per row — the
+    brute-force baseline was paying interpreter tax it doesn't need."""
+    from cola_spark.operators.similarity import _expanded_dot_cos
+
+    _, cos = _expanded_dot_cos(a, b, d)
+    return cos
 
 
 def q_ann_cosine_topk(spark, sf):
@@ -1902,9 +1905,11 @@ def q_corpus_mix_clean(spark, sf):
     )
 
 
-SQL_CORPUS_MIX_CLEAN = r"""
-WITH RECURSIVE
-w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+# Shared mix-pipeline CTE prefix (near-dup drops via recursive CC,
+# repetition gate, decontamination, stratified sample) — composed with
+# either the heuristic quality CTE (corpus_mix_clean) or the unrolled
+# learned-classifier CTEs (corpus_mix_clean_lr).
+_MIX_PREFIX_CTES = r"""w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
        FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
        WHERE len(ws) >= 3),
@@ -1930,23 +1935,20 @@ g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
 pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
 rep AS (SELECT doc_id FROM pg GROUP BY doc_id
         HAVING (1000 * (SUM(c) - COUNT(*))) // SUM(c) <= 300),
-q AS (SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
-      FROM documents
-      WHERE len(string_split_regex(trim(text), '\s+')) >= 20
-        AND (length(text) - length(replace(text, 'the', ''))) / 3 > 0),
-g8 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS ng
+ng8 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS ng
        FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
        WHERE len(ws) >= 8),
-bench8 AS (SELECT DISTINCT ng FROM g8 WHERE doc_id % 20 = 7),
-contam AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN bench8 USING (ng)
-           WHERE g8.doc_id % 20 <> 7),
+bench8 AS (SELECT DISTINCT ng FROM ng8 WHERE doc_id % 20 = 7),
+contam AS (SELECT DISTINCT ng8.doc_id FROM ng8 JOIN bench8 USING (ng)
+           WHERE ng8.doc_id % 20 <> 7),
 samp AS (SELECT doc_id FROM documents
          WHERE CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))
                     AS BIGINT) % 1000
                < CASE lang WHEN 'en' THEN 600 WHEN 'de' THEN 300
                            WHEN 'es' THEN 300 WHEN 'fr' THEN 300
-                           WHEN 'zh' THEN 150 ELSE 0 END)
+                           WHEN 'zh' THEN 150 ELSE 0 END)"""
+
+_MIX_FINAL_SELECT = """
 SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens
 FROM documents d
 JOIN q ON q.doc_id = d.doc_id
@@ -1954,9 +1956,19 @@ JOIN rep ON rep.doc_id = d.doc_id
 WHERE d.doc_id % 20 <> 7
   AND d.doc_id NOT IN (SELECT doc_id FROM drops)
   AND d.doc_id NOT IN (SELECT doc_id FROM contam)
-  AND d.doc_id IN (SELECT doc_id FROM samp)
+  AND d.doc_id IN (SELECT doc_id FROM samp){extra_gate}
 GROUP BY d.lang
 """
+
+SQL_CORPUS_MIX_CLEAN = (
+    "WITH RECURSIVE\n" + _MIX_PREFIX_CTES + r""",
+q AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+        AND (length(text) - length(replace(text, 'the', ''))) / 3 > 0)"""
+    + _MIX_FINAL_SELECT.format(extra_gate="")
+)
 
 
 PAIRS.update({"corpus_mix_clean": (q_corpus_mix_clean, SQL_CORPUS_MIX_CLEAN)})
@@ -2196,10 +2208,29 @@ PAIRS.update({"ann_ivfpq_topk": (q_ann_ivfpq_topk, SQL_ANN_IVFPQ)})
 _PQT_M, _PQT_K, _PQT_D, _PQT_T, _PQT_S = 32, 64, 2, 3, 10000
 
 
-def _sql_pq_train_ctes(m: int, k: int, d: int, iters: int, scale: int) -> list[str]:
+def _sql_train_pred(permille: int) -> str:
+    """The md5-permille training-sample predicate (similarity.
+    _train_sample) as DuckDB SQL; empty string at permille>=1000."""
+    if permille >= 1000:
+        return ""
+    return (
+        " WHERE CAST(('0x' || substr(md5('train:' || CAST(vec_id AS VARCHAR))"
+        f", 1, 15)) AS BIGINT) % 1000 < {permille}"
+    )
+
+
+def _sql_pq_train_ctes(
+    m: int, k: int, d: int, iters: int, scale: int,
+    train_permille: int = 1000,
+) -> list[str]:
     """CTE chain: src/corp/sub/cb0 + (a{t}, u{t}, cb{t}) per Lloyd
     iteration. cb{iters} is the trained codebook with integer-grid
-    codeword columns c0..c{d-1} (exact doubles)."""
+    codeword columns c0..c{d-1} (exact doubles). train_permille<1000
+    restricts the init selection AND the Lloyd input to the md5-bucket
+    training sample (tsub) while `sub` (used by the encode tail) stays
+    the full corpus — mirroring similarity._train_sample."""
+    pred = _sql_train_pred(train_permille)
+    tsub = "tsub" if pred else "sub"
     ms = ", ".join(str(i) for i in range(m))
     xs = ", ".join(f"cv[m*{d} + {j + 1}] AS x{j}" for j in range(d))
     c0 = ", ".join(f"FLOOR(v[m*{d} + {j + 1}] * {scale}) AS c{j}" for j in range(d))
@@ -2218,21 +2249,25 @@ def _sql_pq_train_ctes(m: int, k: int, d: int, iters: int, scale: int) -> list[s
   SELECT CAST(embedding AS DOUBLE[]) AS v,
          CAST(ROW_NUMBER() OVER (
            ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR))) - 1 AS INTEGER) AS code
-  FROM embeddings ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)) LIMIT {k})""",
+  FROM embeddings{pred} ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)) LIMIT {k})""",
         "corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)",
         f"sub AS (SELECT vec_id, m, {xs} FROM corp, UNNEST([{ms}]) AS t(m))",
         f"cb0 AS (SELECT m, code, {c0} FROM src, UNNEST([{ms}]) AS t(m))",
     ]
+    if pred:
+        ctes.insert(3, f"""tsub AS (
+  SELECT s.* FROM sub s
+  WHERE s.vec_id IN (SELECT vec_id FROM embeddings{pred}))""")
     for t in range(1, iters + 1):
         ctes.append(f"""a{t} AS (
   SELECT vec_id, m, code FROM (
     SELECT s.vec_id, s.m, c.code,
            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
              ORDER BY {d2} ASC, c.code) AS rn
-    FROM sub s JOIN cb{t - 1} c ON c.m = s.m) WHERE rn = 1)""")
+    FROM {tsub} s JOIN cb{t - 1} c ON c.m = s.m) WHERE rn = 1)""")
         ctes.append(f"""u{t} AS (
   SELECT a.m, a.code, {sums}
-  FROM a{t} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+  FROM a{t} a JOIN {tsub} s ON s.vec_id = a.vec_id AND s.m = a.m
   GROUP BY a.m, a.code)""")
         ctes.append(f"""cb{t} AS (
   SELECT c.m, c.code, {carry}
@@ -2290,28 +2325,38 @@ FROM scores QUALIFY rank <= 5
     )
 
 
-def _sql_ivf_train_ctes(n_cells: int, iters: int, scale: int, dim: int = 64) -> list[str]:
+def _sql_ivf_train_ctes(
+    n_cells: int, iters: int, scale: int, dim: int = 64,
+    train_permille: int = 1000,
+) -> list[str]:
     """icb0 + (ia{t}, iu{t}, icb{t}) per Lloyd iteration over the FULL
     vectors (cosine assignment — scale-invariant on the integer grid —
     BIGINT floor-mean update, empty cells carried). Requires `corp`
-    from _sql_pq_train_ctes."""
+    from _sql_pq_train_ctes. train_permille<1000 restricts init AND
+    Lloyd to the md5-bucket training sample (tcorp)."""
+    pred = _sql_train_pred(train_permille)
+    tcorp = "tcorp" if pred else "corp"
     ctes = [f"""icb0 AS (
   SELECT vec_id AS cent_id,
          list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR(x * {scale})) AS ce
-  FROM embeddings ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)) LIMIT {n_cells})"""]
+  FROM embeddings{pred} ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)) LIMIT {n_cells})"""]
+    if pred:
+        ctes.append(f"""tcorp AS (
+  SELECT c.* FROM corp c
+  WHERE c.vec_id IN (SELECT vec_id FROM embeddings{pred}))""")
     for t in range(1, iters + 1):
         ctes.append(f"""ia{t} AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cent_id AS cell,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
              ORDER BY list_cosine_similarity(e.cv, c.ce) DESC, c.cent_id) AS rn
-    FROM corp e CROSS JOIN icb{t - 1} c) WHERE rn = 1)""")
+    FROM {tcorp} e CROSS JOIN icb{t - 1} c) WHERE rn = 1)""")
         ctes.append(f"""iu{t} AS (
   SELECT cell, list(mv ORDER BY pos) AS ue FROM (
     SELECT a.cell, p.pos,
            FLOOR(CAST(SUM(CAST(FLOOR(e.cv[p.pos] * {scale}) AS BIGINT)) AS DOUBLE)
                  / COUNT(*)) AS mv
-    FROM ia{t} a JOIN corp e USING (vec_id), UNNEST(range(1, {dim + 1})) AS p(pos)
+    FROM ia{t} a JOIN {tcorp} e USING (vec_id), UNNEST(range(1, {dim + 1})) AS p(pos)
     GROUP BY a.cell, p.pos) GROUP BY cell)""")
         ctes.append(f"""icb{t} AS (
   SELECT c.cent_id, COALESCE(u.ue, c.ce) AS ce
@@ -2323,10 +2368,11 @@ def _sql_ann_ivfpq_trained(
     m: int = _PQT_M, k: int = _PQT_K, d: int = _PQT_D,
     iters: int = _PQT_T, scale: int = _PQT_S,
     n_cells: int = 8, nprobe: int = 2, dim: int = 64,
+    train_permille: int = 1000,
 ) -> str:
     dot = " + ".join(f"q.qv[c.m*{d} + {j + 1}] * b.c{j}" for j in range(d))
-    ctes = _sql_pq_train_ctes(m, k, d, iters, scale)
-    ctes += _sql_ivf_train_ctes(n_cells, iters, scale, dim)
+    ctes = _sql_pq_train_ctes(m, k, d, iters, scale, train_permille)
+    ctes += _sql_ivf_train_ctes(n_cells, iters, scale, dim, train_permille)
     ctes += _sql_pq_trained_tail(m, d, iters, scale)
     ctes.append(f"""ccell AS (
   SELECT vec_id AS neighbor_id, cell FROM (
@@ -2391,12 +2437,36 @@ def q_ann_ivfpq_trained_topk(spark, sf):
     ).select("query_id", "neighbor_id", "rank")
 
 
+_PQT_P = 250  # sampled-training rate: train on <=25% of the corpus
+
+
+def q_ann_ivfpq_sampled_topk(spark, sf):
+    """IVF+PQ top-5 with BOTH quantizers Lloyd-trained on a BOUNDED
+    deterministic sample (md5-permille bucket < 250 — 25% of the
+    corpus): the 100 TB training shape (FAISS trains on 10^5-10^6
+    vectors, never the full corpus; full-corpus training elsewhere in
+    this file is sandbox-only). The encode/serve path still scans the
+    FULL corpus — only Lloyd's input shrinks. The oracle replays the
+    sampled training loops as CTEs, so a wrong sample membership or a
+    gradient computed over the wrong rows hash-fails."""
+    from cola_spark.operators.similarity import ivfpq_topk
+
+    e = _t(spark, sf, "embeddings")
+    return ivfpq_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, n_cells=8, nprobe=2,
+        n_sub=_PQT_M, n_codes=_PQT_K, sub_dim=_PQT_D, train_iters=_PQT_T,
+        train_permille=_PQT_P,
+    ).select("query_id", "neighbor_id", "rank")
+
+
 SQL_ANN_PQ_TRAINED = _sql_ann_pq_trained()
 SQL_ANN_IVFPQ_TRAINED = _sql_ann_ivfpq_trained()
+SQL_ANN_IVFPQ_SAMPLED = _sql_ann_ivfpq_trained(train_permille=_PQT_P)
 
 PAIRS.update({
     "ann_pq_trained_topk": (q_ann_pq_trained_topk, SQL_ANN_PQ_TRAINED),
     "ann_ivfpq_trained_topk": (q_ann_ivfpq_trained_topk, SQL_ANN_IVFPQ_TRAINED),
+    "ann_ivfpq_sampled_topk": (q_ann_ivfpq_sampled_topk, SQL_ANN_IVFPQ_SAMPLED),
 })
 
 
@@ -2474,10 +2544,13 @@ _QLR_D, _QLR_E, _QLR_LR = 256, 8, 8.0  # 8 epochs/lr 8: full separation
 _QLR_JUNK = " zqj0 zqj1 zqj2 zqj3"
 
 
-def _sql_docs_quality_lr(
+def _qlr_ctes(
     n_buckets: int = _QLR_D, epochs: int = _QLR_E, lr: float = _QLR_LR,
     junk: str = _QLR_JUNK,
-) -> str:
+) -> list[str]:
+    """The unrolled-training CTE chain (base → feats → w0..wE → zs),
+    shared by the standalone docs_quality_lr oracle and the composed
+    corpus_mix_clean_lr oracle."""
     ws4 = float(4 * 65536)
     rs = float(65536)
     ctes = [
@@ -2517,8 +2590,15 @@ def _sql_docs_quality_lr(
     ctes.append(f"""zs AS (
   SELECT f.doc_id, SUM(w.w) AS z
   FROM feats f JOIN w{epochs} w USING (bucket) GROUP BY f.doc_id)""")
+    return ctes
+
+
+def _sql_docs_quality_lr(
+    n_buckets: int = _QLR_D, epochs: int = _QLR_E, lr: float = _QLR_LR,
+    junk: str = _QLR_JUNK,
+) -> str:
     return (
-        "WITH " + ",\n".join(ctes) + """
+        "WITH " + ",\n".join(_qlr_ctes(n_buckets, epochs, lr, junk)) + """
 SELECT b.doc_id,
        CAST(COALESCE(z.z, 0) AS BIGINT) AS logit,
        COALESCE(z.z, 0) > 0 AS keep
@@ -2553,3 +2633,56 @@ def q_docs_quality_lr(spark, sf):
 SQL_QUALITY_LR = _sql_docs_quality_lr()
 
 PAIRS.update({"docs_quality_lr": (q_docs_quality_lr, SQL_QUALITY_LR)})
+
+
+def q_corpus_mix_clean_lr(spark, sf):
+    """corpus_mix_clean with the LEARNED quality gate (VERDICT r4 #9):
+    the flagship trainer-corpus composition — near-dup cluster drops,
+    repetition gate, decontamination, stratified domain mix — but the
+    quality decision comes from the trained logistic-regression scorer
+    (docs_quality_lr) instead of the hand-tuned heuristic. Token counts
+    are the raw whitespace counts (the heuristic's >=20-token floor is
+    the classifier's job now). The oracle replays the ENTIRE pipeline
+    including all 8 training epochs as CTEs."""
+    from cola_spark.operators.clusters import dedup_keep_set
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 20 != 7)
+    drops = dedup_keep_set(q_jaccard_prefix_pairs(spark, sf)).filter(~F.col("keep"))
+    tokens = q_docs_token_count(spark, sf).select("doc_id", "n_tokens")
+    lr_keep = q_docs_quality_lr(spark, sf).filter(F.col("keep")).select("doc_id")
+    low_rep = q_docs_repetition(spark, sf).filter(
+        F.col("dup_permille") <= 300
+    ).select("doc_id")
+    contaminated = q_decontam_overlap(spark, sf).filter(
+        F.col("contaminated")
+    ).select("doc_id")
+    sample = q_domain_sample(spark, sf).select("doc_id")
+    return (
+        d.join(drops.select("doc_id"), "doc_id", "left_anti")
+        .join(tokens, "doc_id")
+        .join(low_rep, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(sample, "doc_id", "semi")
+        .join(lr_keep, "doc_id", "semi")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+SQL_CORPUS_MIX_LR = (
+    "WITH RECURSIVE\n" + _MIX_PREFIX_CTES + ",\n"
+    + ",\n".join(_qlr_ctes()) + r""",
+q AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents)"""
+    + _MIX_FINAL_SELECT.format(
+        extra_gate="\n  AND d.doc_id IN (SELECT b.doc_id FROM base b"
+        "\n                   LEFT JOIN zs z USING (doc_id)"
+        "\n                   WHERE COALESCE(z.z, 0) > 0)"
+    )
+)
+
+PAIRS.update({"corpus_mix_clean_lr": (q_corpus_mix_clean_lr, SQL_CORPUS_MIX_LR)})

@@ -2,7 +2,10 @@
 every queries()/oracle_sql() pair compared against DuckDB (row count,
 schema, order-insensitive values) at a chosen scale factor.
 
-    python scripts/driver_gate_check.py [/root/testdata/sf0.01]
+    python scripts/driver_gate_check.py [/root/testdata/sf0.01] [q1,q2,...]
+
+An optional comma-separated second argument restricts the run to the
+named queries (fast single-pair verification while iterating).
 
 Uses a plain SparkSession (not cola_spark.session.get_spark) on purpose
 — proves the contract self-ships the package for foreign sessions.
@@ -17,6 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 
 
 def norm(pdf):
@@ -60,6 +64,10 @@ def main() -> int:
     from cola_spark.queries import LOCAL_ORACLES
 
     q, o = e.queries(), e.oracle_sql()
+    if ONLY is not None:
+        missing = ONLY - set(q)
+        assert not missing, f"unknown query names: {sorted(missing)}"
+        q = {k: v for k, v in q.items() if k in ONLY}
     fails = []
     for name in sorted(q):
         got = q[name](spark, SF)
