@@ -13,7 +13,7 @@ bucket assignment is plain DataFrame joins/windows.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
@@ -27,22 +27,41 @@ _LSH_SEED = 42
 # collected rows on reuse — the production shape (an index is trained
 # once, then served) and a real win in composed workloads (the refine
 # query otherwise re-runs the identical Lloyd loop the plain trained
-# query just ran). Keyed by semanticHash like textdedup._SPREAD_MEMO.
-_TRAINED_MEMO: dict = {}
+# query just ran). Keyed by a WEAK session reference (ADVICE r4 —
+# id() of a GC'd session can be recycled and alias a new session onto
+# stale entries) + semanticHash like textdedup._SPREAD_MEMO.
+#
+# CACHED PER PLAN, not per data: overwriting the files under an
+# unchanged plan in-session returns the stale trained quantizer —
+# call clear_trained_cache() after a data overwrite, or rebuild the
+# frame from a new path.
+import weakref
+
+_TRAINED_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def clear_trained_cache(spark: SparkSession | None = None) -> None:
+    """Explicit invalidation hook for data-overwrite workflows: drop
+    the trained-quantizer memo for `spark` (or every session)."""
+    if spark is None:
+        _TRAINED_MEMO.clear()
+    else:
+        _TRAINED_MEMO.pop(spark, None)
 
 
 def _trained_memo(corpus: DataFrame, tag: str, params: tuple, build):
-    key = (id(corpus.sparkSession), corpus.semanticHash(), tag, params)
-    hit = _TRAINED_MEMO.get(key)
     spark = corpus.sparkSession
+    per = _TRAINED_MEMO.setdefault(spark, {})
+    key = (corpus.semanticHash(), tag, params)
+    hit = per.get(key)
     if hit is not None:
         rows, schema = hit
         return spark.createDataFrame(rows, schema)
     df = build()
     rows, schema = df.collect(), df.schema
-    if len(_TRAINED_MEMO) > 64:
-        _TRAINED_MEMO.clear()
-    _TRAINED_MEMO[key] = (rows, schema)
+    if len(per) > 64:
+        per.clear()
+    per[key] = (rows, schema)
     return spark.createDataFrame(rows, schema)
 
 

@@ -83,7 +83,13 @@ def hash_family(kind: str = "xxhash64"):
     raise ValueError(f"unknown hash family {kind!r}")
 
 
-_SPREAD_MEMO: dict = {}
+# Keyed by a WEAK session reference (ADVICE r4): id() of a GC'd session
+# can be reused by a new one, silently aliasing its cache entries; a
+# WeakKeyDictionary scopes entries to the live session object and drops
+# them with it. Values are {semanticHash: n_partitions} per session.
+import weakref
+
+_SPREAD_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def spread_small_scan(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
@@ -104,20 +110,58 @@ def spread_small_scan(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
     if docs.isStreaming:
         return docs
     p = docs.sparkSession.sparkContext.defaultParallelism
-    key = (id(docs.sparkSession), docs.semanticHash())
-    n = _SPREAD_MEMO.get(key)
+    per = _SPREAD_MEMO.setdefault(docs.sparkSession, {})
+    key = docs.semanticHash()
+    n = per.get(key)
     if n is None:
-        if len(_SPREAD_MEMO) > 512:
-            _SPREAD_MEMO.clear()
+        if len(per) > 512:
+            per.clear()
         n = docs.rdd.getNumPartitions()
-        _SPREAD_MEMO[key] = n
+        per[key] = n
     if n >= p:
         return docs
     return docs.repartition(p, F.col(key_col))
 
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingle): distinct word n-gram shingles per document."""
+    """(id, shingle): distinct word n-gram shingles per document.
+
+    RELATIONAL build (VERDICT r4 #5 — the same posexplode + lead
+    rewrite that took span dedup's window hashing 5x on long docs):
+    one token row per position, the n-gram assembled from lead(tok, k)
+    over the doc window. The per-position transform/element_at HOF it
+    replaces evaluates interpreted, outside whole-stage codegen — and
+    this is the per-token CPU stage of minhash, exact Jaccard, the
+    prefix join AND decontamination. No extra exchange anywhere:
+    spread_small_scan's doc-key repartition already satisfies the
+    window's partitionBy(doc) and the distinct's (doc, shingle)
+    clustering, so both plan as sorts/aggs over the existing
+    partitioning (exchange-elision test-pinned)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = spread_small_scan(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), words.alias("ws")
+    )
+    toks = base.filter(F.size("ws") >= n).select(
+        "doc_id", F.size("ws").alias("_n"), F.posexplode("ws").alias("pos0", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos0")
+    gram_cols = [F.col("tok")] + [F.lead("tok", k).over(wd) for k in range(1, n)]
+    return (
+        toks.select(
+            "doc_id", "_n", "pos0", F.concat_ws(" ", *gram_cols).alias("shingle")
+        )
+        # valid starts only: concat_ws silently skips the NULL leads of
+        # the last n-1 positions, which would alias shorter grams
+        .filter(F.col("pos0") <= F.col("_n") - n)
+        .select("doc_id", "shingle")
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def _shingles_hof(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The pre-r5 higher-order-function shingle build (transform over a
+    position sequence) — kept for the A/B bench and as the semantic
+    twin the rewrite is equality-tested against."""
     docs = spread_small_scan(docs, id_col)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))

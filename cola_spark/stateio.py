@@ -131,14 +131,21 @@ class ObjectStoreStateIO(StateIO):
     deployment replaces the local walk/copy with the store's
     LIST/GET/PUT/DELETE calls, keeping exactly this contract."""
 
+    @staticmethod
+    def _hidden_tmp(path: str) -> str:
+        """In-flight intermediate name: dot-prefixed, so it is invisible
+        to _objects_under (hence exists/list_dirs) AND to Spark's
+        parquet readers (which skip '.'/'_' files) — a crash mid-copy
+        must never leave a key that readers would take for data
+        (ADVICE r4: a visible truncated part-N.tmp broke the 'partial
+        destination is a readable subset' property)."""
+        d, b = os.path.split(path)
+        return os.path.join(d, "." + b + ".tmp")
+
     def exists(self, path: str) -> bool:
         if os.path.isfile(path):
             return True
-        if os.path.isdir(path):
-            for _root, _dirs, files in os.walk(path):
-                if files:
-                    return True
-        return False
+        return bool(self._objects_under(path))
 
     def makedirs(self, path: str) -> None:
         pass  # object stores have no directories
@@ -149,17 +156,23 @@ class ObjectStoreStateIO(StateIO):
 
     def write_text_atomic(self, path: str, data: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)  # PUT implies prefix
-        tmp = path + ".tmp"
+        tmp = self._hidden_tmp(path)
         with open(tmp, "w") as f:
             f.write(data)
         os.replace(tmp, path)  # emulates the atomicity of a single PUT
 
-    def _objects_under(self, prefix: str) -> list[str]:
+    def _objects_under(self, prefix: str, include_hidden: bool = False) -> list[str]:
+        """Keys under a prefix. Dot-prefixed names are in-flight
+        intermediates, not data objects — excluded unless a cleanup
+        sweep (remove_dir) asks for them."""
         out = []
         if os.path.isfile(prefix):
             return [prefix]
         for root, _dirs, files in os.walk(prefix):
-            out.extend(os.path.join(root, f) for f in files)
+            out.extend(
+                os.path.join(root, f) for f in files
+                if include_hidden or not f.startswith(".")
+            )
         return sorted(out)
 
     def list_dirs(self, pattern: str) -> list[str]:
@@ -185,7 +198,8 @@ class ObjectStoreStateIO(StateIO):
         return sorted(hits)
 
     def remove_dir(self, path: str) -> None:
-        for key in self._objects_under(path):
+        # cleanup sweeps orphaned in-flight intermediates too
+        for key in self._objects_under(path, include_hidden=True):
             try:
                 os.remove(key)
             except FileNotFoundError:
@@ -199,7 +213,7 @@ class ObjectStoreStateIO(StateIO):
             rel = os.path.relpath(key, src)
             target = os.path.join(dst, rel) if rel != "." else dst
             os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
-            tmp = target + ".tmp"
+            tmp = self._hidden_tmp(target)
             shutil.copyfile(key, tmp)
             os.replace(tmp, target)  # per-object atomic PUT
         self.remove_dir(src)

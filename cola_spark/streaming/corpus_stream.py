@@ -160,12 +160,23 @@ class NearDupStreamGate:
             *[f"{self.workdir}/delta={i}" for i in self._deltas]
         )
 
-    def gate(self, docs: DataFrame) -> DataFrame:
+    def gate(self, docs: DataFrame, sink=None) -> DataFrame:
         """Returns `docs` minus near-duplicates of (a) previously
         admitted docs and (b) smaller-doc_id docs in this batch;
         appends the admitted docs' band buckets to the store. Docs too
         short to shingle are admitted (no signature — the exact-dedup
-        gate still covers them)."""
+        gate still covers them).
+
+        COMMIT ORDER: when `sink` (a DataFrame -> None callable that
+        durably writes the admitted docs) is given, it runs BEFORE the
+        band-store delta is persisted. Under at-least-once replay a
+        crash between a band write and the sink append would otherwise
+        make the re-run batch's docs match their OWN stored signatures
+        (est_matches = num_perm >= min_matches via cross_drop) and be
+        dropped — silently losing them from the output, which no
+        downstream exact-dedup can repair. Output-first flips the
+        failure mode to duplicate appends, which the exact-dedup gate
+        already absorbs (the ForeachBatchCrawler ordering)."""
         from cola_spark.operators.textdedup import (
             lsh_band_rows, minhash_signatures, shingles,
         )
@@ -226,6 +237,9 @@ class NearDupStreamGate:
             .join(store.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_anti")
             .select("band_id", "band_hash", F.col("w.sig").alias("sig"))
         )
+        admitted = admitted.persist()
+        if sink is not None:
+            sink(admitted)  # durable output FIRST — see docstring
         next_delta = (self._deltas[-1] + 1) if self._deltas else 0
         new_bands.write.mode("overwrite").parquet(
             f"{self.workdir}/delta={next_delta}"
@@ -233,13 +247,20 @@ class NearDupStreamGate:
         self._deltas.append(next_delta)
         sigs.unpersist()
         bandr.unpersist()
+        admitted.unpersist()
+        # recompute-safe after unpersist: cross_drop's `store` frame is
+        # pinned to the PRE-batch delta paths, not the directory
         return admitted
 
     def attach(self, doc_stream: DataFrame, out_dir: str, checkpoint: str):
         """Run the gate as a foreachBatch sink: admitted docs land in
-        out_dir as parquet, batch by batch."""
+        out_dir as parquet, batch by batch (output-first, then the
+        band-store delta — replay produces duplicates, never loss)."""
         def _proc(batch_df: DataFrame, batch_id: int) -> None:
-            self.gate(batch_df).write.mode("append").parquet(out_dir)
+            self.gate(
+                batch_df,
+                sink=lambda adm: adm.write.mode("append").parquet(out_dir),
+            )
 
         return (
             doc_stream.writeStream.foreachBatch(_proc)

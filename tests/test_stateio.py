@@ -175,6 +175,37 @@ def test_objectstore_contracts(tmp_path):
     assert io.list_dirs(f"{root}/seen/delta=*") == []
 
 
+def test_objectstore_inflight_intermediates_invisible(tmp_path):
+    """ADVICE r4: a crash mid-copy must not leave a key readers treat
+    as data. In-flight intermediates are dot-prefixed, so a leftover is
+    invisible to exists/list_dirs/_objects_under (and to Spark parquet
+    readers, which skip '.' files); remove_dir still sweeps it."""
+    import os as _os
+
+    from cola_spark.stateio import ObjectStoreStateIO
+
+    io = ObjectStoreStateIO()
+    root = str(tmp_path / "store2")
+    # simulate a crash: a truncated hidden intermediate is the ONLY key
+    crash_dir = f"{root}/seen/compacted=0"
+    _os.makedirs(crash_dir)
+    leftover = io._hidden_tmp(f"{crash_dir}/part-0")
+    with open(leftover, "w") as f:
+        f.write("trunc")
+    assert not io.exists(crash_dir), "hidden tmp must not make the dir exist"
+    assert io.list_dirs(f"{root}/seen/compacted=*") == []
+    assert io._objects_under(crash_dir) == []
+    # a later rename over the same destination succeeds and the
+    # destination holds exactly the real objects
+    io.write_text_atomic(f"{root}/seen/delta=0/part-0", "good")
+    io.rename(f"{root}/seen/delta=0", crash_dir)
+    assert io.read_text(f"{crash_dir}/part-0") == "good"
+    assert io._objects_under(crash_dir) == [f"{crash_dir}/part-0"]
+    # cleanup sweeps the orphan too
+    io.remove_dir(crash_dir)
+    assert not _os.path.exists(leftover)
+
+
 def test_crawl_resume_and_compaction_on_objectstore(spark, tmp_path):
     """The full scheduler protocol under object-store semantics: run →
     kill → resume reproduces the straight run's log; compaction's

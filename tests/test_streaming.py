@@ -292,6 +292,41 @@ def test_near_dup_gate_drops_cross_batch_near_duplicate(spark, tmp_path):
     assert 6 not in out3 and 7 not in out3
 
 
+def test_near_dup_gate_output_first_commit_order(spark, tmp_path):
+    """ADVICE r4 (high): the band-store delta must commit AFTER the
+    admitted docs are durably written. A crash DURING the output write
+    (sink raises) must leave the band store untouched, so the replayed
+    batch is re-admitted in full — at-least-once replay may duplicate
+    output but can never lose admitted docs."""
+    import os
+
+    from cola_spark.streaming.corpus_stream import NearDupStreamGate
+
+    wd = str(tmp_path / "ndcommit")
+    out_dir = str(tmp_path / "ndout")
+    gate = NearDupStreamGate(spark, wd)
+    b1 = spark.createDataFrame(
+        [(1, NDG_BASE, "en")], "doc_id long, text string, lang string")
+
+    def crashing_sink(adm):
+        raise RuntimeError("simulated crash mid-output")
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        gate.gate(b1, sink=crashing_sink)
+    # no delta committed: the store must not remember the lost batch
+    assert gate._deltas == []
+    assert not [p for p in os.listdir(wd) if p.startswith("delta=")]
+
+    # the replayed batch is admitted in full and the delta commits now
+    replay = NearDupStreamGate(spark, wd)
+    out = replay.gate(
+        b1, sink=lambda adm: adm.write.mode("append").parquet(out_dir))
+    assert {r.doc_id for r in out.collect()} == {1}
+    assert {r.doc_id for r in spark.read.parquet(out_dir).collect()} == {1}
+    assert replay._deltas == [0]
+
+
 def test_near_dup_gate_intra_batch_min_id_wins(spark, tmp_path):
     from cola_spark.streaming.corpus_stream import NearDupStreamGate
 

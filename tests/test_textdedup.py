@@ -31,6 +31,37 @@ def docs(spark):
     return base.unionByName(dup).unionByName(near)
 
 
+def test_relational_shingles_equal_hof_form(docs):
+    """VERDICT r4 #5: the posexplode+lead shingle build must emit the
+    exact same (doc_id, shingle) set as the HOF form it replaced —
+    including edge docs (too short to shingle, repeated grams) — for
+    several n. (Long-doc speed: 4k-token docs measured 504 s HOF vs
+    1.3 s relational — the HOF's per-position element_at over the full
+    token array is quadratic AND interpreted.)"""
+    from cola_spark.operators.textdedup import _shingles_hof
+
+    edge = docs.sparkSession.createDataFrame(
+        [(90001, "a b"), (90002, "a b c"), (90003, "x x x x x"),
+         (90004, ""), (90005, "  padded   whitespace  run  ")],
+        "doc_id long, text string",
+    ).withColumns({"lang": F.lit("en"), "source": F.lit("t"),
+                   "n_chars": F.lit(0)})
+    both = docs.unionByName(edge)
+    for n in (2, 3, 8):
+        a, b = shingles(both, n), _shingles_hof(both, n)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, n
+
+
+def test_relational_shingles_single_exchange(docs):
+    """The rewrite must not buy codegen with a new corpus shuffle: the
+    only Exchange in the shingle plan is spread_small_scan's doc-key
+    repartition (window + dedup ride that partitioning)."""
+    plan = shingles(docs, 3)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2000]
+
+
 def test_minhash_finds_planted_duplicates(docs):
     pairs = {(r.doc_a, r.doc_b) for r in minhash_dedup_pairs(docs).collect()}
     for i in range(5):
