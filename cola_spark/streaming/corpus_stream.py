@@ -129,6 +129,24 @@ class NearDupStreamGate:
     keep-first convention); across batches the earlier batch wins —
     decisions are deterministic, hence replay-stable under
     at-least-once delivery once paired with the exact-dedup gate.
+
+    ESTIMATOR BOUND (VERDICT r4 #7, measured on an adversarial planted
+    corpus — tests/test_streaming.py::test_near_dup_gate_estimator_bounds):
+    a drop needs (1) an LSH band collision, P = 1-(1-J^r)^b, AND (2)
+    est_matches >= min_matches, P = tail of Binomial(num_perm, J) —
+    the two share permutations, so the joint rate is below either
+    factor. With the defaults (16 perms, 4 bands, min_matches 8):
+      J = 0.25  ->  false-drop rate <= 2%  (measured 1/60)
+      J = 0.51  ->  transition band: measured 23% drop — the S-curve
+                    midpoint sits AT the threshold by construction,
+                    so decisions here are genuinely uncertain
+      J = 0.86  ->  drop rate >= 60%       (measured 59/60; residual
+                    miss mass is band non-collision, the recall bound
+                    already documented for batch LSH)
+    Raising num_perm narrows the transition band as 1/sqrt(num_perm);
+    raising bands raises recall at the cost of candidate volume. The
+    batch operators (minhash_dedup_pairs) remain the exact-verified
+    path; this gate trades the transition band for bounded state.
     """
 
     def __init__(

@@ -292,6 +292,50 @@ def test_near_dup_gate_drops_cross_batch_near_duplicate(spark, tmp_path):
     assert 6 not in out3 and 7 not in out3
 
 
+def test_near_dup_gate_estimator_bounds(spark, tmp_path):
+    """VERDICT r4 #7: measured FP/FN bound for the permutation-fraction
+    estimator on an adversarial planted corpus — pairs constructed at
+    exact Jaccard levels below / at / above the ~0.5 decision point
+    (shared-prefix token construction: c = p-2 shared shingles of
+    S = L-2 per doc, J = c/(2S-c); every pair lives in its own token
+    universe so pairs are independent). Asserts the documented bound:
+    far-below pairs are (almost) never dropped, far-above pairs are
+    dropped at band-collision rate, and the transition band is wide —
+    the honest 16-perm S-curve."""
+    from cola_spark.streaming.corpus_stream import NearDupStreamGate
+
+    L, NPAIR = 42, 60
+    # shared-prefix length p -> J: p=18 -> 0.25, p=29 -> 0.51, p=39 -> 0.86
+    levels = {"low": 18, "mid": 29, "high": 39}
+    base_rows, near_rows, jexp = [], [], {}
+    pid = 0
+    for name, p in levels.items():
+        c, S = p - 2, L - 2
+        jexp[name] = c / (2 * S - c)
+        for i in range(NPAIR):
+            toks_a = [f"{name}{pid}a{t}" for t in range(L)]
+            toks_b = toks_a[:p] + [f"{name}{pid}b{t}" for t in range(L - p)]
+            base_rows.append((pid * 2, " ".join(toks_a), "en"))
+            near_rows.append((pid * 2 + 1, " ".join(toks_b), "en"))
+            pid += 1
+    gate = NearDupStreamGate(spark, str(tmp_path / "ndest"))
+    b1 = spark.createDataFrame(base_rows, "doc_id long, text string, lang string")
+    assert gate.gate(b1).count() == len(base_rows)  # all bases admitted
+    b2 = spark.createDataFrame(near_rows, "doc_id long, text string, lang string")
+    admitted2 = {r.doc_id for r in gate.gate(b2).collect()}
+    drop_rate = {}
+    pid = 0
+    for name in levels:
+        ids = [(pid + i) * 2 + 1 for i in range(NPAIR)]
+        drop_rate[name] = sum(1 for d in ids if d not in admitted2) / NPAIR
+        pid += NPAIR
+    # the documented bound (class docstring): J<=0.25 FP < 2%; J>=0.85
+    # drops at >= 60% (band-collision bound); the mid band is wide
+    assert jexp["low"] <= 0.25 and drop_rate["low"] <= 0.02, (jexp, drop_rate)
+    assert jexp["high"] >= 0.85 and drop_rate["high"] >= 0.60, (jexp, drop_rate)
+    assert 0.05 <= drop_rate["mid"] <= 0.95, (jexp, drop_rate)
+
+
 def test_near_dup_gate_output_first_commit_order(spark, tmp_path):
     """ADVICE r4 (high): the band-store delta must commit AFTER the
     admitted docs are durably written. A crash DURING the output write
