@@ -46,11 +46,16 @@ BENCH_QUERIES = [
     "docs_unigram_quality",  # two-pass corpus stats, Zipf-split join
     "corpus_mix_clean",  # the COMPLETE composed flagship (dedup+quality+
     # repetition+decontam+mix-sample)
+    "corpus_mix_clean_lr",  # same composition gated by the TRAINED
+    # logistic-regression quality scorer (8 GD epochs in-query)
     "ann_cosine_topk",
     "ann_pq_topk",  # compressed-scan ADC ANN (16 codes/vector)
     "ann_ivfpq_topk",  # + IVF cell pruning: the web-scale index shape
     "ann_pq_trained_topk",  # Lloyd-trained codebook (3 iters), recall 0.8
     "ann_pq_refine_topk",  # + exact re-rank of the 30-deep shortlist: 1.0
+    "ann_ivfpq_sampled_topk",  # BOTH quantizers trained on the 25%
+    # bounded sample — the 100 TB training shape; Lloyd cost drops with
+    # the sample while serve-path cost is unchanged
     "docs_exact_dedup", "multimodal_meta",
 ]
 
