@@ -35,8 +35,14 @@ def run(cpus: int, only_pipeline: bool = True) -> dict:
         cmd = [
             spark_submit, "--master", f"local[{cpus}]", "--py-files", zip_path,
             "--driver-memory", "24g",
-            "--conf", "spark.ui.enabled=false", os.path.join(REPO, "bench.py"),
+            "--conf", "spark.ui.enabled=false",
         ]
+        # A/B lever for the scaling campaign (e.g. GC flags); empty by
+        # default so the committed protocol is unchanged
+        jopts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+        if jopts:
+            cmd += ["--conf", f"spark.driver.extraJavaOptions={jopts}"]
+        cmd += [os.path.join(REPO, "bench.py")]
     else:  # fall back to plain python (get_spark ships the zip itself)
         cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO)
