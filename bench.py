@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     # bounded sample — the 100 TB training shape; Lloyd cost drops with
     # the sample while serve-path cost is unchanged
     "docs_exact_dedup", "multimodal_meta",
+    "bloom_gate",  # relational bloom seen-set: k-position bit probe as
+    # a co-partitioned equi-join (the blob fast path's oracle twin)
+    "phash_band_pairs",  # image near-dup core on a planted pHash column:
+    # 4-band bucketing + bit_count(xor) verify, fully SQL-oracled
 ]
 
 

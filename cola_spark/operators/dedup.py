@@ -95,8 +95,9 @@ def admit_filtered(
     n_parts: int = 32,
     capacity_per_part: int = 1 << 18,
     mode: str = "hybrid",
+    filter_cls=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Cuckoo-filter admission — the scale path.
+    """Cuckoo/Bloom-filter admission — the scale path.
 
     candidates are routed to P partitions by pmod(url_hash, P); each
     partition queries/updates its own filter blob locally via a
@@ -113,7 +114,16 @@ def admit_filtered(
     Returns (admitted, new_seen_hashes, new_filter_blobs). Only blobs of
     partitions that saw candidates are emitted — the caller keeps the
     latest blob per part (delta layout).
+
+    ``filter_cls`` plugs the per-partition membership structure: the
+    default CuckooFilter, or filters.bloom.BloomFilter (the reference's
+    literal bloom semantics — cola/core/bloomfilter.py). Both share the
+    contains/add/to_bytes/from_bytes contract and the never-false-
+    negative guarantee; a run must keep one class per filter-state
+    lineage (the blobs are format-tagged and refuse cross-loading).
     """
+    if filter_cls is None:
+        from cola_spark.filters.cuckoo import CuckooFilter as filter_cls
     cand = candidates.withColumn("part", F.pmod(F.col("url_hash"), F.lit(n_parts)).cast("int"))
     out_schema = (
         "url string, url_canon string, url_hash long, host string, path string,"
@@ -126,17 +136,15 @@ def admit_filtered(
         import numpy as np
         import pandas as pd
 
-        from cola_spark.filters.cuckoo import CuckooFilter
-
         if len(cand_pdf) == 0:
             # partition has a filter but no candidates: emit nothing,
             # the old blob stays current (delta layout keeps latest)
             empty = cand_pdf.assign(suspect=pd.Series(dtype=bool), blob=pd.Series(dtype=object))
             return empty
         if len(filt_pdf):
-            f = CuckooFilter.from_bytes(bytes(filt_pdf["blob"].iloc[0]))
+            f = filter_cls.from_bytes(bytes(filt_pdf["blob"].iloc[0]))
         else:
-            f = CuckooFilter(capacity_per_part)
+            f = filter_cls(capacity_per_part)
         cand_pdf = cand_pdf.sort_values("seq", kind="mergesort")
         force = cand_pdf[cand_pdf["force"]]
         nonforce = cand_pdf[~cand_pdf["force"]]
@@ -169,3 +177,85 @@ def admit_filtered(
     rescued = suspects.join(seen.select("url_hash"), "url_hash", "left_anti")
     admitted = sure.unionByName(rescued)
     return admitted, admitted.filter(~F.col("force")).select("url_hash"), new_filters
+
+
+def relational_bloom_gate(
+    seen: DataFrame,
+    cands: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 17,
+    k: int = 3,
+    n_parts: int = 8,
+    hash_kind: str = "md5",
+) -> tuple[DataFrame, DataFrame]:
+    """Bloom membership expressed RELATIONALLY: the partitioned bit
+    array is the distinct-(part, pos) relation of the seen set's k hash
+    positions, and a candidate is bloom-positive iff ALL of its k
+    positions exist — exactly the arithmetic filters.bloom.BloomFilter
+    packs into per-partition numpy blobs, kept as rows so an ANSI-SQL
+    engine can replay it bit-for-bit (the cross-engine oracle of the
+    blob fast path; cola/core/bloomfilter.py semantics).
+
+    ``m_bits`` is the PER-PARTITION bit space (each of the n_parts
+    partitions owns an independent m_bits-wide array, matching the
+    blob layout); total bit budget = m_bits * n_parts. Size it so the
+    per-partition fill (k * |seen| / n_parts / m_bits) sits near ~10%
+    for a sub-0.2% FP rate at k=3.
+
+    Returns (bits, gated): ``bits`` is the (part, pos) bit relation —
+    3x|seen| rows, hash-partitioned by its own key, buildable once and
+    reused across rounds (append-only: new seen keys only ADD rows,
+    the bloom OR) — and ``gated`` has one row per distinct candidate
+    key with maybe_seen / actually_seen / false_pos flags. Never
+    false-negative by construction: actually_seen ⇒ all k positions
+    present ⇒ maybe_seen.
+
+    Scale shape: probe = one equi-join of 3x|cands| position rows
+    against the bits relation co-partitioned on (part, pos), then a
+    key-grouped count — no window, no broadcast of the seen side.
+    hash_kind="md5" is the DuckDB-replayable family; "xxhash64" is the
+    production JVM-intrinsic path (identical plan shape).
+    """
+    from cola_spark.operators.textdedup import hash_family
+
+    h = hash_family(hash_kind)
+
+    def positions(df: DataFrame) -> DataFrame:
+        key = F.col(key_col)
+        return df.select(
+            key,
+            F.pmod(h(key, "blp"), F.lit(n_parts)).alias("part"),
+            F.explode(
+                F.array(*[
+                    F.pmod(h(key, f"bl{j}"), F.lit(m_bits)) for j in range(k)
+                ])
+            ).alias("pos"),
+        )
+
+    seen_k = seen.select(key_col).distinct()
+    cand_k = cands.select(key_col).distinct()
+    bits = positions(seen_k).select("part", "pos").distinct()
+    probe = positions(cand_k).distinct()
+    # left join keeps probe's pos column; detect match via a marker col
+    marked = probe.join(
+        bits.withColumn("_m", F.lit(1)), ["part", "pos"], "left"
+    )
+    agg = marked.groupBy(key_col).agg(
+        (F.count("*") == F.sum(F.coalesce(F.col("_m"), F.lit(0)))).alias(
+            "maybe_seen"
+        )
+    )
+    gated = (
+        agg.join(
+            seen_k.withColumn("_s", F.lit(True)), key_col, "left"
+        )
+        .select(
+            key_col,
+            "maybe_seen",
+            F.coalesce(F.col("_s"), F.lit(False)).alias("actually_seen"),
+            (F.col("maybe_seen") & F.coalesce(~F.col("_s"), F.lit(True))).alias(
+                "false_pos"
+            ),
+        )
+    )
+    return bits, gated

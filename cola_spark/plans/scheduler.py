@@ -90,6 +90,7 @@ class CrawlConfig:
     # (governs BOTH per-host side tables: the budget-caps join and the
     # robots-rules join — broadcast builds are serial per-round work)
     dedup_mode: str = "exact"  # exact | hybrid | cuckoo
+    filter_kind: str = "cuckoo"  # cuckoo | bloom (per-partition blob class)
     filter_parts: int = 32
     filter_capacity: int = 1 << 18
     seen_parts: int = 32
@@ -210,10 +211,18 @@ def run_crawl(
             admitted, _ns = admit(candidates, seen)
             new_filters = None
         else:
+            if cfg.filter_kind == "bloom":
+                from cola_spark.filters.bloom import BloomFilter as _fcls
+            elif cfg.filter_kind == "cuckoo":
+                _fcls = None  # admit_filtered defaults to CuckooFilter
+            else:
+                raise ValueError(
+                    f"filter_kind must be cuckoo|bloom, got {cfg.filter_kind!r}"
+                )
             admitted, _ns, new_filters = admit_filtered(
                 candidates, seen, _read_filters(spark, cfg),
                 n_parts=cfg.filter_parts, capacity_per_part=cfg.filter_capacity,
-                mode=cfg.dedup_mode,
+                mode=cfg.dedup_mode, filter_cls=_fcls,
             )
         admitted = admitted.persist()
         # identical to the admit()-returned new-hash set, but derived

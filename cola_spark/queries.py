@@ -2717,3 +2717,155 @@ q AS (SELECT doc_id,
 )
 
 PAIRS.update({"corpus_mix_clean_lr": (q_corpus_mix_clean_lr, SQL_CORPUS_MIX_LR)})
+
+
+# ------------------------------------------------ bloom gate (round 5)
+
+
+def q_bloom_gate(spark, sf):
+    """SURVEY §2 row 10 companion — the reference's LITERAL bloom
+    seen-set (cola/core/bloomfilter.py: k hash positions over a bit
+    array) expressed relationally so DuckDB replays the bit arithmetic
+    exactly: bits = distinct (part, pos) rows of the seen keys' k md5
+    positions; a candidate is bloom-positive iff all k of its positions
+    exist. Output pins maybe_seen / actually_seen / false_pos per
+    candidate key — never-false-negative is a checkable invariant
+    (actually_seen ⇒ maybe_seen), and the FP rows are the exact keys
+    the blob fast path (filters.bloom.BloomFilter) would route to
+    verification in hybrid mode."""
+    from cola_spark.operators.dedup import relational_bloom_gate
+
+    seen = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("orderkey"))
+    )
+    cands = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    # m_bits is PER-PARTITION bit space: 16384 x 8 parts = 2^17 total
+    # bits for ~4.9k seen keys at sf0.01 (~11% fill, FP ~0.1% - the
+    # gate's false_pos rows are real bloom collisions, not padding).
+    _, gated = relational_bloom_gate(seen, cands, "orderkey", m_bits=1 << 14)
+    return gated
+
+
+def _sql_bloom_pos(expr: str, seed: str, mod: int) -> str:
+    return f"({_md5i(expr, seed)} % {mod})"
+
+
+SQL_BLOOM_GATE = f"""
+WITH seen AS (SELECT DISTINCT o_orderkey AS orderkey FROM orders
+              WHERE o_orderstatus = 'F'),
+cand AS (SELECT DISTINCT l_orderkey AS orderkey FROM lineitem),
+js AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(j)),
+bits AS (
+  SELECT DISTINCT
+    {_sql_bloom_pos("CAST(orderkey AS VARCHAR)", "blp", 8)} AS part,
+    CASE j
+      WHEN 0 THEN {_sql_bloom_pos("CAST(orderkey AS VARCHAR)", "bl0", 16384)}
+      WHEN 1 THEN {_sql_bloom_pos("CAST(orderkey AS VARCHAR)", "bl1", 16384)}
+      ELSE        {_sql_bloom_pos("CAST(orderkey AS VARCHAR)", "bl2", 16384)}
+    END AS pos
+  FROM seen, js),
+probe AS (
+  SELECT DISTINCT orderkey,
+    {_sql_bloom_pos("CAST(orderkey AS VARCHAR)", "blp", 8)} AS part,
+    CASE j
+      WHEN 0 THEN {_sql_bloom_pos("CAST(orderkey AS VARCHAR)", "bl0", 16384)}
+      WHEN 1 THEN {_sql_bloom_pos("CAST(orderkey AS VARCHAR)", "bl1", 16384)}
+      ELSE        {_sql_bloom_pos("CAST(orderkey AS VARCHAR)", "bl2", 16384)}
+    END AS pos
+  FROM cand, js),
+agg AS (
+  SELECT p.orderkey,
+         COUNT(*) = SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+           AS maybe_seen
+  FROM probe p LEFT JOIN bits b ON p.part = b.part AND p.pos = b.pos
+  GROUP BY p.orderkey)
+SELECT a.orderkey, a.maybe_seen,
+       s.orderkey IS NOT NULL AS actually_seen,
+       (a.maybe_seen AND s.orderkey IS NULL) AS false_pos
+FROM agg a LEFT JOIN seen s ON a.orderkey = s.orderkey
+"""
+
+
+# ----------------------------- pHash banded Hamming pairs (round 5)
+
+
+def q_phash_band_pairs(spark, sf):
+    """SQL-oracled run of the IMAGE near-dup core (multimodal.
+    phash_near_dup_pairs → textdedup.banded_hamming_pairs): a 64-bit
+    pHash column with planted near-duplicates — groups of 4 docs share
+    an md5 base hash, each member xor-flips (doc_id % 4) md5-chosen
+    bits, so within-group Hamming spans 0..6 and the max_hamming=3
+    verify keeps only part of each group — then the production 4-band
+    bucketing + bit_count(xor) verify. DuckDB replays hash planting,
+    banding and verify bit-for-bit — this upgrades the pHash path from
+    the rows-only image oracle (phash_near_dups) to full value-hash
+    verification."""
+    from cola_spark.operators.multimodal import phash_near_dup_pairs
+
+    h = _md5_col
+    docs = _t(spark, sf, "documents")
+    base = h(F.concat(F.lit("ph:"), F.floor(F.col("doc_id") / 4)))
+    nf = F.col("doc_id") % 4
+    phash = base
+    for j in range(3):
+        p = F.pmod(
+            h(F.concat(F.lit("fl:"), F.col("doc_id"), F.lit(f"_{j}"))),
+            F.lit(60),
+        ).cast("int")
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), _p{j})")
+        docs = docs.withColumn(f"_p{j}", p)
+        phash = F.when(nf > j, phash.bitwiseXOR(bit)).otherwise(phash)
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"), phash.alias("phash")
+    )
+    pairs = phash_near_dup_pairs(imgs, max_hamming=3, bands=4)
+    return pairs.select(
+        F.col("img_a").alias("doc_a"),
+        F.col("img_b").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def _md5_col(col):
+    """Spark twin of _md5i: 60 bits of md5 over an already-seeded
+    string column."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _sql_phash_flip(j: int) -> str:
+    seed = f"'fl:' || CAST(doc_id AS VARCHAR) || '_{j}'"
+    h = f"CAST(('0x' || substr(md5({seed}), 1, 15)) AS BIGINT)"
+    return f"(CAST(1 AS BIGINT) << CAST(({h} % 60) AS INTEGER))"
+
+
+SQL_PHASH_BAND = f"""
+WITH ph AS (
+  SELECT doc_id,
+    xor(xor(xor(
+      CAST(('0x' || substr(md5('ph:' ||
+        CAST(CAST(FLOOR(doc_id / 4) AS BIGINT) AS VARCHAR)), 1, 15)) AS BIGINT),
+      CASE WHEN doc_id % 4 > 0 THEN {_sql_phash_flip(0)} ELSE 0 END),
+      CASE WHEN doc_id % 4 > 1 THEN {_sql_phash_flip(1)} ELSE 0 END),
+      CASE WHEN doc_id % 4 > 2 THEN {_sql_phash_flip(2)} ELSE 0 END)
+      AS phash
+  FROM documents),
+bands AS (
+  SELECT doc_id, phash, b.band_id,
+         (phash >> (16 * b.band_id)) & 65535 AS band_val
+  FROM ph, (VALUES (0), (1), (2), (3)) AS b(band_id))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+PAIRS.update({
+    "bloom_gate": (q_bloom_gate, SQL_BLOOM_GATE),
+    "phash_band_pairs": (q_phash_band_pairs, SQL_PHASH_BAND),
+})
