@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     # a co-partitioned equi-join (the blob fast path's oracle twin)
     "phash_band_pairs",  # image near-dup core on a planted pHash column:
     # 4-band bucketing + bit_count(xor) verify, fully SQL-oracled
+    "phash_caption_consolidate",  # image clusters -> one canonical
+    # caption per cluster (pairs + CC + two joins), fully SQL-oracled
 ]
 
 

@@ -218,3 +218,38 @@ def phash_decontam(
             F.col("best_hamming").isNotNull().alias("contaminated"),
         )
     )
+
+
+def caption_consolidate(
+    docs: DataFrame, pairs: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    a_col: str = "doc_a", b_col: str = "doc_b",
+) -> DataFrame:
+    """Cross-modal caption consolidation: collapse each near-dup IMAGE
+    cluster (pairs from phash_near_dup_pairs or any banded join) to one
+    canonical caption — the minimum-id member's text; singletons keep
+    their own. Returns (id, cluster_id, is_rep, canon_caption).
+
+    Scale shape: connected components over the pair list (graph-sized,
+    operators/clusters.py), one left join to extend cluster ids to the
+    full corpus, one join against the corpus keyed by cluster_id for
+    the canonical text (cluster_id IS the minimum member id under
+    min-label CC, so no per-cluster min_by over text is needed — the
+    representative's row is looked up directly)."""
+    from cola_spark.operators.clusters import dedup_keep_set
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
+    ks = dedup_keep_set(pairs, a_col, b_col)
+    withc = base.join(ks.select("doc_id", "cluster_id"), "doc_id", "left").select(
+        "doc_id", "_txt",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    canon = base.select(
+        F.col("doc_id").alias("cluster_id"), F.col("_txt").alias("canon_caption")
+    )
+    return withc.join(canon, "cluster_id").select(
+        F.col("doc_id").alias(id_col),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_rep"),
+        "canon_caption",
+    )

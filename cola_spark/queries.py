@@ -2804,8 +2804,18 @@ def q_phash_band_pairs(spark, sf):
     banding and verify bit-for-bit — this upgrades the pHash path from
     the rows-only image oracle (phash_near_dups) to full value-hash
     verification."""
-    from cola_spark.operators.multimodal import phash_near_dup_pairs
+    pairs = _planted_phash_pairs(spark, sf)
+    return pairs.select(
+        F.col("img_a").alias("doc_a"),
+        F.col("img_b").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
 
+
+def _planted_phash_frame(spark, sf):
+    """(image_id, phash): the planted 64-bit pHash column — md5 group
+    bases (groups of 4 doc_ids), each member xor-flipping (doc_id % 4)
+    md5-chosen bits."""
     h = _md5_col
     docs = _t(spark, sf, "documents")
     base = h(F.concat(F.lit("ph:"), F.floor(F.col("doc_id") / 4)))
@@ -2819,14 +2829,14 @@ def q_phash_band_pairs(spark, sf):
         bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), _p{j})")
         docs = docs.withColumn(f"_p{j}", p)
         phash = F.when(nf > j, phash.bitwiseXOR(bit)).otherwise(phash)
-    imgs = docs.select(
-        F.col("doc_id").alias("image_id"), phash.alias("phash")
-    )
-    pairs = phash_near_dup_pairs(imgs, max_hamming=3, bands=4)
-    return pairs.select(
-        F.col("img_a").alias("doc_a"),
-        F.col("img_b").alias("doc_b"),
-        F.col("hamming").cast("long").alias("hamming"),
+    return docs.select(F.col("doc_id").alias("image_id"), phash.alias("phash"))
+
+
+def _planted_phash_pairs(spark, sf):
+    from cola_spark.operators.multimodal import phash_near_dup_pairs
+
+    return phash_near_dup_pairs(
+        _planted_phash_frame(spark, sf), max_hamming=3, bands=4
     )
 
 
@@ -2842,8 +2852,7 @@ def _sql_phash_flip(j: int) -> str:
     return f"(CAST(1 AS BIGINT) << CAST(({h} % 60) AS INTEGER))"
 
 
-SQL_PHASH_BAND = f"""
-WITH ph AS (
+_SQL_PH_CTES = f"""ph AS (
   SELECT doc_id,
     xor(xor(xor(
       CAST(('0x' || substr(md5('ph:' ||
@@ -2856,16 +2865,61 @@ WITH ph AS (
 bands AS (
   SELECT doc_id, phash, b.band_id,
          (phash >> (16 * b.band_id)) & 65535 AS band_val
-  FROM ph, (VALUES (0), (1), (2), (3)) AS b(band_id))
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_val = b.band_val
- AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.phash, b.phash)) <= 3
+  FROM ph, (VALUES (0), (1), (2), (3)) AS b(band_id)),
+ppairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3)"""
+
+SQL_PHASH_BAND = f"""
+WITH {_SQL_PH_CTES}
+SELECT doc_a, doc_b, hamming FROM ppairs
+"""
+
+
+def q_phash_caption_consolidate(spark, sf):
+    """Cross-modal caption consolidation — the LAION-style 'same image,
+    many captions' step: near-dup image clusters (planted pHash → the
+    production banded-Hamming pairs → connected components) collapse to
+    ONE canonical caption, the representative (minimum-id) member's
+    text. Singleton images keep their own caption. Output is the full
+    image-caption table re-keyed by cluster: (doc_id, cluster_id,
+    is_rep, canon_caption) — downstream keeps is_rep rows for a
+    caption-deduped corpus, or rewrites captions in place. The oracle
+    replays pHash planting, banding, Hamming verify AND the component
+    closure (recursive CTE) end-to-end."""
+    from cola_spark.operators.multimodal import caption_consolidate
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    pairs = _planted_phash_pairs(spark, sf)
+    return caption_consolidate(docs, pairs, a_col="img_a", b_col="img_b")
+
+
+SQL_PHASH_CAPTIONS = f"""
+WITH RECURSIVE {_SQL_PH_CTES},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM ppairs
+          UNION SELECT doc_b, doc_a FROM ppairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+cl AS (SELECT src AS doc_id, LEAST(MIN(dst), src) AS cluster_id
+       FROM reach GROUP BY src),
+allc AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+SELECT a.doc_id, a.cluster_id,
+       a.doc_id = a.cluster_id AS is_rep,
+       c.text AS canon_caption
+FROM allc a JOIN documents c ON c.doc_id = a.cluster_id
 """
 
 PAIRS.update({
     "bloom_gate": (q_bloom_gate, SQL_BLOOM_GATE),
     "phash_band_pairs": (q_phash_band_pairs, SQL_PHASH_BAND),
+    "phash_caption_consolidate": (
+        q_phash_caption_consolidate, SQL_PHASH_CAPTIONS,
+    ),
 })

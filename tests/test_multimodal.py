@@ -101,3 +101,29 @@ def test_image_corpus_clean_matches_local_oracle(spark):
     # injected duplicates plus pHash-identical twins were dropped
     assert set(want["fmt"]) == {"png", "jpgq"}
     assert int(want["n_images"].sum()) < 64
+
+
+def test_caption_consolidate_semantics(spark):
+    """Hand graph: {1,2,3} one image cluster (rep 1), {7,9} another
+    (rep 7), 5 a singleton. Everyone gets the representative's caption;
+    is_rep marks exactly the minimum member / singleton."""
+    from cola_spark.operators.multimodal import caption_consolidate
+
+    docs = spark.createDataFrame(
+        [(i, f"cap{i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.is_rep, r.canon_caption)
+        for r in caption_consolidate(docs, pairs).collect()
+    }
+    assert out == {
+        1: (1, True, "cap1"),
+        2: (1, False, "cap1"),
+        3: (1, False, "cap1"),
+        5: (5, True, "cap5"),
+        7: (7, True, "cap7"),
+        9: (7, False, "cap7"),
+    }
