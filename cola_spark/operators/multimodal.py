@@ -253,3 +253,63 @@ def caption_consolidate(
         (F.col("doc_id") == F.col("cluster_id")).alias("is_rep"),
         "canon_caption",
     )
+
+
+# ------------------------------------------------------------------ audio
+
+
+def audio_features(audios: DataFrame) -> DataFrame:
+    """Decode → per-clip features: duration_ms, RMS energy x1000,
+    zero-crossing count, peak amplitude x1000 (all integer-exact, the
+    audio twin of image_features). Real lossy formats (mp3/opus) raise
+    at the codec dispatch; the Arrow plumbing is format-agnostic."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cola_spark.codecs import decode_audio
+
+        for pdf in it:
+            rows = []
+            for audio_id, data, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
+                s, sr = decode_audio(bytes(data), fmt)
+                x = s.astype(np.float64) / 32768.0
+                rms = int(np.sqrt(np.mean(x * x)) * 1000)
+                zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                rows.append((
+                    audio_id, sr, len(s), len(s) * 1000 // sr,
+                    rms, zc, int(np.abs(x).max() * 1000),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["audio_id", "sample_rate", "n_samples", "duration_ms",
+                         "rms_x1000", "zero_crossings", "peak_x1000"],
+            )
+
+    return audios.select("audio_id", "bytes", "fmt").mapInPandas(
+        batches,
+        "audio_id string, sample_rate int, n_samples int, duration_ms long,"
+        " rms_x1000 long, zero_crossings long, peak_x1000 long",
+    )
+
+
+def audio_resample(audios: DataFrame, sr_to: int) -> DataFrame:
+    """Decode → nearest-neighbour resample to ``sr_to`` → re-encode
+    WAVF (the resize_images twin). Output schema mirrors the input."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cola_spark.codecs import decode_audio, encode_audio, resample_nn
+
+        for pdf in it:
+            rows = []
+            for audio_id, data, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
+                s, sr = decode_audio(bytes(data), fmt)
+                s2 = resample_nn(s, sr, sr_to)
+                rows.append((audio_id, encode_audio(s2, sr_to, "wavf"),
+                             sr_to, len(s2), "wavf"))
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "bytes", "sample_rate", "n_samples", "fmt"]
+            )
+
+    return audios.select("audio_id", "bytes", "fmt").mapInPandas(
+        batches,
+        "audio_id string, bytes binary, sample_rate int, n_samples int, fmt string",
+    )

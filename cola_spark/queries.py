@@ -2923,3 +2923,51 @@ PAIRS.update({
         q_phash_caption_consolidate, SQL_PHASH_CAPTIONS,
     ),
 })
+
+
+# ------------------------------------------------ audio path (round 5)
+
+
+def q_audio_features(spark, sf):
+    """Vectorized audio feature extraction over the synthetic WAVF
+    table (binary → integer features; deterministic, rows-only — the
+    audio twin of image_features; exact sequential oracle in
+    LOCAL_ORACLES)."""
+    from cola_spark.operators.multimodal import audio_features
+    from cola_spark.sources import gen_audio
+
+    return audio_features(gen_audio(spark, 64)).orderBy("audio_id")
+
+
+def local_oracle_audio_features(spark, sf):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from cola_spark.codecs import gen_samples
+
+    rows = []
+    for i in range(64):
+        audio_id = f"aud{i:08d}"
+        d = hashlib.md5(audio_id.encode()).digest()
+        sr = (8000, 16000)[d[10] % 2]
+        n = 800 + (int.from_bytes(d[11:13], "little") % 3200)
+        s = gen_samples(audio_id, n, sr)
+        x = s.astype(np.float64) / 32768.0
+        rows.append((
+            audio_id, sr, n, n * 1000 // sr,
+            int(np.sqrt(np.mean(x * x)) * 1000),
+            int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))),
+            int(np.abs(x).max() * 1000),
+        ))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["audio_id", "sample_rate", "n_samples", "duration_ms",
+                 "rms_x1000", "zero_crossings", "peak_x1000"],
+    )
+    return pdf.astype({"sample_rate": "int32", "n_samples": "int32"})
+
+
+PAIRS.update({"audio_features": (q_audio_features, None)})
+LOCAL_ORACLES["audio_features"] = local_oracle_audio_features

@@ -145,3 +145,39 @@ def gen_budgets(spark: SparkSession, n_hosts: int = 200) -> DataFrame:
         (5 + F.pmod(F.xxhash64(F.col("id"), F.lit(23)), F.lit(46))).alias("budget"),
         (2 + F.pmod(F.xxhash64(F.col("id"), F.lit(29)), F.lit(8))).alias("rate_per_round"),
     )
+
+
+def gen_audio(
+    spark: SparkSession, n_audios: int, parts: int | None = None,
+    sample_rates: tuple = (8000, 16000),
+) -> DataFrame:
+    """The audio payload table (the gen_images twin): audio_id, bytes
+    (WAVF container), sample_rate, n_samples, fmt. Everything is an
+    md5-pure function of the row id — deterministic at any parallelism.
+    Durations span ~0.1-0.5 s so feature/resample stages do real work
+    without dominating test time."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from cola_spark.codecs import encode_audio, gen_samples
+
+        srs = list(sample_rates)
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                audio_id = f"aud{int(i):08d}"
+                d = hashlib.md5(audio_id.encode()).digest()
+                sr = srs[d[10] % len(srs)]
+                n = 800 + (int.from_bytes(d[11:13], "little") % 3200)
+                s = gen_samples(audio_id, n, sr)
+                rows.append((audio_id, encode_audio(s, sr, "wavf"), sr, n, "wavf"))
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "bytes", "sample_rate", "n_samples", "fmt"]
+            )
+
+    rng = spark.range(n_audios, numPartitions=parts) if parts else spark.range(n_audios)
+    return rng.mapInPandas(
+        batches,
+        "audio_id string, bytes binary, sample_rate int, n_samples int, fmt string",
+    )

@@ -127,3 +127,49 @@ def test_caption_consolidate_semantics(spark):
         7: (7, True, "cap7"),
         9: (7, False, "cap7"),
     }
+
+
+# ------------------------------------------------------------------ audio
+
+
+def test_wavf_roundtrip_and_gated_codecs():
+    from cola_spark.codecs import decode_audio, encode_audio, gen_samples
+
+    s = gen_samples("aud00000007", 1600, 8000)
+    blob = encode_audio(s, 8000, "wavf")
+    s2, sr = decode_audio(blob, "wavf")
+    assert sr == 8000 and (s2 == s).all(), "WAVF must roundtrip bit-exact"
+    with pytest.raises(NotImplementedError):
+        encode_audio(s, 8000, "mp3")
+    with pytest.raises(NotImplementedError):
+        decode_audio(blob, "opus")
+    with pytest.raises(ValueError):
+        decode_audio(b"JUNKDATA", "wavf")
+
+
+def test_audio_features_deterministic(spark):
+    from cola_spark.operators.multimodal import audio_features
+    from cola_spark.sources import gen_audio
+
+    a = audio_features(gen_audio(spark, 16, parts=2)).orderBy("audio_id").collect()
+    b = audio_features(gen_audio(spark, 16, parts=5)).orderBy("audio_id").collect()
+    assert a == b, "features must not depend on partitioning"
+    r = a[0]
+    assert r.duration_ms == r.n_samples * 1000 // r.sample_rate
+    assert 0 < r.rms_x1000 < 1000 and 0 < r.zero_crossings < r.n_samples
+
+
+def test_audio_resample_halves_and_preserves_energy(spark):
+    from cola_spark.operators.multimodal import audio_features, audio_resample
+    from cola_spark.sources import gen_audio
+
+    src = gen_audio(spark, 8)
+    down = audio_resample(src, 4000)
+    feats = {r.audio_id: r for r in audio_features(down).collect()}
+    orig = {r.audio_id: r for r in audio_features(src).collect()}
+    for aid, o in orig.items():
+        d = feats[aid]
+        assert d.sample_rate == 4000
+        assert d.n_samples == o.n_samples * 4000 // o.sample_rate
+        # NN resample keeps the envelope: RMS within 15%
+        assert abs(d.rms_x1000 - o.rms_x1000) <= max(15, o.rms_x1000 * 0.15)
