@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     # 4-band bucketing + bit_count(xor) verify, fully SQL-oracled
     "phash_caption_consolidate",  # image clusters -> one canonical
     # caption per cluster (pairs + CC + two joins), fully SQL-oracled
+    "phash_caption_best",  # same clusters, longest-caption strategy
+    # (map-side max_by canonical selection), fully SQL-oracled
 ]
 
 

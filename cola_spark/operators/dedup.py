@@ -187,6 +187,7 @@ def relational_bloom_gate(
     k: int = 3,
     n_parts: int = 8,
     hash_kind: str = "md5",
+    broadcast: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Bloom membership expressed RELATIONALLY: the partitioned bit
     array is the distinct-(part, pos) relation of the seen set's k hash
@@ -212,7 +213,13 @@ def relational_bloom_gate(
 
     Scale shape: probe = one equi-join of 3x|cands| position rows
     against the bits relation co-partitioned on (part, pos), then a
-    key-grouped count — no window, no broadcast of the seen side.
+    key-grouped count — no window, and with the default
+    broadcast=False the seen-derived sides (bits, the actually_seen
+    lookup) carry shuffle_hash hints so the 10^10-row seen set is
+    NEVER broadcast-built (Catalyst's size estimate would otherwise
+    broadcast it at test scale and OOM at production scale; the same
+    knob pattern as robots_gate/broadcast_caps — plan test-pinned).
+    broadcast=True opts small fixed seen sets into broadcast joins.
     hash_kind="md5" is the DuckDB-replayable family; "xxhash64" is the
     production JVM-intrinsic path (identical plan shape).
     """
@@ -236,9 +243,13 @@ def relational_bloom_gate(
     cand_k = cands.select(key_col).distinct()
     bits = positions(seen_k).select("part", "pos").distinct()
     probe = positions(cand_k).distinct()
+
+    def big(df: DataFrame) -> DataFrame:
+        return df if broadcast else df.hint("shuffle_hash")
+
     # left join keeps probe's pos column; detect match via a marker col
     marked = probe.join(
-        bits.withColumn("_m", F.lit(1)), ["part", "pos"], "left"
+        big(bits.withColumn("_m", F.lit(1))), ["part", "pos"], "left"
     )
     agg = marked.groupBy(key_col).agg(
         (F.count("*") == F.sum(F.coalesce(F.col("_m"), F.lit(0)))).alias(
@@ -247,7 +258,7 @@ def relational_bloom_gate(
     )
     gated = (
         agg.join(
-            seen_k.withColumn("_s", F.lit(True)), key_col, "left"
+            big(seen_k.withColumn("_s", F.lit(True))), key_col, "left"
         )
         .select(
             key_col,

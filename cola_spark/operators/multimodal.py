@@ -224,18 +224,28 @@ def caption_consolidate(
     docs: DataFrame, pairs: DataFrame,
     id_col: str = "doc_id", text_col: str = "text",
     a_col: str = "doc_a", b_col: str = "doc_b",
+    strategy: str = "rep",
 ) -> DataFrame:
     """Cross-modal caption consolidation: collapse each near-dup IMAGE
     cluster (pairs from phash_near_dup_pairs or any banded join) to one
-    canonical caption — the minimum-id member's text; singletons keep
-    their own. Returns (id, cluster_id, is_rep, canon_caption).
+    canonical caption; singletons keep their own. Returns
+    (id, cluster_id, is_rep, canon_caption). is_rep always marks the
+    minimum-id member (the dedup keep-set representative) — the keep
+    flag downstream dedup uses — independent of caption strategy.
+
+    strategy:
+      "rep"     — the representative (minimum-id) member's text.
+      "longest" — the longest member caption, ties to the smaller id
+                  (the LAION-style 'pick the most descriptive caption'
+                  heuristic; deterministic total order).
 
     Scale shape: connected components over the pair list (graph-sized,
     operators/clusters.py), one left join to extend cluster ids to the
-    full corpus, one join against the corpus keyed by cluster_id for
-    the canonical text (cluster_id IS the minimum member id under
-    min-label CC, so no per-cluster min_by over text is needed — the
-    representative's row is looked up directly)."""
+    full corpus, then for "rep" a join against the corpus keyed by
+    cluster_id (cluster_id IS the minimum member id under min-label CC,
+    so no per-cluster aggregate over text is needed); for "longest" one
+    cluster-keyed max_by((length, -id)) aggregate — map-side
+    combinable, no window sort."""
     from cola_spark.operators.clusters import dedup_keep_set
 
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
@@ -244,9 +254,22 @@ def caption_consolidate(
         "doc_id", "_txt",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
     )
-    canon = base.select(
-        F.col("doc_id").alias("cluster_id"), F.col("_txt").alias("canon_caption")
-    )
+    if strategy == "rep":
+        canon = base.select(
+            F.col("doc_id").alias("cluster_id"), F.col("_txt").alias("canon_caption")
+        )
+    elif strategy == "longest":
+        canon = withc.groupBy("cluster_id").agg(
+            F.max_by(
+                "_txt",
+                F.struct(
+                    F.length("_txt").alias("l"),
+                    (-F.col("doc_id")).alias("nid"),
+                ),
+            ).alias("canon_caption")
+        )
+    else:
+        raise ValueError(f"strategy must be rep|longest, got {strategy!r}")
     return withc.join(canon, "cluster_id").select(
         F.col("doc_id").alias(id_col),
         "cluster_id",

@@ -2971,3 +2971,46 @@ def local_oracle_audio_features(spark, sf):
 
 PAIRS.update({"audio_features": (q_audio_features, None)})
 LOCAL_ORACLES["audio_features"] = local_oracle_audio_features
+
+
+def q_phash_caption_best(spark, sf):
+    """caption_consolidate(strategy="longest") — pick each image
+    cluster's most descriptive caption (max length, ties to the smaller
+    doc_id) instead of the representative's; the LAION-style canonical-
+    caption heuristic. Same planted-pHash clusters; the oracle adds a
+    per-cluster (len DESC, doc_id ASC) window over the closure."""
+    from cola_spark.operators.multimodal import caption_consolidate
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    pairs = _planted_phash_pairs(spark, sf)
+    return caption_consolidate(
+        docs, pairs, a_col="img_a", b_col="img_b", strategy="longest"
+    )
+
+
+SQL_PHASH_CAPTIONS_BEST = f"""
+WITH RECURSIVE {_SQL_PH_CTES},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM ppairs
+          UNION SELECT doc_b, doc_a FROM ppairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+cl AS (SELECT src AS doc_id, LEAST(MIN(dst), src) AS cluster_id
+       FROM reach GROUP BY src),
+allc AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+canon AS (
+  SELECT cluster_id, text AS canon_caption FROM (
+    SELECT a.cluster_id, d.text,
+           ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                              ORDER BY len(d.text) DESC, d.doc_id ASC) AS rn
+    FROM allc a JOIN documents d ON d.doc_id = a.doc_id)
+  WHERE rn = 1)
+SELECT a.doc_id, a.cluster_id,
+       a.doc_id = a.cluster_id AS is_rep,
+       c.canon_caption
+FROM allc a JOIN canon c USING (cluster_id)
+"""
+
+PAIRS.update({"phash_caption_best": (q_phash_caption_best, SQL_PHASH_CAPTIONS_BEST)})

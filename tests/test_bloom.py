@@ -145,3 +145,21 @@ def test_relational_gate_never_false_negative(spark):
         fp = sum(r.false_pos for r in rows)
         unseen = sum(not r.actually_seen for r in rows)
         assert fp / unseen < 0.5
+
+
+def test_relational_gate_plan_no_seen_broadcast(spark):
+    """Plan audit: the bits relation (the big seen side at 10^10 URLs)
+    must reach the probe via a shuffled equi-join — never a broadcast
+    build — and the whole gate must be window-free."""
+    from cola_spark.operators.dedup import relational_bloom_gate
+
+    seen = spark.range(0, 50_000).select(F.col("id").alias("k"))
+    cands = spark.range(25_000, 60_000).select(F.col("id").alias("k"))
+    _, gated = relational_bloom_gate(
+        seen, cands, "k", m_bits=1 << 17, n_parts=8, hash_kind="xxhash64"
+    )
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # broadcasts of range-sourced frames in this plan could only be the
+    # seen/bits side (the probe side is aggregated, not broadcast)
+    assert "BroadcastExchange" not in plan, plan[:2000]

@@ -173,3 +173,33 @@ def test_audio_resample_halves_and_preserves_energy(spark):
         assert d.n_samples == o.n_samples * 4000 // o.sample_rate
         # NN resample keeps the envelope: RMS within 15%
         assert abs(d.rms_x1000 - o.rms_x1000) <= max(15, o.rms_x1000 * 0.15)
+
+
+def test_caption_consolidate_longest_strategy(spark):
+    """strategy='longest': canonical = max-length caption, ties to the
+    smaller id; is_rep still marks the min-id member; bad strategy
+    raises."""
+    from cola_spark.operators.multimodal import caption_consolidate
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest caption"), (3, "mid one"),
+         (5, "solo"), (7, "same len"), (9, "same len")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.is_rep, r.canon_caption)
+        for r in caption_consolidate(docs, pairs, strategy="longest").collect()
+    }
+    assert out == {
+        1: (1, True, "the longest caption"),
+        2: (1, False, "the longest caption"),
+        3: (1, False, "the longest caption"),
+        5: (5, True, "solo"),
+        7: (7, True, "same len"),  # tie -> smaller id (7) wins
+        9: (7, False, "same len"),
+    }
+    with pytest.raises(ValueError):
+        caption_consolidate(docs, pairs, strategy="median").collect()
