@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     # caption per cluster (pairs + CC + two joins), fully SQL-oracled
     "phash_caption_best",  # same clusters, longest-caption strategy
     # (map-side max_by canonical selection), fully SQL-oracled
+    "host_pagerank",  # integer-grid link authority, one shuffle/iter,
+    # all 3 iterations unrolled in the oracle
 ]
 
 

@@ -1,0 +1,87 @@
+"""Host link-authority ranking — the adaptive-priority signal cola's
+static per-unit priority lacks (cola/core/mq prioritizes by a fixed
+int; production crawl schedulers rank hosts by link authority, OPIC /
+PageRank-style, and feed that into the budget cut).
+
+PageRank on the INTEGER GRID, the same engine-stability discipline as
+the trained quantizers (similarity.py Lloyd) and the LR trainer
+(quality_lr.py GD): ranks are BIGINTs scaled by R0 = 2^20, the damped
+update is
+
+    r'[v] = floor((1-d_num/d_den) * R0) + Σ_{u→v} floor(d_num * r[u] /
+            (d_den * out_deg[u]))
+
+with d = d_num/d_den = 85/100 — every term is floor-of-integer
+division, so the per-iteration result is EXACTLY reproducible in any
+ANSI-SQL engine (the oracle unrolls the iterations as CTEs; a wrong
+damping constant or a float creeping in hash-fails the driver gate).
+
+Scale shape: one shuffle per iteration — contributions are an
+edge-keyed map-side-combinable sum (edges join the current rank
+broadcast-or-shuffled by src); out-degrees computed once and cached
+with the edge list. Dangling nodes (no out-edges) keep their mass out
+of circulation (OPIC semantics — acceptable for a priority SIGNAL, and
+exactly mirrored in the oracle); nodes with no in-edges settle at the
+teleport floor. localCheckpoint per iteration cuts the lineage the
+same way the CC loop does (clusters.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+R0 = 1 << 20  # rank scale: rank_float = rank_int / R0
+D_NUM, D_DEN = 85, 100  # damping 0.85 as an exact rational
+
+
+def host_pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(host, rank): integer-grid damped PageRank over the distinct
+    edge list after ``iters`` synchronous iterations. Node universe =
+    hosts appearing as src or dst; initial rank = R0 each."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ed = e.join(deg, "src")  # (src, dst, out_deg) — built once, reused
+    if checkpoint:
+        ed = ed.localCheckpoint()
+    teleport = (R0 * (D_DEN - D_NUM)) // D_DEN
+    r = nodes.select("host", F.lit(R0).cast("long").alias("rank"))
+    for _ in range(int(iters)):
+        contrib = (
+            ed.join(r.withColumnRenamed("host", "src"), "src")
+            .select(
+                "dst",
+                F.floor(
+                    (F.lit(D_NUM) * F.col("rank"))
+                    / (F.lit(D_DEN) * F.col("out_deg"))
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        r = (
+            nodes.join(contrib.withColumnRenamed("dst", "host"), "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(teleport)
+                    + F.coalesce(F.col("in_mass"), F.lit(0))
+                ).cast("long").alias("rank"),
+            )
+        )
+        if checkpoint:
+            r = r.localCheckpoint()
+    return r

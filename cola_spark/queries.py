@@ -3014,3 +3014,53 @@ FROM allc a JOIN canon c USING (cluster_id)
 """
 
 PAIRS.update({"phash_caption_best": (q_phash_caption_best, SQL_PHASH_CAPTIONS_BEST)})
+
+
+# ------------------------------------------ host link authority (round 5)
+
+
+def q_host_pagerank(spark, sf):
+    """Integer-grid damped PageRank (operators/linkrank.py) over a
+    deterministic 100-node host graph derived from orders
+    (src = o_custkey % 100, dst = o_orderkey % 100) — the adaptive
+    link-authority priority signal static per-unit priorities lack.
+    The oracle unrolls all 3 synchronous iterations as CTEs over exact
+    floor-of-division arithmetic: a wrong damping constant, a missed
+    dangling-mass rule or a float creeping into the grid hash-fails."""
+    from cola_spark.operators.linkrank import host_pagerank
+
+    o = _t(spark, sf, "orders")
+    e = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    )
+    return host_pagerank(e, iters=3)
+
+
+def _sql_pagerank(iters: int = 3, r0: int = 1 << 20,
+                  d_num: int = 85, d_den: int = 100) -> str:
+    tele = (r0 * (d_den - d_num)) // d_den
+    ctes = [
+        "e AS (SELECT DISTINCT o_custkey % 100 AS src,"
+        " o_orderkey % 100 AS dst FROM orders)",
+        "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src)",
+        "ed AS (SELECT e.src, e.dst, d.out_deg FROM e JOIN deg d ON e.src = d.src)",
+        f"r0 AS (SELECT host, CAST({r0} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT dst, SUM(CAST(FLOOR(({d_num} * r.rank) /"
+            f" ({d_den}.0 * out_deg)) AS BIGINT)) AS in_mass"
+            f" FROM ed JOIN r{i-1} r ON ed.src = r.host GROUP BY dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.host, CAST({tele} + COALESCE(c{i}.in_mass, 0)"
+            f" AS BIGINT) AS rank FROM nodes n LEFT JOIN c{i} ON n.host = c{i}.dst)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT host, rank FROM r{iters}"
+
+
+SQL_HOST_PAGERANK = _sql_pagerank()
+
+PAIRS.update({"host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK)})
