@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     # (map-side max_by canonical selection), fully SQL-oracled
     "host_pagerank",  # integer-grid link authority, one shuffle/iter,
     # all 3 iterations unrolled in the oracle
+    "authority_schedule",  # the authority signal composed into the
+    # per-host budget cut (broadcast side-table join)
 ]
 
 

@@ -3064,3 +3064,49 @@ def _sql_pagerank(iters: int = 3, r0: int = 1 << 20,
 SQL_HOST_PAGERANK = _sql_pagerank()
 
 PAIRS.update({"host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK)})
+
+
+def q_authority_schedule(spark, sf):
+    """The link-authority signal COMPOSED into the budget cut: per-host
+    FIFO top-5 (the budget_topk_cut shape) ordered globally by the
+    hosts' PageRank authority — authoritative hosts crawl first, the
+    adaptive-priority scheduling cola's static ints can't express. The
+    authority dense-rank runs on the 100-row host-rank frame (driver-
+    scale side table, NOT corpus-scale — the per-order work stays a
+    host-partitioned window + a broadcast-able join)."""
+    ranks = q_host_pagerank(spark, sf)
+    aw = Window.orderBy(F.desc("rank"), F.asc("host"))  # 100 rows only
+    auth = ranks.select(
+        "host", F.dense_rank().over(aw).cast("long").alias("authority_rank")
+    )
+    o = _t(spark, sf, "orders").select(
+        (F.col("o_custkey") % 100).alias("host"), "o_orderkey", "o_orderpriority"
+    )
+    hw = Window.partitionBy("host").orderBy("o_orderpriority", "o_orderkey")
+    cut = (
+        o.withColumn("host_rank", F.row_number().over(hw).cast("long"))
+        .filter(F.col("host_rank") <= 5)
+    )
+    return cut.join(F.broadcast(auth), "host").select(
+        "host", "o_orderkey", "host_rank", "authority_rank"
+    )
+
+
+SQL_AUTHORITY_SCHEDULE = (
+    _sql_pagerank().replace("\nSELECT host, rank FROM r3", ",") + r"""
+auth AS (SELECT host,
+                DENSE_RANK() OVER (ORDER BY rank DESC, host ASC)
+                  AS authority_rank
+         FROM r3),
+cut AS (SELECT o_custkey % 100 AS host, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey % 100
+                                  ORDER BY o_orderpriority, o_orderkey)
+                 AS host_rank
+        FROM orders)
+SELECT c.host, c.o_orderkey, c.host_rank, a.authority_rank
+FROM cut c JOIN auth a ON c.host = a.host
+WHERE c.host_rank <= 5
+"""
+)
+
+PAIRS.update({"authority_schedule": (q_authority_schedule, SQL_AUTHORITY_SCHEDULE)})
