@@ -761,3 +761,109 @@ def duplicate_spans(
         .otherwise(F.concat_ws(" ", F.filter("ws", kept)))
         .alias("clean_text"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    w: int = 4,
+    mask_bits: int = 3,
+    hash_kind: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (FastCDC/LBFS shape) over token streams:
+    a chunk boundary falls AFTER token position b whenever the rolling
+    hash of the last `w` tokens has its low `mask_bits` bits zero —
+    boundaries are a pure function of local content, so an insertion
+    early in a document shifts at most one chunk instead of re-aligning
+    every fixed-size block (the property fixed-width chunking lacks).
+    Expected chunk length ≈ 2**mask_bits + w tokens. No reference
+    analogue — cola dedups URL identity only; this is the storage-style
+    dedup modality a crawl archive needs beside whole-doc (md5),
+    near-doc (MinHash/SimHash) and span (Lee et al.) dedup: re-crawled
+    pages share most chunks with their previous snapshot even after
+    small edits.
+
+    Returns one row per chunk: (doc_id, s, e, tok_len, chunk_hash) with
+    1-based inclusive token range [s, e] and chunk_hash = md5 of the
+    space-joined tokens.
+
+    Spark-first plan, same machinery as duplicate_spans:
+      1. rolling window hash built RELATIONALLY (posexplode + lead(tok,
+         1..w-1) over a doc-partitioned window — codegen'd; the
+         interpreted-HOF form measured 388x slower on 4k-token docs);
+      2. boundary rows are ~1/2**mask_bits of token rows; chunk ranges
+         come from ONE narrow lag() window over (boundaries ∪ doc-end)
+         — never a per-token chunk-id assignment;
+      3. chunk text is re-sliced from the per-doc token array
+         (slice + array_join, both codegen'd) instead of re-aggregating
+         exploded tokens — no second per-token shuffle.
+    The doc-keyed exchanges ride spread_small_scan's partitioning; the
+    only data-sized shuffle downstream consumers pay is the groupBy on
+    chunk_hash, whose keys are uniform md5 (no skew).
+    """
+    h = hash_family(hash_kind)
+    base = spread_small_scan(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
+    )
+    base = base.withColumn("n", F.size("ws"))
+    w_ = int(w)
+    mod = 1 << int(mask_bits)
+
+    toks = base.select("doc_id", "n", F.posexplode("ws").alias("pos0", "tok"))
+    wd = Window.partitionBy("doc_id").orderBy("pos0")
+    leads = [F.col("tok")] + [F.lead("tok", k).over(wd) for k in range(1, w_)]
+    # the window starting at 0-based pos0 covers tokens pos0..pos0+w-1;
+    # its 1-based end index is b = pos0 + w, and the cut lands after b
+    bnd = (
+        toks.select(
+            "doc_id", "n", (F.col("pos0") + w_).alias("b"),
+            h(F.concat_ws(" ", *leads), 77).alias("hv"),
+        )
+        .filter(
+            (F.col("b") < F.col("n"))  # a cut at doc end is a no-op
+            & (F.col("hv") % mod == 0)
+        )
+        .select("doc_id", "b")
+    )
+    ends = bnd.unionByName(base.select("doc_id", F.col("n").alias("b")))
+    wb = Window.partitionBy("doc_id").orderBy("b")
+    chunks = ends.select(
+        "doc_id",
+        (F.coalesce(F.lag("b").over(wb), F.lit(0)) + 1).alias("s"),
+        F.col("b").alias("e"),
+    )
+    return chunks.join(base, "doc_id").select(
+        "doc_id",
+        F.col("s").cast("long").alias("s"),
+        F.col("e").cast("long").alias("e"),
+        (F.col("e") - F.col("s") + 1).cast("long").alias("tok_len"),
+        F.md5(
+            F.array_join(F.slice("ws", F.col("s"), F.col("e") - F.col("s") + 1), " ")
+        ).alias("chunk_hash"),
+    )
+
+
+def cdc_duplicate_chunks(
+    docs: DataFrame,
+    w: int = 4,
+    mask_bits: int = 3,
+    hash_kind: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated-chunk table over cdc_chunks: one row per
+    chunk content that occurs more than once — (chunk_hash, occ,
+    n_docs, tok_len). One hash-keyed exchange (uniform md5 keys); at
+    archive scale this is the dedup index a chunk store keeps."""
+    ch = cdc_chunks(docs, w, mask_bits, hash_kind, id_col, text_col)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count("*").cast("long").alias("occ"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("tok_len").alias("tok_len"),
+        )
+        .filter(F.col("occ") >= 2)
+    )

@@ -3110,3 +3110,95 @@ WHERE c.host_rank <= 5
 )
 
 PAIRS.update({"authority_schedule": (q_authority_schedule, SQL_AUTHORITY_SCHEDULE)})
+
+
+# ---------------------------------- CDC chunk dedup + politeness (round 5)
+
+
+def q_cdc_chunk_dedup(spark, sf):
+    """Content-defined chunking dedup (operators/textdedup.cdc_chunks):
+    rolling 4-token window hash, boundary where the low 3 bits are
+    zero, chunk = tokens between boundaries; output = every chunk
+    content occurring more than once corpus-wide with its occurrence /
+    doc counts — the storage-style dedup index a crawl archive keeps so
+    a re-crawled page stores only its changed chunks. Boundary hashing
+    uses the cross-engine md5 family; the oracle replays windowing,
+    boundary selection, range reconstruction and the aggregate."""
+    from cola_spark.operators.textdedup import cdc_duplicate_chunks
+
+    return cdc_duplicate_chunks(
+        _t(spark, sf, "documents"), w=4, mask_bits=3, hash_kind="md5"
+    )
+
+
+SQL_CDC_CHUNK_DEDUP = rf"""
+WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents),
+b2 AS (SELECT doc_id, ws, len(ws) AS n FROM base),
+bnd AS (SELECT doc_id, i + 3 AS b
+        FROM b2, UNNEST(generate_series(1, n - 3)) AS t(i)
+        WHERE n >= 4
+          AND i + 3 < n
+          AND {_md5i("array_to_string(ws[i:i+3], ' ')", 77)} % 8 = 0),
+ends AS (SELECT doc_id, b FROM bnd
+         UNION ALL SELECT doc_id, n AS b FROM b2),
+chunks AS (SELECT doc_id,
+                  COALESCE(LAG(b) OVER (PARTITION BY doc_id ORDER BY b), 0)
+                    + 1 AS s,
+                  b AS e
+           FROM ends),
+ch AS (SELECT c.doc_id, c.s, c.e, c.e - c.s + 1 AS tok_len,
+              md5(array_to_string(b2.ws[c.s:c.e], ' ')) AS chunk_hash
+       FROM chunks c JOIN b2 ON c.doc_id = b2.doc_id)
+SELECT chunk_hash,
+       CAST(COUNT(*) AS BIGINT) AS occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(tok_len) AS BIGINT) AS tok_len
+FROM ch GROUP BY chunk_hash HAVING COUNT(*) >= 2
+"""
+
+PAIRS.update({"cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP)})
+
+
+def q_politeness_schedule(spark, sf):
+    """cola's speed control (functions/speed.py: per-host adaptive
+    delay) expressed as the fetch CALENDAR it induces: each host gets a
+    deterministic crawl delay (100–300 ms, md5-derived stand-in for the
+    robots.txt/adaptive value), its queue FIFO-ordered by (priority,
+    seq), and every URL an absolute dispatch offset slot * delay_ms.
+    One host-partitioned window — no global ordering structure; at
+    10^10 URLs the schedule stays embarrassingly host-parallel and a
+    worker owns a host's calendar after the same host-hash shuffle the
+    frontier already pays."""
+    from cola_spark.operators.textdedup import hash_family
+
+    h = hash_family("md5")
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderpriority", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            (F.row_number().over(w) - 1).cast("long").alias("slot"),
+            (F.lit(100) + (h(F.col("o_custkey").cast("string"), 9) % 5) * 50)
+            .cast("long")
+            .alias("delay_ms"),
+        )
+        .withColumn("sched_ms", (F.col("slot") * F.col("delay_ms")).cast("long"))
+    )
+
+
+SQL_POLITENESS_SCHEDULE = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderpriority, o_orderkey) - 1
+            AS BIGINT) AS slot,
+       CAST(100 + ({_md5i("CAST(o_custkey AS VARCHAR)", 9)} % 5) * 50
+            AS BIGINT) AS delay_ms,
+       CAST((ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderpriority, o_orderkey) - 1)
+            * (100 + ({_md5i("CAST(o_custkey AS VARCHAR)", 9)} % 5) * 50)
+            AS BIGINT) AS sched_ms
+FROM orders
+"""
+
+PAIRS.update({"politeness_schedule": (q_politeness_schedule, SQL_POLITENESS_SCHEDULE)})
