@@ -3202,3 +3202,69 @@ FROM orders
 """
 
 PAIRS.update({"politeness_schedule": (q_politeness_schedule, SQL_POLITENESS_SCHEDULE)})
+
+
+# --------------------------------------------- BPE merge training (round 5)
+
+
+def q_bpe_train_merges(spark, sf):
+    """Tokenizer induction: the first 4 BPE merge rules (Sennrich et
+    al. 2016) learned over the documents corpus as pure DataFrame ops
+    (operators/bpe.py) — the fourth member of the trained-relationally
+    family (LR gradient descent, Lloyd k-means, damped PageRank). The
+    corpus-sized stage is one map-side word count; every merge round
+    runs on the word-TYPE vocabulary. The oracle unrolls all 4 rounds
+    as CTEs — a wrong pair count, argmax tie-break or a violation of
+    the leftmost-non-overlapping rule hash-fails."""
+    from cola_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(_t(spark, sf, "documents"), merges=4)
+
+
+def _sql_bpe(merges: int = 4) -> str:
+    ctes = [
+        r"tok AS (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS word"
+        " FROM documents)",
+        "v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok"
+        " GROUP BY word)",
+        "c0 AS (SELECT word, freq, CAST(i AS BIGINT) AS pos,"
+        " substr(word, i, 1) AS piece"
+        " FROM v, UNNEST(generate_series(1, length(word))) AS t(i))",
+    ]
+    for r in range(1, merges + 1):
+        ctes += [
+            f"p{r} AS (SELECT word, freq, pos, piece,"
+            f" LEAD(piece) OVER (PARTITION BY word ORDER BY pos) AS nxt"
+            f" FROM c{r-1})",
+            f"pc{r} AS (SELECT piece AS lp, nxt AS rp,"
+            f" CAST(SUM(freq) AS BIGINT) AS cnt"
+            f" FROM p{r} WHERE nxt IS NOT NULL GROUP BY piece, nxt)",
+            f"b{r} AS (SELECT lp, rp, cnt FROM pc{r}"
+            f" ORDER BY cnt DESC, lp, rp LIMIT 1)",
+            f"s{r} AS (SELECT p.word, p.pos FROM p{r} p"
+            f" JOIN b{r} b ON p.piece = b.lp AND p.nxt = b.rp)",
+            f"i{r} AS (SELECT word, pos, pos - ROW_NUMBER() OVER"
+            f" (PARTITION BY word ORDER BY pos) AS isl FROM s{r})",
+            f"k{r} AS (SELECT word, pos FROM ("
+            f" SELECT word, pos, pos - MIN(pos) OVER"
+            f" (PARTITION BY word, isl) AS off FROM i{r}) WHERE off % 2 = 0)",
+            f"c{r} AS (SELECT p.word, p.freq,"
+            f" ROW_NUMBER() OVER (PARTITION BY p.word ORDER BY p.pos) AS pos,"
+            f" CASE WHEN ks.pos IS NOT NULL THEN p.piece || p.nxt"
+            f" ELSE p.piece END AS piece"
+            f" FROM p{r} p"
+            f" LEFT JOIN k{r} ks ON p.word = ks.word AND p.pos = ks.pos"
+            f" LEFT JOIN k{r} kc ON p.word = kc.word AND p.pos = kc.pos + 1"
+            f" WHERE kc.pos IS NULL)",
+        ]
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, lp AS lpiece,"
+        f" rp AS rpiece, cnt AS pair_freq FROM b{r}"
+        for r in range(1, merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+SQL_BPE_TRAIN_MERGES = _sql_bpe()
+
+PAIRS.update({"bpe_train_merges": (q_bpe_train_merges, SQL_BPE_TRAIN_MERGES)})
