@@ -69,6 +69,11 @@ BENCH_QUERIES = [
     # all 3 iterations unrolled in the oracle
     "authority_schedule",  # the authority signal composed into the
     # per-host budget cut (broadcast side-table join)
+    "cdc_chunk_dedup",  # content-defined chunking: rolling-hash
+    # boundaries + chunk-hash dedup index (the crawl-archive modality)
+    "bpe_train_merges",  # tokenizer induction: 4 BPE merge rounds on
+    # the word-type vocabulary (corpus work = one map-side word count)
+    "politeness_schedule",  # per-host delay calendar, host-window only
 ]
 
 

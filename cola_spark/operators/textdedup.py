@@ -794,12 +794,19 @@ def cdc_chunks(
          interpreted-HOF form measured 388x slower on 4k-token docs);
       2. boundary rows are ~1/2**mask_bits of token rows; chunk ranges
          come from ONE narrow lag() window over (boundaries ∪ doc-end)
-         — never a per-token chunk-id assignment;
+         — never a per-token chunk-id assignment. Doc-end rows are
+         taken from the pos0 == 0 token row (every doc has one), NOT
+         from a third scan of the input;
       3. chunk text is re-sliced from the per-doc token array
          (slice + array_join, both codegen'd) instead of re-aggregating
-         exploded tokens — no second per-token shuffle.
-    The doc-keyed exchanges ride spread_small_scan's partitioning; the
-    only data-sized shuffle downstream consumers pay is the groupBy on
+         exploded tokens — no second per-token shuffle. That re-slice
+         join is pinned shuffle_hash (the bloom-gate precedent): the
+         token-array side is corpus-sized, so Catalyst's small-SF
+         auto-broadcast must not become the plan shape we audit.
+    Two scans of the input total (window hashing + range re-slice —
+    re-reading a columnar scan beats caching a corpus); the doc-keyed
+    exchanges ride spread_small_scan's partitioning; the only
+    data-sized shuffle downstream consumers pay is the groupBy on
     chunk_hash, whose keys are uniform md5 (no skew).
     """
     h = hash_family(hash_kind)
@@ -815,26 +822,29 @@ def cdc_chunks(
     wd = Window.partitionBy("doc_id").orderBy("pos0")
     leads = [F.col("tok")] + [F.lead("tok", k).over(wd) for k in range(1, w_)]
     # the window starting at 0-based pos0 covers tokens pos0..pos0+w-1;
-    # its 1-based end index is b = pos0 + w, and the cut lands after b
-    bnd = (
-        toks.select(
-            "doc_id", "n", (F.col("pos0") + w_).alias("b"),
-            h(F.concat_ws(" ", *leads), 77).alias("hv"),
-        )
-        .filter(
-            (F.col("b") < F.col("n"))  # a cut at doc end is a no-op
-            & (F.col("hv") % mod == 0)
-        )
-        .select("doc_id", "b")
+    # its 1-based end index is b = pos0 + w, and the cut lands after b.
+    # ONE pass emits both boundary and doc-end rows: the last window
+    # (b == n) IS the doc end (a cut there is the mandatory final one);
+    # docs shorter than the window contribute their pos0 == 0 row.
+    wins = toks.select(
+        "doc_id", "n", "pos0", (F.col("pos0") + w_).alias("b"),
+        h(F.concat_ws(" ", *leads), 77).alias("hv"),
     )
-    ends = bnd.unionByName(base.select("doc_id", F.col("n").alias("b")))
+    ends = wins.filter(
+        (F.col("b") == F.col("n"))
+        | ((F.col("hv") % mod == 0) & (F.col("b") < F.col("n")))
+        | ((F.col("n") < w_) & (F.col("pos0") == 0))
+    ).select(
+        "doc_id",
+        F.when(F.col("n") < w_, F.col("n")).otherwise(F.col("b")).alias("b"),
+    )
     wb = Window.partitionBy("doc_id").orderBy("b")
     chunks = ends.select(
         "doc_id",
         (F.coalesce(F.lag("b").over(wb), F.lit(0)) + 1).alias("s"),
         F.col("b").alias("e"),
     )
-    return chunks.join(base, "doc_id").select(
+    return chunks.join(base.hint("shuffle_hash"), "doc_id").select(
         "doc_id",
         F.col("s").cast("long").alias("s"),
         F.col("e").cast("long").alias("e"),

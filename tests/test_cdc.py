@@ -138,3 +138,19 @@ def test_duplicate_chunks_counts(spark):
     assert all(r.occ >= r.n_docs for r in rows.values())
     # z shares the aligned tail too: some chunk reaches all 3 docs
     assert any(r.n_docs == 3 for r in rows.values())
+
+
+def test_plan_shape_two_scans_no_broadcast(spark):
+    """Scale audit: cdc_duplicate_chunks reads its input exactly twice
+    (window hashing + range re-slice; doc-end rows ride the boundary
+    pass) and never broadcasts the corpus-sized token-array side of
+    the re-slice join (shuffle_hash pinned — the bloom-gate rule)."""
+    import re
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        cdc_duplicate_chunks(docs, w=W, mask_bits=MASK, hash_kind="md5")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"FileScan", plan)) == 2
+    assert "BroadcastExchange" not in plan
