@@ -57,6 +57,11 @@ def host_pagerank(
     ed = e.join(deg, "src")  # (src, dst, out_deg) — built once, reused
     if checkpoint:
         ed = ed.localCheckpoint()
+        # nodes is graph-sized but DERIVES from the corpus-scale edge
+        # projection; without its own cut every iteration's left join
+        # re-runs that scan+distinct (measured: 3 extra corpus jobs for
+        # a 100-node graph at sf0.1, ~2x the operator's wall time)
+        nodes = nodes.localCheckpoint()
     teleport = (R0 * (D_DEN - D_NUM)) // D_DEN
     r = nodes.select("host", F.lit(R0).cast("long").alias("rank"))
     for _ in range(int(iters)):
