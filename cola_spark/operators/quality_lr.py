@@ -92,10 +92,13 @@ def train_logreg_quality(
     for the update denominator; everything else is joins/aggregations.
     """
     feats = hashed_features(labeled, n_buckets, id_col, text_col).localCheckpoint()
+    # (doc_id, y) is doc-count-sized but carries the FULL lineage of
+    # `labeled` (in corpus_mix_clean_lr that is the composed pipeline);
+    # without a cut every epoch's residual join re-runs it
     ys = labeled.select(
         F.col(id_col).alias("doc_id"), F.col(label_col).cast("double").alias("y")
-    )
-    n = float(labeled.count())
+    ).localCheckpoint()
+    n = float(ys.count())
     w = feats.select("bucket").distinct().select(
         "bucket", F.lit(0).cast("long").alias("w")
     ).localCheckpoint()
