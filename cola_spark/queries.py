@@ -3268,3 +3268,73 @@ def _sql_bpe(merges: int = 4) -> str:
 SQL_BPE_TRAIN_MERGES = _sql_bpe()
 
 PAIRS.update({"bpe_train_merges": (q_bpe_train_merges, SQL_BPE_TRAIN_MERGES)})
+
+
+# ------------------------------------------ adaptive re-crawl (round 5)
+
+
+def q_adaptive_recrawl(spark, sf):
+    """Adaptive re-crawl scheduling (SURVEY §2 row 30 upgraded to a
+    driver-oracled query; operators/inc.py gives the force-requeue
+    mechanics, this gives the POLICY): per page (events.user_id as the
+    page key, each event an observed fetch, `value` the content
+    fingerprint), estimate the change rate from the observation
+    history — changes = fingerprint transitions in (ts, event_id)
+    order — and set the revisit interval Cho & Garcia-Molina-style:
+    observation span / (changes + 1), clamped to [1 min, 1 day];
+    next_fetch = last observation + interval. Pure page-partitioned
+    window + one groupBy — at 10^10 pages this is one host-hash-shaped
+    exchange, the same shuffle the frontier already pays."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev = F.lag("value").over(w)
+    g = ev.select(
+        "user_id",
+        ms.alias("s"),
+        F.when(prev.isNotNull() & (F.col("value") != prev), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    a = g.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("obs"),
+        F.sum("chg").cast("long").alias("changes"),
+        (F.max("s") - F.min("s")).cast("long").alias("span_ms"),
+        F.max("s").cast("long").alias("last_ms"),
+    )
+    interval = F.greatest(
+        F.lit(60000),
+        F.least(
+            F.lit(86400000),
+            F.floor(F.col("span_ms") / (F.col("changes") + 1)),
+        ),
+    ).cast("long")
+    return a.select(
+        "user_id", "obs", "changes", "span_ms",
+        interval.alias("interval_ms"),
+        (F.col("last_ms") + interval).cast("long").alias("next_fetch_ms"),
+    )
+
+
+SQL_ADAPTIVE_RECRAWL = """
+WITH g AS (
+  SELECT user_id, epoch_ms(ts) AS s,
+         CASE WHEN lag(value) OVER w IS NOT NULL
+                   AND value <> lag(value) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+a AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS obs,
+         CAST(SUM(chg) AS BIGINT) AS changes,
+         CAST(MAX(s) - MIN(s) AS BIGINT) AS span_ms,
+         CAST(MAX(s) AS BIGINT) AS last_ms
+  FROM g GROUP BY user_id)
+SELECT user_id, obs, changes, span_ms,
+       CAST(GREATEST(60000, LEAST(86400000,
+            FLOOR(span_ms / (changes + 1)))) AS BIGINT) AS interval_ms,
+       CAST(last_ms + GREATEST(60000, LEAST(86400000,
+            FLOOR(span_ms / (changes + 1)))) AS BIGINT) AS next_fetch_ms
+FROM a
+"""
+
+PAIRS.update({"adaptive_recrawl": (q_adaptive_recrawl, SQL_ADAPTIVE_RECRAWL)})
