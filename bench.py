@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "bpe_train_merges",  # tokenizer induction: 4 BPE merge rounds on
     # the word-type vocabulary (corpus work = one map-side word count)
     "politeness_schedule",  # per-host delay calendar, host-window only
+    "adaptive_recrawl",  # change-rate revisit intervals, one page window
 ]
 
 
