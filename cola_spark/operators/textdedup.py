@@ -770,6 +770,7 @@ def cdc_chunks(
     hash_kind: str = "xxhash64",
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_text: bool = False,
 ) -> DataFrame:
     """Content-defined chunking (FastCDC/LBFS shape) over token streams:
     a chunk boundary falls AFTER token position b whenever the rolling
@@ -844,15 +845,17 @@ def cdc_chunks(
         (F.coalesce(F.lag("b").over(wb), F.lit(0)) + 1).alias("s"),
         F.col("b").alias("e"),
     )
-    return chunks.join(base.hint("shuffle_hash"), "doc_id").select(
-        "doc_id",
+    ct = F.array_join(F.slice("ws", F.col("s"), F.col("e") - F.col("s") + 1), " ")
+    cols = [
+        F.col("doc_id"),
         F.col("s").cast("long").alias("s"),
         F.col("e").cast("long").alias("e"),
         (F.col("e") - F.col("s") + 1).cast("long").alias("tok_len"),
-        F.md5(
-            F.array_join(F.slice("ws", F.col("s"), F.col("e") - F.col("s") + 1), " ")
-        ).alias("chunk_hash"),
-    )
+        F.md5(ct).alias("chunk_hash"),
+    ]
+    if with_text:
+        cols.append(ct.alias("chunk_text"))  # content-addressed store payload
+    return chunks.join(base.hint("shuffle_hash"), "doc_id").select(*cols)
 
 
 def cdc_duplicate_chunks(

@@ -1,0 +1,113 @@
+"""Incremental CDC chunk store (operators/chunkstore.py): exact
+reconstruction, delta-only storage across re-crawl snapshots, pinned
+chunking params, crash-orphan sweep, and the object-store backend."""
+
+from __future__ import annotations
+
+import pytest
+
+from cola_spark.operators.chunkstore import (
+    ingest_snapshot, reconstruct_snapshot, store_stats,
+)
+from cola_spark.stateio import LocalStateIO, ObjectStoreStateIO
+
+KW = dict(w=4, mask_bits=2, hash_kind="md5")
+
+
+def _words(lo, hi):
+    return " ".join(f"t{i * 6007 % 4099}" for i in range(lo, hi))
+
+
+def _snapshot_a(spark):
+    rows = [(f"d{i}", _words(i * 3, i * 3 + 120)) for i in range(12)]
+    return spark.createDataFrame(rows, "doc_id string, text string"), dict(rows)
+
+
+def _snapshot_b(spark):
+    """The re-crawl: 3 docs edited (prepend / mid-edit / append), the
+    other 9 unchanged."""
+    rows = [(f"d{i}", _words(i * 3, i * 3 + 120)) for i in range(12)]
+    ed = dict(rows)
+    ed["d0"] = "breaking news banner " + ed["d0"]
+    mid = ed["d5"].split()
+    mid[60] = "EDITED"
+    ed["d5"] = " ".join(mid)
+    ed["d9"] = ed["d9"] + " new trailing comment thread"
+    rows = sorted(ed.items())
+    return spark.createDataFrame(rows, "doc_id string, text string"), ed
+
+
+def _check_exact(spark, path, sid, want, io):
+    got = {
+        r.doc_id: r.text
+        for r in reconstruct_snapshot(spark, path, sid, io=io).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("io_cls", [LocalStateIO, ObjectStoreStateIO])
+def test_ingest_delta_and_exact_reconstruct(spark, tmp_path, io_cls):
+    io = io_cls()
+    path = str(tmp_path / "store")
+    a, want_a = _snapshot_a(spark)
+    st_a = ingest_snapshot(a, path, "2026-08-01", io=io, **KW)
+    assert st_a["new_chunks_stored"] > 0
+    _check_exact(spark, path, "2026-08-01", want_a, io)
+
+    b, want_b = _snapshot_b(spark)
+    st_b = ingest_snapshot(b, path, "2026-08-08", io=io, **KW)
+    # 9/12 docs unchanged + CDC locality in the 3 edited ones: the
+    # second snapshot must store only a small fraction of its chunks.
+    # (Counts aren't monotonic — an edit can erase a boundary and merge
+    # two chunks — but they stay close.)
+    assert abs(st_b["chunks_in_snapshot"] - st_a["chunks_in_snapshot"]) <= 10
+    assert st_b["new_chunks_stored"] < st_b["chunks_in_snapshot"] * 0.25
+    assert st_b["dedup_ratio"] > 0.75
+    # both snapshots stay exactly reconstructable from the shared packs
+    _check_exact(spark, path, "2026-08-08", want_b, io)
+    _check_exact(spark, path, "2026-08-01", want_a, io)
+
+    st = store_stats(spark, path, io=io)
+    assert st["packs"] == 2 and st["snapshots"] == 2
+    assert st["stored_chunks"] < st["refs"]  # the archive's savings
+
+
+def test_identical_recrawl_stores_nothing(spark, tmp_path):
+    io = LocalStateIO()
+    path = str(tmp_path / "store")
+    a, want = _snapshot_a(spark)
+    ingest_snapshot(a, path, "s1", io=io, **KW)
+    st = ingest_snapshot(a, path, "s2", io=io, **KW)
+    assert st["new_chunks_stored"] == 0
+    assert st["dedup_ratio"] == 1.0
+    _check_exact(spark, path, "s2", want, io)
+
+
+def test_param_pin_and_duplicate_snapshot(spark, tmp_path):
+    io = LocalStateIO()
+    path = str(tmp_path / "store")
+    a, _ = _snapshot_a(spark)
+    ingest_snapshot(a, path, "s1", io=io, **KW)
+    with pytest.raises(ValueError, match="built with"):
+        ingest_snapshot(a, path, "s2", io=io, w=4, mask_bits=3,
+                        hash_kind="md5")
+    with pytest.raises(ValueError, match="already committed"):
+        ingest_snapshot(a, path, "s1", io=io, **KW)
+
+
+def test_crash_orphan_swept_and_uncommitted_invisible(spark, tmp_path):
+    io = LocalStateIO()
+    path = str(tmp_path / "store")
+    a, want = _snapshot_a(spark)
+    ingest_snapshot(a, path, "s1", io=io, **KW)
+    # simulate a crash AFTER pack/snap writes, BEFORE the manifest flip
+    b, _ = _snapshot_b(spark)
+    b.limit(2).write.parquet(f"{path}/pack=1")
+    b.limit(2).write.parquet(f"{path}/snap=ghost")
+    with pytest.raises(FileNotFoundError):
+        reconstruct_snapshot(spark, path, "ghost", io=io)
+    st = ingest_snapshot(b, path, "s2", io=io, **KW)  # sweeps orphans
+    assert st["pack_id"] == 1  # orphan pack id was reclaimed, not skipped
+    _check_exact(spark, path, "s1", want, io)
+    import os
+    assert not os.path.exists(f"{path}/snap=ghost")
