@@ -163,3 +163,61 @@ def store_stats(
         "packs": len(m["packs"]), "snapshots": len(m["snapshots"]),
         "stored_chunks": stored, "refs": refs,
     }
+
+
+def expire_snapshot(
+    path: str, snapshot_id: str, io: StateIO = DEFAULT_IO
+) -> dict:
+    """Drop a snapshot's recipe from the committed store (Iceberg
+    expire-snapshot shape). Chunk bytes are NOT reclaimed here — packs
+    are immutable and may serve other snapshots; compact_store() does
+    the space reclamation. Manifest flip first, dir sweep after (a
+    crash between the two leaves an orphan the next ingest sweeps)."""
+    m = _manifest(io, path)
+    if m is None or snapshot_id not in m["snapshots"]:
+        raise FileNotFoundError(f"no committed snapshot {snapshot_id!r} at {path}")
+    m2 = {**m, "rev": m["rev"] + 1,
+          "snapshots": {k: v for k, v in m["snapshots"].items()
+                        if k != snapshot_id}}
+    io.write_json_atomic(f"{path}/manifest.json", m2)  # commit
+    io.remove_dir(f"{path}/snap={snapshot_id}")
+    return m2
+
+
+def compact_store(
+    spark: SparkSession, path: str, io: StateIO = DEFAULT_IO
+) -> dict:
+    """Rewrite the pack set down to the chunks some LIVE snapshot still
+    references (restic prune / Iceberg rewrite_data_files shape) —
+    run after expire_snapshot to reclaim the expired chunks' bytes.
+
+    One new pack holds the live set (left-semi join of the old packs
+    against the union of live recipes, both sides keyed on uniform md5
+    hashes); the manifest flips to it atomically, then the superseded
+    pack dirs are removed. A crash before the flip leaves the old
+    manifest fully servable and an orphan pack the next ingest sweeps;
+    a crash after the flip leaves stale committed-in-the-past dirs for
+    the same sweep. Readers never see a partial store."""
+    m = _manifest(io, path)
+    if m is None:
+        raise FileNotFoundError(f"no committed chunk store at {path}")
+    if not m["packs"]:
+        return m
+    old_packs = [f"{path}/pack={k}" for k in m["packs"]]
+    new_id = m["packs"][-1] + 1
+    packs = spark.read.parquet(*old_packs)
+    if m["snapshots"]:
+        live = spark.read.parquet(
+            *[f"{path}/snap={s}" for s in m["snapshots"]]
+        ).select("chunk_hash").distinct()
+        kept = packs.join(live.hint("shuffle_hash"), "chunk_hash", "left_semi")
+    else:
+        kept = packs.limit(0)
+    kept.write.mode("overwrite").parquet(f"{path}/pack={new_id}")
+
+    m2 = {**m, "rev": m["rev"] + 1, "packs": [new_id],
+          "snapshots": {s: new_id for s in m["snapshots"]}}
+    io.write_json_atomic(f"{path}/manifest.json", m2)  # commit
+    for p in old_packs:
+        io.remove_dir(p)
+    return m2

@@ -111,3 +111,52 @@ def test_crash_orphan_swept_and_uncommitted_invisible(spark, tmp_path):
     _check_exact(spark, path, "s1", want, io)
     import os
     assert not os.path.exists(f"{path}/snap=ghost")
+
+
+def test_expire_and_compact_reclaims_only_dead_chunks(spark, tmp_path):
+    io = LocalStateIO()
+    path = str(tmp_path / "store")
+    from cola_spark.operators.chunkstore import compact_store, expire_snapshot
+
+    a, _ = _snapshot_a(spark)
+    b, want_b = _snapshot_b(spark)
+    ingest_snapshot(a, path, "s1", io=io, **KW)
+    ingest_snapshot(b, path, "s2", io=io, **KW)
+    before = store_stats(spark, path, io=io)
+
+    expire_snapshot(path, "s1", io=io)
+    with pytest.raises(FileNotFoundError):
+        reconstruct_snapshot(spark, path, "s1", io=io)
+    # expiry alone reclaims nothing (packs immutable)
+    assert store_stats(spark, path, io=io)["stored_chunks"] == before[
+        "stored_chunks"
+    ]
+
+    m = compact_store(spark, path, io=io)
+    assert len(m["packs"]) == 1
+    after = store_stats(spark, path, io=io)
+    # compaction keeps EXACTLY s2's live chunk set
+    live = (
+        spark.read.parquet(f"{path}/snap=s2")
+        .select("chunk_hash").distinct().count()
+    )
+    assert after["stored_chunks"] == live < before["stored_chunks"]
+    _check_exact(spark, path, "s2", want_b, io)
+
+
+def test_compact_all_live_is_lossless(spark, tmp_path):
+    io = ObjectStoreStateIO()
+    path = str(tmp_path / "store")
+    from cola_spark.operators.chunkstore import compact_store
+
+    a, want_a = _snapshot_a(spark)
+    b, want_b = _snapshot_b(spark)
+    ingest_snapshot(a, path, "s1", io=io, **KW)
+    ingest_snapshot(b, path, "s2", io=io, **KW)
+    before = store_stats(spark, path, io=io)
+    compact_store(spark, path, io=io)
+    after = store_stats(spark, path, io=io)
+    assert after["stored_chunks"] == before["stored_chunks"]
+    assert after["packs"] == 1
+    _check_exact(spark, path, "s1", want_a, io)
+    _check_exact(spark, path, "s2", want_b, io)
