@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     # the word-type vocabulary (corpus work = one map-side word count)
     "politeness_schedule",  # per-host delay calendar, host-window only
     "adaptive_recrawl",  # change-rate revisit intervals, one page window
+    "trap_detect",  # crawler-trap signals: per-URL-local explode+agg
+    "pack_sequences",  # trainer-sequence packing: per-shard token layout
+    "lm_coverage_score",  # CCNet-shaped curated-bigram coverage filter
+    "tfidf_topk",  # integer-exact tf-idf keyword extraction, top-3/doc
 ]
 
 

@@ -1,0 +1,77 @@
+"""Training-sequence packing: concat-and-chunk token layout per shard.
+
+The last step before a crawled corpus feeds a trainer: documents are
+concatenated in a deterministic order and sliced into fixed-length
+context windows (GPT-style packing — documents may straddle window
+boundaries; the attention mask handles the seam). The layout decision
+is pure arithmetic over token counts, so it is computed as a plan, not
+by streaming bytes: each document's global token offset is a running
+sum, and the windows it lands in follow by integer division.
+
+No reference analogue — cola (SURVEY.md §2) stops at fetch/parse;
+packing is the trainer-facing step layered on the cleaned corpus.
+
+Scale design: a single global running sum would be one partition — the
+classic window-function scale bug. Real pipelines pack PER OUTPUT
+SHARD (each writer owns a shard and packs it independently), so the
+layout here is: deterministic hash-shard the documents (same md5/xxhash
+family as every other keyed decision in this repo, so membership is
+rerun- and engine-stable), then one window per shard. One exchange
+keyed by shard — writer-shaped, uniform by construction (hash of the
+doc key), each shard's window is a linear scan. n_shards scales with
+the cluster; 10^10 docs / 10^4 shards keeps every scan bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cola_spark.operators.textdedup import hash_family, spread_small_scan
+
+
+def pack_offsets(
+    docs: DataFrame,
+    ctx_len: int = 2048,
+    n_shards: int = 8,
+    hash_kind: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shard, n_tok, start_off, first_bin, last_bin) — the
+    exact token-layout table for concat-and-chunk packing.
+
+    Within a shard, docs are laid out in doc-id order; `start_off` is
+    the document's first token's offset in the shard's token stream,
+    `first_bin`/`last_bin` the ctx_len-sized windows it touches
+    (inclusive). Deterministic: same corpus → same layout, any engine.
+    """
+    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    shard = F.pmod(
+        hash_family(hash_kind)(F.col(id_col).cast("string"), "pack"),
+        F.lit(n_shards),
+    ).cast("long")
+    base = spread_small_scan(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), ntok.alias("n_tok"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tok").over(w)
+    laid = base.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        (cum - F.col("n_tok")).cast("long").alias("start_off"),
+    )
+    # integer `div` (not floor of a float division) keeps the bin ids
+    # engine-exact; n_tok >= 1 always (whitespace-split of a trimmed
+    # string yields at least one element), so last_bin >= first_bin.
+    return laid.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        "start_off",
+        F.expr(f"start_off div {ctx_len}").cast("long").alias("first_bin"),
+        F.expr(f"(start_off + n_tok - 1) div {ctx_len}").cast("long").alias(
+            "last_bin"
+        ),
+    )

@@ -73,3 +73,110 @@ def unigram_quality(
             F.expr("1000 * sum_log2f DIV n_tokens").cast("long"),
         )
     )
+
+
+def lm_coverage(
+    docs: DataFrame,
+    ref_permille: int = 250,
+    hash_kind: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_ref: bool = False,
+) -> DataFrame:
+    """Reference-LM n-gram coverage (CCNet-shaped quality filter).
+
+    CCNet ranks crawled text by a language model trained on a curated
+    corpus (Wikipedia); the integer-exact analogue here scores each
+    document by the fraction of its distinct word bigrams that appear
+    anywhere in a deterministic curated subset (the `ref_permille`
+    md5-permille slice of the corpus standing in for the wiki side).
+    Gibberish and OCR noise produce bigrams the curated side never
+    contains and score near 0; fluent text reuses the curated bigram
+    inventory and scores high. No float log enters the output:
+    coverage_permille = (1000 * known) DIV n_bigrams.
+
+    Returns (doc_id, is_ref, n_bigrams, n_known, coverage_permille)
+    for every doc with >= 2 tokens (reference docs included — they are
+    scored against the same inventory, naturally high).
+
+    Scale: the bigram build is the shared relational shingle stage
+    (posexplode + lead, one doc-keyed exchange). The membership join is
+    keyed by bigram string — in production the curated inventory is
+    wiki-sized (10^8 bigrams, broadcastable: `broadcast_ref=True`);
+    the default shuffle join is the engine-neutral form the oracle
+    replays. Head skew is bounded because the probe side is DISTINCT
+    per doc — a bigram key receives at most one row per document.
+    """
+    from cola_spark.operators.sampling import permille_bucket
+    from cola_spark.operators.textdedup import shingles
+
+    sh = shingles(docs, n=2, id_col=id_col, text_col=text_col)
+    bucket = permille_bucket(F.col("doc_id"), hash_kind=hash_kind, seed="lmref")
+    sh = sh.withColumn("is_ref", bucket < ref_permille)
+    ref = sh.filter("is_ref").select("shingle").distinct()
+    if broadcast_ref:
+        ref = F.broadcast(ref)
+    known = ref.withColumn("_known", F.lit(1))
+    return (
+        sh.join(known, "shingle", "left")
+        .groupBy("doc_id", "is_ref")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.count("_known").cast("long").alias("n_known"),
+        )
+        .withColumn(
+            "coverage_permille",
+            F.expr("1000 * n_known DIV n_bigrams").cast("long"),
+        )
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Integer-exact tf-idf keyword extraction: top-k terms per doc.
+
+    idf is the scaled rational (1_000_000 * n_docs) DIV df — exactly
+    monotone in log(n_docs/df) for ranking purposes with zero float
+    arithmetic, so the ranks (and the score column) are engine-stable.
+    score = tf * idf_micro; ties broken lexically on the term.
+
+    Returns (doc_id, term, tf, df, score, rnk) with rnk in [1, k].
+
+    Scale: tf is a (doc, term)-keyed partial agg; df aggregates the tf
+    frame (one row per doc per term — any single term's key volume is
+    bounded by n_docs, the same Zipf profile unigram_quality's
+    head-split handles; at trainer scale reuse that split here). The
+    n_docs scalar rides a 1-row broadcast; the final top-k is a
+    doc-keyed window over <= vocab-per-doc rows.
+    """
+    toks = spread_small_scan(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.expr("(1000000 * n_docs) div df"))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

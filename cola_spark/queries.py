@@ -3338,3 +3338,151 @@ FROM a
 """
 
 PAIRS.update({"adaptive_recrawl": (q_adaptive_recrawl, SQL_ADAPTIVE_RECRAWL)})
+
+
+# ---------------------- round-5 late additions: trap / packing / text
+
+
+def q_trap_detect(spark, sf):
+    """Crawler-trap detection (operators/traps.py) over a URL universe
+    synthesized from orders: every row gets a 5-segment content path;
+    keys % 13 == 0 get a planted depth maze (+7 segments), keys % 19
+    == 0 a planted cycle (/page x4). Signals are per-URL local — one
+    url-keyed exchange at any scale (docstring in traps.py)."""
+    from cola_spark.operators.traps import trap_signals
+
+    o = _t(spark, sf, "orders")
+    url = F.concat(
+        F.lit("/c/"),
+        F.col("o_orderpriority"),
+        F.lit("/s/"),
+        F.col("o_orderstatus"),
+        F.lit("/p"),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("/a/b/c/d/e/f/g")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("o_orderkey") % 19 == 0, F.lit("/page/page/page/page")
+        ).otherwise(F.lit("")),
+    )
+    base = o.select(F.col("o_orderkey").alias("url_key"), url.alias("url"))
+    return trap_signals(base, max_depth=8, min_repeat=4)
+
+
+SQL_TRAP_DETECT = r"""
+WITH u AS (
+  SELECT o_orderkey AS url_key,
+         '/c/' || o_orderpriority || '/s/' || o_orderstatus
+         || '/p' || CAST(o_orderkey % 7 AS VARCHAR)
+         || CASE WHEN o_orderkey % 13 = 0 THEN '/a/b/c/d/e/f/g' ELSE '' END
+         || CASE WHEN o_orderkey % 19 = 0 THEN '/page/page/page/page' ELSE '' END
+           AS url
+  FROM orders),
+seg AS (SELECT url_key, UNNEST(string_split(substring(url, 2), '/')) AS seg
+        FROM u),
+rep AS (SELECT url_key, CAST(MAX(c) AS BIGINT) AS max_repeat
+        FROM (SELECT url_key, seg, COUNT(*) AS c FROM seg GROUP BY 1, 2)
+        GROUP BY 1),
+d AS (SELECT url_key, url,
+             CAST(len(string_split(substring(url, 2), '/')) AS BIGINT) AS depth
+      FROM u)
+SELECT d.url_key, d.url, d.depth, rep.max_repeat,
+       (d.depth > 8 OR rep.max_repeat >= 4) AS is_trap
+FROM d JOIN rep USING (url_key)
+"""
+
+
+def q_pack_sequences(spark, sf):
+    """Trainer-sequence packing layout (operators/packing.py):
+    md5-sharded concat-and-chunk token offsets, ctx_len=512 over 8
+    shards. One writer-shaped exchange; per-shard linear window."""
+    from cola_spark.operators.packing import pack_offsets
+
+    return pack_offsets(
+        _t(spark, sf, "documents"), ctx_len=512, n_shards=8, hash_kind="md5"
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS shard
+  FROM documents),
+c AS (SELECT doc_id, shard, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok
+               AS start_off
+      FROM b)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tok,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // 512 AS BIGINT) AS first_bin,
+       CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS last_bin
+FROM c
+"""
+
+
+def q_lm_coverage_score(spark, sf):
+    """CCNet-shaped reference-LM coverage score (textstats.lm_coverage):
+    distinct-bigram inventory of the deterministic 25% md5 slice as the
+    curated side; integer permille coverage per doc."""
+    from cola_spark.operators.textstats import lm_coverage
+
+    return lm_coverage(_t(spark, sf, "documents"), ref_permille=250,
+                       hash_kind="md5")
+
+
+SQL_LM_COVERAGE = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+1], ' ') AS shingle
+       FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+       WHERE len(ws) >= 2),
+m AS (SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5('lmref:' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 1000 < 250 AS is_ref
+      FROM sh),
+ref AS (SELECT DISTINCT shingle FROM m WHERE is_ref),
+j AS (SELECT m.doc_id, m.is_ref,
+             CASE WHEN r.shingle IS NOT NULL THEN 1 END AS known
+      FROM m LEFT JOIN ref r ON m.shingle = r.shingle)
+SELECT doc_id, is_ref, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(known) AS BIGINT) AS n_known,
+       CAST((1000 * COUNT(known)) // COUNT(*) AS BIGINT) AS coverage_permille
+FROM j GROUP BY doc_id, is_ref
+"""
+
+
+def q_tfidf_topk(spark, sf):
+    """Integer-exact tf-idf keyword extraction (textstats.tfidf_topk):
+    top-3 terms per doc, idf as the scaled rational (1e6*N) div df."""
+    from cola_spark.operators.textstats import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf, "documents"), k=3)
+
+
+SQL_TFIDF_TOPK = r"""
+WITH toks AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+'))
+                AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             CAST(tf.tf * ((1000000 * n.n_docs) // dfq.df) AS BIGINT) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER
+        (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk
+      FROM s)
+SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3
+"""
+
+
+PAIRS.update({
+    "trap_detect": (q_trap_detect, SQL_TRAP_DETECT),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "lm_coverage_score": (q_lm_coverage_score, SQL_LM_COVERAGE),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+})
