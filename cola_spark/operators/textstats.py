@@ -114,9 +114,12 @@ def lm_coverage(
     bucket = permille_bucket(F.col("doc_id"), hash_kind=hash_kind, seed="lmref")
     sh = sh.withColumn("is_ref", bucket < ref_permille)
     ref = sh.filter("is_ref").select("shingle").distinct()
-    if broadcast_ref:
-        ref = F.broadcast(ref)
+    # corpus-derived side: pin shuffle_hash unless the caller asserts
+    # the curated inventory is broadcast-sized (the bloom-gate rule —
+    # Catalyst's local size estimate would broadcast it at sf0.01 and
+    # OOM at 10^10)
     known = ref.withColumn("_known", F.lit(1))
+    known = F.broadcast(known) if broadcast_ref else known.hint("shuffle_hash")
     return (
         sh.join(known, "shingle", "left")
         .groupBy("doc_id", "is_ref")
@@ -160,8 +163,10 @@ def tfidf_topk(
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n_docs = docs.select(F.countDistinct(id_col).cast("long").alias("n_docs"))
+    # dfreq is vocab-scale (10^8+ terms at corpus scale): shuffle_hash,
+    # never Catalyst's size-estimate broadcast (the bloom-gate rule)
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(dfreq.hint("shuffle_hash"), "term")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -57,9 +57,12 @@ def trap_signals(
         .groupBy("url_key")
         .agg(F.max("c").cast("long").alias("max_repeat"))
     )
+    # both join sides are frontier-scale (one row per URL) — pin
+    # shuffle_hash so Catalyst's local size estimate never broadcasts
+    # the agg side (the bloom-gate rule: fine at sf0.01, OOM at 10^10)
     return (
         base.drop("_segs")
-        .join(rep, "url_key")
+        .join(rep.hint("shuffle_hash"), "url_key")
         .select(
             "url_key",
             "url",

@@ -125,3 +125,34 @@ def test_tfidf_topk_ranks(spark):
     for rows in by_doc.values():
         assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
         assert len(rows) <= 2
+
+
+def _plan(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_no_size_estimate_broadcasts(spark):
+    """The corpus-derived join sides (trap rep agg, lm ref inventory,
+    tf-idf dfreq) are frontier/vocab-scale at 10^10 rows: Catalyst's
+    local size estimate must never broadcast them (bloom-gate rule).
+    The only broadcast allowed in tfidf is the 1-row n_docs scalar."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    urls = spark.createDataFrame(
+        [(i, f"/a/b/c{i}") for i in range(50)], "url_key long, url string"
+    )
+    p = _plan(trap_signals(urls))
+    assert "ShuffledHashJoin" in p and "BroadcastHashJoin" not in p
+    p = _plan(lm_coverage(docs))
+    assert "ShuffledHashJoin" in p and "BroadcastHashJoin" not in p
+    # opt-in broadcast for a genuinely bounded curated inventory
+    p = _plan(lm_coverage(docs, broadcast_ref=True))
+    assert "BroadcastHashJoin" in p
+    p = _plan(tfidf_topk(docs))
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p  # n_docs rides a nested-loop join
