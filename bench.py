@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "pack_sequences",  # trainer-sequence packing: per-shard token layout
     "lm_coverage_score",  # CCNet-shaped curated-bigram coverage filter
     "tfidf_topk",  # integer-exact tf-idf keyword extraction, top-3/doc
+    "image_mix_filter",  # LAION-shaped image-caption curation: metadata
+    # gates + pHash near-dup CC dedup among survivors, fully SQL-oracled
 ]
 
 

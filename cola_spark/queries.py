@@ -3486,3 +3486,110 @@ PAIRS.update({
     "lm_coverage_score": (q_lm_coverage_score, SQL_LM_COVERAGE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
 })
+
+
+# ---------------- image-caption curation composition (round 5, late)
+
+
+def q_image_mix_filter(spark, sf):
+    """LAION/DataComp-shaped image-caption curation, fully SQL-oracled
+    — the image mirror of corpus_mix_clean built on the PLANTED image
+    universe (the same md5 planting technique as phash_band_pairs, so
+    DuckDB replays every stage bit-for-bit where the codec-bound
+    image_corpus_clean can only be rows-only):
+
+      1. metadata gates — min side >= 200 px, aspect ratio <= 3
+         (integer cross-multiplication, no floats), decodable format
+         (png/jpgq in, gif out), caption length 3..256 tokens;
+      2. pHash near-dup dedup AMONG SURVIVORS — planted 64-bit pHash →
+         production 4-band Hamming pairs → connected components →
+         keep the minimum-id exemplar per cluster.
+
+    Output: the curated (doc_id, w, h, fmt, n_cap) table. Scale: the
+    gates are map-side column exprs on the scan; the pair list is the
+    banded equi-join (never all-pairs); the survivor restriction is two
+    frontier-scale semi-joins pinned shuffle_hash (bloom-gate rule); CC
+    runs on the pair graph only."""
+    from cola_spark.operators.clusters import dedup_keep_set
+
+    docs = _t(spark, sf, "documents")
+    h = _md5_col
+    w = (
+        F.lit(64) + F.pmod(h(F.concat(F.lit("w:"), F.col("doc_id"))), F.lit(1986))
+    ).cast("long")
+    ht = (
+        F.lit(64) + F.pmod(h(F.concat(F.lit("h:"), F.col("doc_id"))), F.lit(1986))
+    ).cast("long")
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("jpgq"))
+        .otherwise(F.lit("gif"))
+    )
+    ncap = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    meta = docs.select(
+        "doc_id", w.alias("w"), ht.alias("h"), fmt.alias("fmt"), ncap.alias("n_cap")
+    )
+    surv = meta.filter(
+        (F.least("w", "h") >= 200)
+        & (F.greatest("w", "h") <= 3 * F.least("w", "h"))
+        & F.col("fmt").isin("png", "jpgq")
+        & (F.col("n_cap") >= 3)
+        & (F.col("n_cap") <= 256)
+    )
+    pairs = _planted_phash_pairs(spark, sf)
+    sp = pairs.join(
+        surv.select(F.col("doc_id").alias("img_a")).hint("shuffle_hash"),
+        "img_a",
+        "semi",
+    ).join(
+        surv.select(F.col("doc_id").alias("img_b")).hint("shuffle_hash"),
+        "img_b",
+        "semi",
+    )
+    drops = (
+        dedup_keep_set(sp, a_col="img_a", b_col="img_b")
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    return surv.join(drops, "doc_id", "left_anti")
+
+
+def _sql_meta_dim(seed: str) -> str:
+    return (
+        f"64 + CAST(('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 15)) AS BIGINT) % 1986"
+    )
+
+
+SQL_IMAGE_MIX_FILTER = f"""
+WITH RECURSIVE meta AS (
+  SELECT doc_id,
+         CAST({_sql_meta_dim('w')} AS BIGINT) AS w,
+         CAST({_sql_meta_dim('h')} AS BIGINT) AS h,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpgq'
+              ELSE 'gif' END AS fmt,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_cap
+  FROM documents),
+surv AS (
+  SELECT * FROM meta
+  WHERE LEAST(w, h) >= 200 AND GREATEST(w, h) <= 3 * LEAST(w, h)
+    AND fmt IN ('png', 'jpgq') AND n_cap BETWEEN 3 AND 256),
+{_SQL_PH_CTES},
+spairs AS (
+  SELECT p.doc_a, p.doc_b FROM ppairs p
+  JOIN surv a ON a.doc_id = p.doc_a
+  JOIN surv b ON b.doc_id = p.doc_b),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM spairs
+          UNION SELECT doc_b, doc_a FROM spairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+cl AS (SELECT src AS doc_id, LEAST(MIN(dst), src) AS cluster_id
+       FROM reach GROUP BY src)
+SELECT s.doc_id, s.w, s.h, s.fmt, s.n_cap
+FROM surv s LEFT JOIN cl ON s.doc_id = cl.doc_id
+WHERE cl.doc_id IS NULL OR cl.cluster_id = s.doc_id
+"""
+
+PAIRS.update({"image_mix_filter": (q_image_mix_filter, SQL_IMAGE_MIX_FILTER)})

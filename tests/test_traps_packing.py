@@ -156,3 +156,26 @@ def test_no_size_estimate_broadcasts(spark):
     p = _plan(tfidf_topk(docs))
     assert "ShuffledHashJoin" in p
     assert "BroadcastHashJoin" not in p  # n_docs rides a nested-loop join
+
+
+def test_image_mix_filter_gates(spark):
+    """Every curated row satisfies all four metadata gates, and the
+    pHash dedup kept at most one exemplar per planted near-dup cluster
+    (exactness vs DuckDB is pinned by the pair test)."""
+    from cola_spark.queries import PAIRS, _planted_phash_pairs
+
+    out = PAIRS["image_mix_filter"][0](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows
+    kept = {r["doc_id"] for r in rows}
+    for r in rows:
+        assert min(r["w"], r["h"]) >= 200
+        assert max(r["w"], r["h"]) <= 3 * min(r["w"], r["h"])
+        assert r["fmt"] in ("png", "jpgq")
+        assert 3 <= r["n_cap"] <= 256
+    # no two kept docs are directly pHash-near-dup survivors of the
+    # same planted pair (the CC keeps one exemplar per component)
+    pairs = _planted_phash_pairs(spark, "/root/testdata/sf0.001").collect()
+    both_kept = [(p["img_a"], p["img_b"]) for p in pairs
+                 if p["img_a"] in kept and p["img_b"] in kept]
+    assert both_kept == []
