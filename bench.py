@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     # per-host budget cut (broadcast side-table join)
     "cdc_chunk_dedup",  # content-defined chunking: rolling-hash
     # boundaries + chunk-hash dedup index (the crawl-archive modality)
+    "clip_align_filter",  # LAION CLIP-score image<->caption gate in
+    # exact int64 (grid-snap + hashed-BoW + cross-multiplied threshold)
     "bpe_train_merges",  # tokenizer induction: 4 BPE merge rounds on
     # the word-type vocabulary (corpus work = one map-side word count)
     "politeness_schedule",  # per-host delay calendar, host-window only

@@ -278,6 +278,119 @@ def caption_consolidate(
     )
 
 
+# ------------------------------------------------- image-text alignment
+
+
+def embedding_grid(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+) -> DataFrame:
+    """Long-format INTEGER-grid view of a float embedding column:
+    (doc_id, j, ie) with ie = floor(double(e_j) * grid).
+
+    The cast to double happens BEFORE the multiply so the product is
+    one IEEE-double op on the exact float32 value — any engine that
+    widens the same way (DuckDB `CAST(x AS DOUBLE) * grid`) lands on
+    the identical integer, which is what makes every downstream
+    dot/norm exactly replayable. Map-side only (posexplode, no
+    shuffle); at corpus scale the long form rides the scan's
+    partitioning by id."""
+    return embs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(vec_col).alias("j", "_e")
+    ).select(
+        "doc_id",
+        "j",
+        F.floor(F.col("_e").cast("double") * grid).cast("long").alias("ie"),
+    )
+
+
+def caption_text_embed(
+    docs: DataFrame,
+    dim: int = 64,
+    val_mod: int = 201,
+    hash_kind: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed bag-of-words caption embedding in integer arithmetic:
+    every whitespace token contributes val(tok) ∈ [-(val_mod-1)/2,
+    +(val_mod-1)/2] to dimension dim(tok) — the feature-hashing trick
+    (Weinberger et al. 2009), the stand-in for a real text encoder
+    whose weights this sandbox doesn't ship. Returns the SPARSE long
+    form (doc_id, j, cv); absent dims are implicit zeros.
+
+    hash_kind="md5" is the cross-engine family (textdedup.hash_family)
+    used by the DuckDB oracle; xxhash64 is the scale default. Shape:
+    one explode + one map-side-combinable groupBy keyed (doc_id, j)."""
+    from cola_spark.operators.textdedup import hash_family
+
+    h = hash_family(hash_kind)
+    half = (val_mod - 1) // 2
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.pmod(h(F.col("tok"), "cd"), F.lit(dim)).cast("int").alias("j"),
+            (F.pmod(h(F.col("tok"), "cv"), F.lit(val_mod)) - half)
+            .cast("long")
+            .alias("cv"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("cv").alias("cv"))
+    )
+
+
+def caption_align(
+    img_vec: DataFrame,
+    cap_vec: DataFrame,
+    thr_num: int = 7,
+    thr_den: int = 25,
+) -> DataFrame:
+    """CLIP-score-style image<->caption alignment gate — LAION's core
+    curation filter (keep pairs whose image/text embedding cosine
+    clears a threshold; 0.28 = 7/25 for LAION-400M) — in EXACT integer
+    arithmetic so the decision replays bit-for-bit in any engine:
+
+        aligned  <=>  dot > 0  AND  thr_den²·dot² >= thr_num²·na·nb
+                 <=>  cos(img, cap) >= thr_num / thr_den
+
+    Inputs are long-format integer vectors: img_vec (doc_id, j, ie)
+    from embedding_grid (dense — every dim present), cap_vec
+    (doc_id, j, cv) from caption_text_embed (sparse — missing dims are
+    zeros, supplied by the left join). Output is the complete decision
+    table (doc_id, dot, na, nb, aligned), not just survivors, so
+    downstream can audit the gate.
+
+    int64 headroom: |dot| <= D·max|ie|·max|cv|, the guard products are
+    thr_den²·dot² and thr_num²·na·nb — for D=64, grid=1000 (|ie|<=~1000
+    on unit-norm-ish embeddings) and caption values bounded by a few
+    thousand, both sit around 1e17, inside int64 (~9.2e18); the oracle
+    pins it because a DuckDB overflow would error, not wrap.
+
+    Scale shape: both sides keyed (doc_id, j) — the join co-partitions
+    on doc_id (one exchange each side at most; none when the embedding
+    store is already bucketed by doc), and the per-doc reduction is a
+    map-side-combinable groupBy. No window, no driver collect."""
+    joined = img_vec.join(cap_vec, ["doc_id", "j"], "left").select(
+        "doc_id", "ie", F.coalesce(F.col("cv"), F.lit(0)).alias("cv")
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.sum(F.col("ie") * F.col("cv")).alias("dot"),
+        F.sum(F.col("ie") * F.col("ie")).alias("na"),
+        F.sum(F.col("cv") * F.col("cv")).alias("nb"),
+    )
+    aligned = (F.col("dot") > 0) & (
+        F.lit(thr_den * thr_den) * F.col("dot") * F.col("dot")
+        >= F.lit(thr_num * thr_num) * F.col("na") * F.col("nb")
+    )
+    return agg.select("doc_id", "dot", "na", "nb", aligned.alias("aligned"))
+
+
 # ------------------------------------------------------------------ audio
 
 

@@ -3593,3 +3593,82 @@ WHERE cl.doc_id IS NULL OR cl.cluster_id = s.doc_id
 """
 
 PAIRS.update({"image_mix_filter": (q_image_mix_filter, SQL_IMAGE_MIX_FILTER)})
+
+
+def q_clip_align_filter(spark, sf):
+    """CLIP-score-style image<->caption alignment gate — the OTHER core
+    LAION filter beside resolution/dedup (keep pairs whose image/text
+    embedding cosine >= 0.28 = 7/25): the image embedding is the real
+    float vector from the embeddings table snapped to an integer grid
+    (floor(e*1000)); the caption embedding is the hashed bag-of-words
+    (feature-hashing) integer vector; the threshold test is pure int64
+    cross-multiplication (625·dot² vs 49·na·nb), so the WHOLE gate —
+    grid snap, token hashing, sparse-dense join, norms, decision —
+    replays exactly in DuckDB. Planted signal: every 5th doc's caption
+    vector leans toward its image vector on the first 16 dims (the
+    contribution rides the same (doc_id, j, value) long form, one
+    unionByName), so both branches of the gate do real work: planted
+    docs clear the threshold, hash-noise docs near-never do.
+
+    Output: the complete per-doc decision table (doc_id, dot, na, nb,
+    aligned) over docs that HAVE an embedding — auditable, not just
+    survivors. Scale: one posexplode + one token explode, the join is
+    (doc_id, j)-keyed (co-partitioned on doc_id), the reduction is one
+    map-side-combinable groupBy; no window, no collect."""
+    from cola_spark.operators.multimodal import (
+        caption_align,
+        caption_text_embed,
+        embedding_grid,
+    )
+
+    img = embedding_grid(_t(spark, sf, "embeddings"))
+    cap = caption_text_embed(
+        _t(spark, sf, "documents").select("doc_id", "text"), hash_kind="md5"
+    )
+    boost = img.filter((F.col("doc_id") % 5 == 0) & (F.col("j") < 16)).select(
+        "doc_id", "j", (F.lit(3) * F.col("ie")).alias("cv")
+    )
+    planted = (
+        cap.unionByName(boost).groupBy("doc_id", "j").agg(F.sum("cv").alias("cv"))
+    )
+    return caption_align(img, planted)
+
+
+def _sql_clip_align(dim: int = 64, grid: int = 1000) -> str:
+    js = ", ".join(str(j) for j in range(dim))
+    return rf"""
+WITH img AS (
+  SELECT vec_id AS doc_id, j,
+         CAST(FLOOR(CAST(embedding[j + 1] AS DOUBLE) * {grid}) AS BIGINT) AS ie
+  FROM embeddings, UNNEST([{js}]) AS t(j)),
+tok AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+capraw AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('cd:' || tok), 1, 15)) AS BIGINT) % {dim}
+              AS INTEGER) AS j,
+         CAST(('0x' || substr(md5('cv:' || tok), 1, 15)) AS BIGINT) % 201 - 100
+           AS cv
+  FROM tok),
+boost AS (SELECT doc_id, j, 3 * ie AS cv FROM img
+          WHERE doc_id % 5 = 0 AND j < 16),
+cap AS (SELECT doc_id, j, CAST(SUM(cv) AS BIGINT) AS cv
+        FROM (SELECT * FROM capraw UNION ALL SELECT * FROM boost)
+        GROUP BY 1, 2),
+per AS (SELECT i.doc_id, i.ie, COALESCE(c.cv, 0) AS cv
+        FROM img i LEFT JOIN cap c ON c.doc_id = i.doc_id AND c.j = i.j)
+SELECT doc_id,
+       CAST(SUM(ie * cv) AS BIGINT) AS dot,
+       CAST(SUM(ie * ie) AS BIGINT) AS na,
+       CAST(SUM(cv * cv) AS BIGINT) AS nb,
+       (CAST(SUM(ie * cv) AS BIGINT) > 0 AND
+        625 * CAST(SUM(ie * cv) AS BIGINT) * CAST(SUM(ie * cv) AS BIGINT)
+          >= 49 * CAST(SUM(ie * ie) AS BIGINT) * CAST(SUM(cv * cv) AS BIGINT))
+         AS aligned
+FROM per GROUP BY doc_id
+"""
+
+
+SQL_CLIP_ALIGN = _sql_clip_align()
+
+PAIRS.update({"clip_align_filter": (q_clip_align_filter, SQL_CLIP_ALIGN)})

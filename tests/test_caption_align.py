@@ -1,0 +1,117 @@
+"""CLIP-style image<->caption alignment gate semantics.
+
+test_oracle_pairs proves spark ≡ DuckDB for clip_align_filter; these
+tests pin what the gate MEANS: the integer threshold test is exactly
+cos >= 7/25, the planted-aligned docs pass and hash-noise docs near-
+never do, and the integer dot/norms are the true sums (recomputed in
+plain Python from the same parquet).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cola_spark.operators.multimodal import (
+    caption_align,
+    caption_text_embed,
+    embedding_grid,
+)
+from cola_spark.queries import q_clip_align_filter
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def decisions(spark):
+    return {
+        r["doc_id"]: r for r in q_clip_align_filter(spark, SF_DIR).collect()
+    }
+
+
+def test_planted_docs_align_noise_does_not(decisions):
+    planted = [r for d, r in decisions.items() if d % 5 == 0]
+    noise = [r for d, r in decisions.items() if d % 5 != 0]
+    assert len(planted) == 100 and len(noise) == 400
+    n_p = sum(r["aligned"] for r in planted)
+    n_n = sum(r["aligned"] for r in noise)
+    # planted captions lean 3x toward the image on 16/64 dims -> the
+    # vast majority clear cos >= 0.28; hash-noise cosine is ~N(0, 1/8)
+    # so the pass rate is the ~1% Gaussian tail.
+    assert n_p >= 90, f"only {n_p}/100 planted docs aligned"
+    assert n_n <= 12, f"{n_n}/400 noise docs aligned"
+
+
+def test_threshold_is_exact_integer_cosine(decisions):
+    checked_true = checked_false = 0
+    for r in decisions.values():
+        dot, na, nb = r["dot"], r["na"], r["nb"]
+        want = dot > 0 and 625 * dot * dot >= 49 * na * nb
+        assert r["aligned"] == want
+        # and the integer form agrees with the float cosine it encodes
+        if na and nb:
+            cos = dot / math.sqrt(na * nb)
+            if abs(cos - 0.28) > 1e-9:  # off the knife edge
+                assert r["aligned"] == (cos >= 0.28)
+                checked_true += r["aligned"]
+                checked_false += not r["aligned"]
+    assert checked_true and checked_false  # both branches exercised
+
+
+def test_integer_sums_match_plain_python(spark, decisions):
+    import duckdb
+
+    con = duckdb.connect()
+    emb = {
+        v: e
+        for v, e in con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{SF_DIR}/embeddings.parquet') WHERE vec_id < 8"
+        ).fetchall()
+    }
+    cap_rows = (
+        caption_text_embed(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") < 8)
+            .select("doc_id", "text"),
+            hash_kind="md5",
+        )
+        .collect()
+    )
+    cap = {}
+    for r in cap_rows:
+        cap.setdefault(r["doc_id"], {})[r["j"]] = r["cv"]
+    for d in range(8):
+        ie = [math.floor(float(e) * 1000) for e in emb[d]]
+        cv = [cap.get(d, {}).get(j, 0) for j in range(64)]
+        if d % 5 == 0:
+            cv = [c + 3 * ie[j] if j < 16 else c for j, c in enumerate(cv)]
+        r = decisions[d]
+        assert r["dot"] == sum(a * b for a, b in zip(ie, cv))
+        assert r["na"] == sum(a * a for a in ie)
+        assert r["nb"] == sum(b * b for b in cv)
+
+
+def test_production_hash_family_runs(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 32
+    )
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 32
+    )
+    out = caption_align(
+        embedding_grid(embs), caption_text_embed(docs, hash_kind="xxhash64")
+    ).collect()
+    assert len(out) == 32
+    assert all(r["na"] > 0 for r in out)
+
+
+def test_embedding_grid_shape(spark):
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 4
+    )
+    rows = embedding_grid(embs).collect()
+    assert len(rows) == 4 * 64
+    assert {r["j"] for r in rows} == set(range(64))
+    # grid values bounded by grid * max|e| -- unit-norm-ish embeddings
+    assert all(abs(r["ie"]) <= 1000 for r in rows)
