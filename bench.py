@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     # boundaries + chunk-hash dedup index (the crawl-archive modality)
     "clip_align_filter",  # LAION CLIP-score image<->caption gate in
     # exact int64 (grid-snap + hashed-BoW + cross-multiplied threshold)
+    "clip_mix_filter",  # the COMPLETE LAION curation: metadata gates +
+    # pHash dedup + CLIP alignment, composed from the member queries
     "bpe_train_merges",  # tokenizer induction: 4 BPE merge rounds on
     # the word-type vocabulary (corpus work = one map-side word count)
     "politeness_schedule",  # per-host delay calendar, host-window only

@@ -3672,3 +3672,41 @@ FROM per GROUP BY doc_id
 SQL_CLIP_ALIGN = _sql_clip_align()
 
 PAIRS.update({"clip_align_filter": (q_clip_align_filter, SQL_CLIP_ALIGN)})
+
+
+def q_clip_mix_filter(spark, sf):
+    """The COMPLETE LAION-400M-shaped curation pipeline — every gate the
+    paper applies, composed end-to-end and fully SQL-oracled:
+
+      1. metadata gates + pHash near-dup dedup  (q_image_mix_filter:
+         resolution, integer aspect ratio, decodable format, caption
+         length, then banded-Hamming CC keeping the min-id exemplar);
+      2. CLIP-score alignment (q_clip_align_filter: integer-exact
+         cos >= 0.28 gate on the image embedding vs the hashed-BoW
+         caption vector).
+
+    Docs without an embedding drop (strict CLIP-filter semantics: no
+    score, no admission). Output: (doc_id, w, h, fmt, n_cap, dot) —
+    the curated table plus its alignment evidence. Both engines build
+    it by PURE COMPOSITION of the two member queries (the oracle nests
+    their SQL verbatim), so a drift in either member hash-fails here
+    too. Scale: the member plans are unchanged; the final join is two
+    already-curated (small) corpus-derived sides, pinned shuffle_hash
+    by the no-broadcast-on-corpus-derived rule."""
+    base = q_image_mix_filter(spark, sf)
+    ali = (
+        q_clip_align_filter(spark, sf)
+        .filter(F.col("aligned"))
+        .select("doc_id", "dot")
+    )
+    return base.join(ali.hint("shuffle_hash"), "doc_id")
+
+
+SQL_CLIP_MIX = f"""
+WITH imf AS ({SQL_IMAGE_MIX_FILTER}),
+ali AS (SELECT doc_id, dot FROM ({SQL_CLIP_ALIGN}) WHERE aligned)
+SELECT i.doc_id, i.w, i.h, i.fmt, i.n_cap, a.dot
+FROM imf i JOIN ali a ON a.doc_id = i.doc_id
+"""
+
+PAIRS.update({"clip_mix_filter": (q_clip_mix_filter, SQL_CLIP_MIX)})

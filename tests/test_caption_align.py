@@ -106,6 +106,24 @@ def test_production_hash_family_runs(spark):
     assert all(r["na"] > 0 for r in out)
 
 
+def test_clip_mix_is_the_member_intersection(spark, decisions):
+    """clip_mix_filter == image_mix_filter rows whose doc is aligned,
+    carrying that doc's dot — pure composition, no extra logic."""
+    from cola_spark.queries import q_clip_mix_filter, q_image_mix_filter
+
+    base = {r["doc_id"]: r for r in q_image_mix_filter(spark, SF_DIR).collect()}
+    out = q_clip_mix_filter(spark, SF_DIR).collect()
+    want = {d for d in base if decisions[d]["aligned"]}
+    assert {r["doc_id"] for r in out} == want
+    assert want  # the composed gate admits something at this scale
+    for r in out:
+        assert r["dot"] == decisions[r["doc_id"]]["dot"]
+        b = base[r["doc_id"]]
+        assert (r["w"], r["h"], r["fmt"], r["n_cap"]) == (
+            b["w"], b["h"], b["fmt"], b["n_cap"]
+        )
+
+
 def test_embedding_grid_shape(spark):
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
         F.col("vec_id") < 4
