@@ -53,7 +53,9 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",  # + IVF cell pruning: the web-scale index shape
     "ann_pq_trained_topk",  # Lloyd-trained codebook (3 iters), recall 0.8
     "ann_pq_refine_topk",  # + exact re-rank of the 30-deep shortlist: 1.0
-    "ann_ivfpq_sampled_topk",  # BOTH quantizers trained on the 25%
+    "ann_ivfpq_sampled_topk",
+    "semdedup_prune",  # SemDeDup semantic dedup: trained k-means cells
+    # + within-cell cosine prune, keep-first (the DataComp step)  # BOTH quantizers trained on the 25%
     # bounded sample — the 100 TB training shape; Lloyd cost drops with
     # the sample while serve-path cost is unchanged
     "docs_exact_dedup", "multimodal_meta",

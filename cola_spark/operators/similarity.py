@@ -996,3 +996,78 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id", score.alias("score"))
     )
     return _rank_or_refine(sims, queries, corpus, k, rerank, id_col, vec_col)
+
+
+def semdedup_prune(
+    corpus: DataFrame, n_cells: int = 8, min_sim_x1000: int = 350,
+    train_iters: int = 0, train_permille: int = 1000,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """(vec_id, cell, n_dups, dup_of, keep): SemDeDup-style SEMANTIC
+    deduplication (Abbas et al. 2023, the DataComp curation step) —
+    cluster the embedding space with the (optionally Lloyd-trained) IVF
+    coarse quantizer, then prune WITHIN each cell: a vector is dropped
+    when a smaller-id vector in the same cell sits above the cosine
+    threshold. Keep-first-occurrence is this repo's deterministic stand
+    -in for the paper's keep-farthest-from-centroid rule (same pruning
+    set shape, engine-stable tie-break, oracle-able without floats in
+    the decision).
+
+    Output is the complete decision table: `n_dups` = how many
+    smaller-id in-cell near-dups exist, `dup_of` = the smallest such id
+    (-1 when none), `keep` = n_dups == 0 — every admitted AND pruned
+    row is auditable, embedding_decontam-style.
+
+    Scale: cell assignment is the map-side broadcast fold of
+    _assign_cells (centroids are n_cells rows); the candidate self-join
+    is an equi-join ON CELL, never all-pairs — k-means cells are the
+    data-adaptive analogue of lsh_near_dup_pairs' hyperplane buckets
+    (n_cells grows sqrt(N), keeping per-cell lists flat), and the pair
+    verify is the expanded codegen cosine, one row per candidate. The
+    within-cell join is corpus-derived on both sides → shuffle_hash
+    pinned (the bloom-gate rule: Catalyst's size estimate would
+    broadcast a 10^10-row derivation)."""
+    cents = ivf_cells(
+        corpus, n_cells, id_col, vec_col,
+        train_iters=train_iters, train_permille=train_permille,
+    )
+    assigned = _assign_cells(
+        spread_small_scan(corpus, id_col)
+        .select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")),
+        cents, nprobe=1,
+    )
+    a = assigned.select(
+        F.col("_vid").alias("vec_id"), F.col("_v").alias("_va"), "cell"
+    )
+    b = assigned.select(
+        F.col("_vid").alias("_nid"), F.col("_v").alias("_vb"),
+        F.col("cell").alias("_cellb"),
+    )
+    _, cos = _expanded_dot_cos(F.col("_va"), F.col("_vb"), dim)
+    dup = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("cell") == F.col("_cellb")) & (F.col("_nid") < F.col("vec_id")),
+        )
+        .select(
+            "vec_id", "_nid",
+            F.floor(cos * 1000).cast("long").alias("sim_x1000"),
+        )
+        .filter(F.col("sim_x1000") >= int(min_sim_x1000))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("_nid").cast("long").alias("dup_of"),
+        )
+    )
+    return (
+        a.select("vec_id", "cell")
+        .join(dup.hint("shuffle_hash"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+            (F.coalesce(F.col("n_dups"), F.lit(0)) == 0).alias("keep"),
+        )
+    )

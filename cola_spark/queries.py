@@ -3710,3 +3710,62 @@ FROM imf i JOIN ali a ON a.doc_id = i.doc_id
 """
 
 PAIRS.update({"clip_mix_filter": (q_clip_mix_filter, SQL_CLIP_MIX)})
+
+
+def q_semdedup_prune(spark, sf):
+    """SemDeDup semantic dedup (Abbas et al. 2023 — the DataComp
+    pipeline's embedding-space pruning step): Lloyd-TRAINED k-means
+    cells (3 engine-stable iterations, the ivf_cells quantizer) +
+    within-cell cosine pruning at 0.35, keep-first-occurrence. The
+    oracle replays the ENTIRE pipeline — centroid training, cosine
+    cell assignment, the within-cell pair scan and the decision table
+    — so a wrong Lloyd update, a wrong cell, or a wrong prune all
+    hash-fail. Complements embedding_near_dups (exact all-pairs) and
+    the LSH bucket path: this is the data-adaptive-cell variant that
+    curation pipelines actually run at billion-image scale."""
+    from cola_spark.operators.similarity import semdedup_prune
+
+    return semdedup_prune(
+        _t(spark, sf, "embeddings"), n_cells=8, min_sim_x1000=350,
+        train_iters=_PQT_T,
+    )
+
+
+def _sql_semdedup(
+    n_cells: int = 8, iters: int = _PQT_T, scale: int = _PQT_S,
+    min_sim_x1000: int = 350, dim: int = 64,
+) -> str:
+    ctes = [
+        "corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv"
+        " FROM embeddings)"
+    ]
+    ctes += _sql_ivf_train_ctes(n_cells, iters, scale, dim)
+    ctes.append(f"""cellq AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.cv, c.ce) DESC, c.cent_id) AS rn
+    FROM corp e CROSS JOIN icb{iters} c) WHERE rn = 1)""")
+    ctes.append(f"""dup AS (
+  SELECT a.vec_id, COUNT(*) AS n_dups, MIN(b.vec_id) AS dup_of
+  FROM cellq a
+  JOIN cellq b ON b.cell = a.cell AND b.vec_id < a.vec_id
+  JOIN corp ea ON ea.vec_id = a.vec_id
+  JOIN corp eb ON eb.vec_id = b.vec_id
+  WHERE FLOOR(list_cosine_similarity(ea.cv, eb.cv) * 1000)
+        >= {min_sim_x1000}
+  GROUP BY a.vec_id)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+       CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of,
+       d.vec_id IS NULL AS keep
+FROM cellq c LEFT JOIN dup d ON d.vec_id = c.vec_id
+"""
+    )
+
+
+SQL_SEMDEDUP = _sql_semdedup()
+
+PAIRS.update({"semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP)})

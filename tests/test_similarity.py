@@ -221,3 +221,36 @@ def test_hashed_planes_variant_matches_lsh_structure(emb):
         ).filter(F.col("rank") == 1).collect()
     }
     assert got == {(i, i + 100000) for i in range(3)}
+
+
+def test_semdedup_prune_semantics(spark, emb):
+    """SemDeDup decision table: an exact planted duplicate with a
+    LARGER id is pruned and points dup_of at its original; the
+    original stays kept; keep <=> n_dups == 0 everywhere; pruning is
+    strictly within-cell (dup_of shares the row's cell)."""
+    from cola_spark.operators.similarity import semdedup_prune
+
+    base = emb.filter(F.col("vec_id") < 200)
+    planted = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 30000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionByName(planted)
+    out = {r.vec_id: r for r in semdedup_prune(corpus, train_iters=2).collect()}
+    assert len(out) == 205
+    cell_of = {vid: r.cell for vid, r in out.items()}
+    for i in range(5):
+        dup = out[i + 30000]
+        # identical vector -> same cell as its original -> pruned
+        assert cell_of[i + 30000] == cell_of[i]
+        assert not dup.keep and dup.n_dups >= 1 and dup.dup_of <= i
+        assert out[dup.dup_of].cell == dup.cell
+    for r in out.values():
+        assert r.keep == (r.n_dups == 0)
+        if not r.keep:
+            assert r.dup_of >= 0 and r.dup_of < r.vec_id
+        else:
+            assert r.dup_of == -1
+    # the original of a planted pair must itself survive unless it has
+    # its own smaller-id near-dup (keep-first-occurrence)
+    kept = [vid for vid, r in out.items() if r.keep]
+    assert kept, "some exemplars must survive"
