@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     # exact int64 (grid-snap + hashed-BoW + cross-multiplied threshold)
     "clip_mix_filter",  # the COMPLETE LAION curation: metadata gates +
     # pHash dedup + CLIP alignment, composed from the member queries
+    "safety_gate",  # broadcast host-blocklist + unsafe-lexicon permille
+    "aspect_bucket_pack",  # SDXL aspect-ladder batching, (bucket,shard)
+    # writer-shaped windows, integer-exact nearest-ratio argmin
     "bpe_train_merges",  # tokenizer induction: 4 BPE merge rounds on
     # the word-type vocabulary (corpus work = one map-side word count)
     "politeness_schedule",  # per-host delay calendar, host-window only

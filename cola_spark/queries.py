@@ -3769,3 +3769,117 @@ FROM cellq c LEFT JOIN dup d ON d.vec_id = c.vec_id
 SQL_SEMDEDUP = _sql_semdedup()
 
 PAIRS.update({"semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP)})
+
+
+def q_safety_gate(spark, sf):
+    """Source-blocklist + unsafe-lexicon safety gate (operators/
+    safety.py) — the LAION pipeline's first post-crawl curation gate:
+    broadcast host-blocklist join (the genuine-small-dim case where
+    broadcast IS the rule) + integer-permille lexicon density. Both
+    branches live at sf0.01: 3 blocked sources (75 docs) and the
+    80-permille density cut (341/500 below it). Complete decision
+    table out; the stand-in lexicon is documented in the module."""
+    from cola_spark.operators.safety import safety_gate
+
+    return safety_gate(_t(spark, sf, "documents"))
+
+
+SQL_SAFETY_GATE = """
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents),
+toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+uns AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_unsafe
+  FROM toks WHERE tok IN ('slow', 'big') GROUP BY doc_id),
+blk AS (SELECT * FROM (VALUES ('src3'), ('src7'), ('src13')) AS t(bsrc)),
+dec AS (
+  SELECT b.doc_id, b.source, k.bsrc IS NOT NULL AS blocked, b.n_tok,
+         CAST(COALESCE(u.n_unsafe, 0) AS BIGINT) AS n_unsafe,
+         CAST((1000 * COALESCE(u.n_unsafe, 0)) // b.n_tok AS BIGINT)
+           AS unsafe_permille
+  FROM base b
+  LEFT JOIN blk k ON k.bsrc = b.source
+  LEFT JOIN uns u ON u.doc_id = b.doc_id)
+SELECT *, (NOT blocked) AND unsafe_permille <= 80 AS admit FROM dec
+"""
+
+PAIRS.update({"safety_gate": (q_safety_gate, SQL_SAFETY_GATE)})
+
+
+def q_aspect_bucket_pack(spark, sf):
+    """Aspect-ratio bucket batching (operators/packing.py) over the
+    PLANTED image universe (same md5 w/h planting as image_mix_filter):
+    each image joins its integer-exact nearest ratio bucket from the
+    SDXL-style ladder, then (bucket, md5-shard) packs into batches of
+    8 — the trainer layout step that keeps a step's images same-aspect.
+    Writer-shaped: one exchange keyed by (bucket, shard)."""
+    from cola_spark.operators.packing import aspect_bucket_pack
+
+    docs = _t(spark, sf, "documents")
+    h = _md5_col
+    w = (
+        F.lit(64) + F.pmod(h(F.concat(F.lit("w:"), F.col("doc_id"))), F.lit(1986))
+    ).cast("long")
+    ht = (
+        F.lit(64) + F.pmod(h(F.concat(F.lit("h:"), F.col("doc_id"))), F.lit(1986))
+    ).cast("long")
+    meta = docs.select("doc_id", w.alias("w"), ht.alias("h"))
+    return aspect_bucket_pack(
+        meta, batch_size=8, n_shards=4, hash_kind="md5"
+    )
+
+
+def _sql_aspect_pack(batch: int = 8, n_shards: int = 4) -> str:
+    from cola_spark.operators.packing import ASPECT_BUCKETS, _AB_LCM
+
+    ms = [
+        f"ABS(w * {bh} - {bw} * h) * {_AB_LCM // bh}"
+        for bw, bh in ASPECT_BUCKETS
+    ]
+    best = "LEAST(" + ", ".join(f"m{i}" for i in range(len(ms))) + ")"
+    whens = " ".join(
+        f"WHEN m{i} = best THEN {i}" for i in range(len(ms))
+    )
+    bw_case = " ".join(
+        f"WHEN bucket = {i} THEN {bw}"
+        for i, (bw, bh) in enumerate(ASPECT_BUCKETS)
+    )
+    bh_case = " ".join(
+        f"WHEN bucket = {i} THEN {bh}"
+        for i, (bw, bh) in enumerate(ASPECT_BUCKETS)
+    )
+    mcols = ", ".join(f"{m} AS m{i}" for i, m in enumerate(ms))
+    return f"""
+WITH meta AS (
+  SELECT doc_id,
+         CAST({_sql_meta_dim('w')} AS BIGINT) AS w,
+         CAST({_sql_meta_dim('h')} AS BIGINT) AS h
+  FROM documents),
+m AS (SELECT doc_id, w, h, {mcols},
+             CAST(('0x' || substr(md5('abucket:' || CAST(doc_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) % {n_shards} AS shard
+      FROM meta),
+pk AS (SELECT doc_id, w, h, shard, {best} AS best,
+              CASE {whens} END AS bucket
+       FROM m),
+rn AS (SELECT doc_id, w, h, bucket, shard,
+              ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                                 ORDER BY doc_id) - 1 AS r
+       FROM pk)
+SELECT doc_id, w, h, CAST(bucket AS BIGINT) AS bucket,
+       CAST(CASE {bw_case} END AS BIGINT) AS bw,
+       CAST(CASE {bh_case} END AS BIGINT) AS bh,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(r // {batch} AS BIGINT) AS batch_idx,
+       CAST(r % {batch} AS BIGINT) AS slot
+FROM rn
+"""
+
+
+SQL_ASPECT_PACK = _sql_aspect_pack()
+
+PAIRS.update({"aspect_bucket_pack": (q_aspect_bucket_pack, SQL_ASPECT_PACK)})
