@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     # join — keys exclude the high-frequency shingles where corpus² lives
     "dedup_clusters",  # pairs → connected components → keep-set
     "span_dedup",  # exact substring dedup: linear window-hash + keep-first
+    "line_boilerplate_dedup",  # CCNet line-level boilerplate removal:
+    # segment census + anti-join, removes hot lines from ALL carriers
     "decontam_overlap",  # broadcast benchmark n-gram probe
     "docs_unigram_quality",  # two-pass corpus stats, Zipf-split join
     "corpus_mix_clean",  # the COMPLETE composed flagship (dedup+quality+

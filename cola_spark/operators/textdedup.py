@@ -880,3 +880,88 @@ def cdc_duplicate_chunks(
         )
         .filter(F.col("occ") >= 2)
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus line-level boilerplate removal (CCNet / RefinedWeb
+    style): segment every document into fixed lines, count how many
+    DISTINCT documents each exact line occurs in corpus-wide, and drop
+    every occurrence of lines that appear in >= min_docs documents —
+    nav bars, cookie banners, footers. Production splits on newlines;
+    this corpus is single-line token streams, so the segmenter is
+    fixed k-token lines (same operator, different delimiter — the
+    segmentation expression is the only production swap).
+
+    No reference analogue — cola (SURVEY.md §2) dedups URL identity;
+    this is the sub-document dedup modality between whole-doc (md5)
+    and span dedup (Lee et al.): span_dedup keeps FIRST occurrences of
+    repeats, line_dedup removes boilerplate from ALL docs including
+    the first (a cookie banner is noise everywhere, not content once).
+
+    Returns one row per input doc: (doc_id, n_seg, n_kept, clean_text).
+
+    Spark-first plan:
+      1. segmentation rides the proven relational build (posexplode +
+         lead(tok, j) over the doc window — shingles()/duplicate_spans'
+         rewrite, codegen'd, no interpreted HOF in the per-token
+         stage); line starts are pos % k == 0 and concat_ws skips the
+         NULL leads of a short final line.
+      2. the line census is one map-side-combinable groupBy on the
+         line string; the boilerplate set (n_docs >= min_docs) joins
+         back as a LEFT ANTI equi-join, shuffle_hash-pinned — both
+         sides are corpus-derived, so Catalyst's size estimate must
+         not auto-broadcast (the bloom-gate plan-bug rule). Skew-safe:
+         the hottest banner line is an anti-join key, never a cross
+         product — each occurrence row matches at most one build row.
+      3. reassembly sorts each doc's kept lines by index and joins
+         them — per-doc, line-count-sized work (1/k of token scale),
+         the one place a transform() HOF is acceptable by the repo's
+         own measurement discipline.
+    """
+    kk = int(k)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = spread_small_scan(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), words.alias("ws")
+    )
+    toks = base.select("doc_id", F.posexplode("ws").alias("pos0", "tok"))
+    wd = Window.partitionBy("doc_id").orderBy("pos0")
+    seg_cols = [F.col("tok")] + [F.lead("tok", j).over(wd) for j in range(1, kk)]
+    segs = (
+        toks.select(
+            "doc_id", "pos0", F.concat_ws(" ", *seg_cols).alias("seg")
+        )
+        .filter(F.col("pos0") % kk == 0)
+        .select(
+            "doc_id", F.expr(f"pos0 div {kk}").cast("long").alias("seg_idx"), "seg"
+        )
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+        .select("seg")
+    )
+    kept = segs.join(boiler.hint("shuffle_hash"), "seg", "left_anti")
+    tot = segs.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_seg"))
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return tot.join(clean.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        "n_seg",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

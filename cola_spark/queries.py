@@ -3883,3 +3883,73 @@ FROM rn
 SQL_ASPECT_PACK = _sql_aspect_pack()
 
 PAIRS.update({"aspect_bucket_pack": (q_aspect_bucket_pack, SQL_ASPECT_PACK)})
+
+
+_BANNER_HOT = "cookie banner accept terms to continue reading now"  # 8 tokens
+_BANNER_RARE = "rare footer shown on three documents only here"     # 8 tokens
+
+
+def q_line_boilerplate_dedup(spark, sf):
+    """CCNet/RefinedWeb-style cross-corpus line dedup (textdedup.
+    line_dedup) over a PLANTED boilerplate universe: every 3rd doc is
+    prepended an 8-token cookie banner (~1/3 of the corpus, far over
+    min_docs=5 -> removed from ALL carriers), docs with doc_id % 125
+    == 1 get a rare footer carried by < 5 docs (kept — pins the
+    threshold in BOTH directions; the CASE gives the hot banner
+    priority on overlap docs so planting is deterministic). Banners
+    are exactly k=8 tokens, so the remaining lines of a planted doc
+    tile identically to its unplanted form — the plant adds exactly
+    one line. Natural 8-token lines from the ~30-word vocabulary are
+    unique at this scale, so the census does real discriminative work."""
+    from cola_spark.operators.textdedup import line_dedup
+
+    docs = _t(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BANNER_HOT + " "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 125 == 1,
+            F.concat(F.lit(_BANNER_RARE + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return line_dedup(planted, k=8, min_docs=5)
+
+
+SQL_LINE_DEDUP = rf"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '{_BANNER_HOT} ' || text
+              WHEN doc_id % 125 = 1 THEN '{_BANNER_RARE} ' || text
+              ELSE text END AS text
+  FROM documents),
+base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+         FROM planted),
+segs AS (SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS seg_idx,
+                array_to_string(ws[i:i+7], ' ') AS seg
+         FROM base, UNNEST(generate_series(1, len(ws))) AS t(i)
+         WHERE (i - 1) % 8 = 0),
+boiler AS (SELECT seg FROM (
+             SELECT seg, COUNT(DISTINCT doc_id) AS n_docs
+             FROM segs GROUP BY seg)
+           WHERE n_docs >= 5),
+kept AS (SELECT s.doc_id, s.seg_idx, s.seg FROM segs s
+         WHERE s.seg NOT IN (SELECT seg FROM boiler)),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_seg
+        FROM segs GROUP BY doc_id),
+cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.n_seg,
+       CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(c.clean_text, '') AS clean_text
+FROM tot t LEFT JOIN cl c USING (doc_id)
+"""
+
+PAIRS.update({
+    "line_boilerplate_dedup": (q_line_boilerplate_dedup, SQL_LINE_DEDUP)
+})

@@ -476,3 +476,59 @@ def test_duplicate_spans_keep_first_and_merge(spark):
     assert got[3] == (0, 0, "p q r s")
     assert got[4] == (1, 8, "")             # every window marked
     assert got[5] == (1, 5, "m n o p q Z")  # second in-doc occurrence cut
+
+
+def test_line_dedup_hand_cases(spark):
+    from cola_spark.operators.textdedup import line_dedup
+
+    banner = "b1 b2 b3 b4"  # k=4 line
+    rows = [
+        # 3 carrier docs: banner + one unique line each
+        (1, banner + " u1 u2 u3 u4"),
+        (2, banner + " v1 v2 v3 v4"),
+        (3, banner + " w1 w2 w3 w4"),
+        # a doc that IS only boilerplate -> everything removed
+        (4, banner),
+        # a rare shared line (2 docs < min_docs=3) survives
+        (5, "r1 r2 r3 r4 x1 x2 x3 x4"),
+        (6, "r1 r2 r3 r4 y1 y2 y3 y4"),
+        # short final line (2 tokens) is its own segment, kept
+        (7, "z1 z2 z3 z4 z5 z6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in line_dedup(df, k=4, min_docs=3).collect()
+    }
+    assert len(got) == 7  # every input doc present, even fully-removed
+    # the hot banner is removed from ALL carriers, including the first
+    assert got[1]["clean_text"] == "u1 u2 u3 u4"
+    assert got[2]["clean_text"] == "v1 v2 v3 v4"
+    assert got[3]["clean_text"] == "w1 w2 w3 w4"
+    assert (got[1]["n_seg"], got[1]["n_kept"]) == (2, 1)
+    # all-boilerplate doc: row kept, text empty
+    assert (got[4]["n_seg"], got[4]["n_kept"], got[4]["clean_text"]) == (1, 0, "")
+    # below-threshold shared line survives everywhere
+    assert got[5]["clean_text"] == "r1 r2 r3 r4 x1 x2 x3 x4"
+    assert got[6]["clean_text"] == "r1 r2 r3 r4 y1 y2 y3 y4"
+    # short trailing segment is a line of its own and is kept verbatim
+    assert got[7]["clean_text"] == "z1 z2 z3 z4 z5 z6"
+    assert (got[7]["n_seg"], got[7]["n_kept"]) == (2, 2)
+
+
+def test_line_dedup_vs_span_dedup_first_occurrence_semantics(spark):
+    """The defining contrast with span_dedup: line_dedup removes the
+    boilerplate from the FIRST carrier too (a banner is noise
+    everywhere); span_dedup keeps the first occurrence verbatim."""
+    from cola_spark.operators.textdedup import duplicate_spans, line_dedup
+
+    banner = "b1 b2 b3 b4 b5"
+    rows = [(i, banner + f" t{i}a t{i}b t{i}c t{i}d t{i}e") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ld = {r["doc_id"]: r["clean_text"]
+          for r in line_dedup(df, k=5, min_docs=2).collect()}
+    sd = {r["doc_id"]: r["clean_text"]
+          for r in duplicate_spans(df, min_len=5).collect()}
+    assert all(not t.startswith("b1") for t in ld.values())  # all carriers cleaned
+    assert sd[0].startswith("b1 b2 b3 b4 b5")                # span keeps first
+    assert all(not sd[i].startswith("b1") for i in (1, 2, 3))
