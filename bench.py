@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "trap_detect",  # crawler-trap signals: per-URL-local explode+agg
     "pack_sequences",  # trainer-sequence packing: per-shard token layout
     "lm_coverage_score",  # CCNet-shaped curated-bigram coverage filter
+    "token_budget_mix",  # per-source token-budget fill, two-phase
+    # segmented running sum (no per-source global window)
     "tfidf_topk",  # integer-exact tf-idf keyword extraction, top-3/doc
     "image_mix_filter",  # LAION-shaped image-caption curation: metadata
     # gates + pHash near-dup CC dedup among survivors, fully SQL-oracled

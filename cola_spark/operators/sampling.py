@@ -24,7 +24,7 @@ Both properties come from hashing the stable document key into one of
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cola_spark.operators.textdedup import hash_family
@@ -62,3 +62,101 @@ def stratified_sample(
         .filter(F.col("bucket") < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    weights: dict[str, int],
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    hash_kind: str = "xxhash64",
+    seed: str = "mix",
+    parts: int | None = None,
+) -> DataFrame:
+    """Token-budget mixture selection — the trainer corpus-mixing step
+    stratified_sample can't express: targets are TOKEN counts, not doc
+    rates ("2B tokens of web, 1B of code"), so selection is a running
+    sum cut, not a map-side bucket filter. Each source's docs are laid
+    out in a deterministic hash order (same md5/xxhash64 family as the
+    permille sampler — rerun- and engine-stable) and selected while
+    the source's running token total is below its share of
+    budget_tokens (integer split by ``weights``; greedy fill, so the
+    boundary doc may overshoot by part of itself — the GPT-style
+    concat-and-chunk packer downstream absorbs the tail).
+
+    Returns the COMPLETE decision table, one row per input doc:
+    (doc_id, source, n_tok, src_rank, cum_before, budget_tok,
+    selected) — every selected doc carries its evidence, every skipped
+    doc says why (over-budget position or zero-weight source).
+
+    Scale design — the per-source running sum is the global-window
+    scale bug wearing a stratum mask (one task per source would stream
+    10^10/|sources| rows), so this is the ranking.global_rank two-phase
+    form, SEGMENTED: range-partition by (source, hash, id), local
+    cumsum + rank per (partition, source), then per-source offsets
+    from the partition aggregates (a |P|x|sources|-row frame — config
+    scale, broadcast). The ranged projection is persisted so both
+    subtrees read ONE RangePartitioner sample (ranking.py's measured
+    determinism trap), then localCheckpoint + unpersist (the
+    eager_release protocol). Weights/budgets are a genuine config-size
+    dim: broadcast joins are the rule here."""
+    spark = docs.sparkSession
+    total_w = sum(int(w) for w in weights.values())
+    buds = [
+        (s, int(budget_tokens) * int(w) // total_w)
+        for s, w in sorted(weights.items())
+    ]
+    bud = spark.createDataFrame(buds, "source string, budget_tok long")
+    h = hash_family(hash_kind)(F.col(id_col).cast("string"), seed)
+    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    from cola_spark.operators.textdedup import spread_small_scan
+
+    base = spread_small_scan(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        ntok.alias("n_tok"),
+        h.alias("_h"),
+    )
+    parts = parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = base.repartitionByRange(
+        parts, F.col("source"), F.col("_h"), F.col("doc_id")
+    ).withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.persist()
+    ps = ranged.groupBy("_pid", "source").agg(
+        F.sum("n_tok").alias("_s"), F.count("*").alias("_c")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = ps.select(
+        "_pid",
+        "source",
+        F.coalesce(F.sum("_s").over(w_off), F.lit(0)).cast("long").alias("_tok_off"),
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).cast("long").alias("_cnt_off"),
+    )
+    w_local = Window.partitionBy("_pid", "source").orderBy("_h", "doc_id")
+    w_before = w_local.rowsBetween(Window.unboundedPreceding, -1)
+    out = (
+        ranged.withColumn(
+            "_lc", F.coalesce(F.sum("n_tok").over(w_before), F.lit(0))
+        )
+        .withColumn("_lr", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["_pid", "source"])
+        .join(F.broadcast(bud), "source", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            (F.col("_cnt_off") + F.col("_lr")).cast("long").alias("src_rank"),
+            (F.col("_tok_off") + F.col("_lc")).cast("long").alias("cum_before"),
+            F.coalesce(F.col("budget_tok"), F.lit(0)).cast("long").alias("budget_tok"),
+        )
+        .withColumn("selected", F.col("cum_before") < F.col("budget_tok"))
+    )
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return out

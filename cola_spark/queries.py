@@ -3953,3 +3953,62 @@ FROM tot t LEFT JOIN cl c USING (doc_id)
 PAIRS.update({
     "line_boilerplate_dedup": (q_line_boilerplate_dedup, SQL_LINE_DEDUP)
 })
+
+
+_MIX_WEIGHTS = {"src0": 3, "src1": 1, "src2": 1, "src5": 2}
+_MIX_BUDGET = 4000
+
+
+def q_token_budget_mix(spark, sf):
+    """Token-budget mixture selection (operators/sampling.py
+    token_budget_mix): per-source TOKEN budgets (4000 total split
+    3:1:1:2 over four sources) filled greedily in deterministic md5
+    order — the trainer mixing step where targets are token counts,
+    not doc rates. Two-phase segmented running sum (the global_rank
+    pattern): no per-source global window anywhere. Unlisted sources
+    get budget 0 (selected=false rows stay in the decision table), and
+    every listed source's budget is below its token mass so the cut
+    lands mid-source — both branches live."""
+    from cola_spark.operators.sampling import token_budget_mix
+
+    return token_budget_mix(
+        _t(spark, sf, "documents"),
+        weights=_MIX_WEIGHTS,
+        budget_tokens=_MIX_BUDGET,
+        hash_kind="md5",
+    )
+
+
+def _sql_token_budget_mix() -> str:
+    total_w = sum(_MIX_WEIGHTS.values())
+    vals = ", ".join(
+        f"('{s}', CAST({_MIX_BUDGET * w // total_w} AS BIGINT))"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents),
+wts AS (SELECT * FROM (VALUES {vals}) AS t(wsrc, budget_tok)),
+ord AS (
+  SELECT doc_id, source, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS src_rank,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM base)
+SELECT o.doc_id, o.source, o.n_tok,
+       CAST(o.src_rank AS BIGINT) AS src_rank,
+       CAST(o.cum_before AS BIGINT) AS cum_before,
+       CAST(COALESCE(w.budget_tok, 0) AS BIGINT) AS budget_tok,
+       o.cum_before < COALESCE(w.budget_tok, 0) AS selected
+FROM ord o LEFT JOIN wts w ON w.wsrc = o.source
+"""
+
+
+SQL_TOKEN_BUDGET_MIX = _sql_token_budget_mix()
+
+PAIRS.update({"token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX)})

@@ -546,3 +546,80 @@ def test_ivf_trained_centroids_shape_and_recall(emb):
         for r in brute_force_topk(q, emb, k=5).collect()
     )
     assert full == want
+
+
+def test_token_budget_mix_hand_case(spark):
+    from cola_spark.operators.sampling import token_budget_mix
+
+    # 2 sources, known token counts; seed order is part of the contract
+    rows = [(i, "a" if i < 6 else "b", "t " * 10) for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows],
+        "doc_id long, text string, source string",
+    ).select("doc_id", F.col("source"), F.col("text"))
+    # each doc = 10 tokens; weights 2:1 over budget 45 -> a:30, b:15
+    got = {
+        r["doc_id"]: r
+        for r in token_budget_mix(
+            df, {"a": 2, "b": 1}, 45, hash_kind="md5"
+        ).collect()
+    }
+    assert len(got) == 12
+    a = sorted((r["src_rank"], r["doc_id"]) for r in got.values()
+               if r["source"] == "a")
+    # greedy fill in rank order: cum_before < budget admits ranks with
+    # cum 0,10,20 (30 tokens exactly fills a's budget of 30)
+    for rank, d in a:
+        assert got[d]["selected"] == (rank <= 3), (rank, got[d])
+        assert got[d]["cum_before"] == (rank - 1) * 10
+        assert got[d]["budget_tok"] == 30
+    b = sorted((r["src_rank"], r["doc_id"]) for r in got.values()
+               if r["source"] == "b")
+    # b budget 15: rank 1 (cum 0) selected, rank 2 (cum 10 < 15)
+    # selected — greedy overshoot by part of the boundary doc — rank 3+
+    # (cum 20 >= 15) not
+    for rank, d in b:
+        assert got[d]["selected"] == (rank <= 2)
+
+
+def test_token_budget_mix_two_phase_equals_naive_window(spark):
+    """The defining equivalence: the segmented two-phase running sum
+    must reproduce the naive per-source global window exactly,
+    including src_rank and cum_before, at several partition counts."""
+    from pyspark.sql import Window
+
+    from cola_spark.operators.sampling import token_budget_mix
+    from cola_spark.operators.textdedup import hash_family
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    weights, budget = {"src0": 1, "src1": 2, "src4": 1}, 3000
+    h = hash_family("md5")(F.col("doc_id").cast("string"), "mix")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    total_w = sum(weights.values())
+    bud = F.lit(0)
+    for s, wt in weights.items():
+        bud = F.when(F.col("source") == s, F.lit(budget * wt // total_w)).otherwise(bud)
+    naive = (
+        docs.select("doc_id", "source", ntok.alias("n_tok"), h.alias("_h"))
+        .withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("budget_tok", bud.cast("long"))
+        .withColumn("selected", F.col("cum_before") < F.col("budget_tok"))
+        .drop("_h")
+    )
+    want = sorted(tuple(r) for r in naive.collect())
+    for parts in (3, 16, 64):
+        got = sorted(
+            tuple(r)
+            for r in token_budget_mix(
+                docs, weights, budget, hash_kind="md5", parts=parts
+            ).collect()
+        )
+        assert got == want, f"parts={parts}"
