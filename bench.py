@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     # exact int64 (grid-snap + hashed-BoW + cross-multiplied threshold)
     "clip_mix_filter",  # the COMPLETE LAION curation: metadata gates +
     # pHash dedup + CLIP alignment, composed from the member queries
+    "caption_image_retrieval",  # cross-modal text->image top-5: the
+    # retrieval twin of the alignment gate (broadcast query batch)
     "safety_gate",  # broadcast host-blocklist + unsafe-lexicon permille
     "aspect_bucket_pack",  # SDXL aspect-ladder batching, (bucket,shard)
     # writer-shaped windows, integer-exact nearest-ratio argmin

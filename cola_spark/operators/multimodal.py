@@ -449,3 +449,67 @@ def audio_resample(audios: DataFrame, sr_to: int) -> DataFrame:
         batches,
         "audio_id string, bytes binary, sample_rate int, n_samples int, fmt string",
     )
+
+
+def caption_to_image_topk(
+    cap_vec: DataFrame,
+    img_vec: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Cross-modal retrieval — for each caption query vector, the top-k
+    images by cosine against the image embeddings: the text->image
+    search a LAION-style corpus serves, and the retrieval twin of the
+    caption_align GATE (align asks "is THIS pair good", retrieval asks
+    "which images fit this text").
+
+    Inputs are the alignment stack's long integer forms: cap_vec
+    (query_id, j, cv) sparse from caption_text_embed, img_vec
+    (image_id, j, ie) dense from embedding_grid. Output: (query_id,
+    image_id, dot, rank), rank 1..k per query. dot is exact int64;
+    the ordering key dot / sqrt(na*nb) is ONE IEEE divide over ONE
+    IEEE sqrt of exact int64 inputs — bit-identical in any IEEE-754
+    engine (both ops are correctly rounded), ties broken by image_id —
+    and stays OUT of the output: floats order, integers leave.
+
+    Scale shape: the query batch is config-scale (a search request),
+    so it broadcasts to the corpus — the dot join is map-side on j,
+    the reduction one map-side-combinable groupBy (query_id,
+    image_id); image norms are corpus-derived (shuffle_hash by the
+    no-auto-broadcast rule), query norms broadcast. Per-query top-k is
+    a window over the query's candidate list — the ann_cosine_topk
+    brute-force convention; at 10^10 images the candidate set is
+    IVF-pruned first (similarity.ivf_cells) and this ranker runs on
+    the shortlist unchanged."""
+    cap = cap_vec.select(
+        F.col("doc_id").alias("query_id"), "j", F.col("cv").cast("long").alias("cv")
+    )
+    img = img_vec.select(
+        F.col("doc_id").alias("image_id"), "j", F.col("ie").cast("long").alias("ie")
+    )
+    dots = (
+        img.join(F.broadcast(cap), "j")
+        .groupBy("query_id", "image_id")
+        .agg(F.sum(F.col("ie") * F.col("cv")).cast("long").alias("dot"))
+    )
+    na = img.groupBy("image_id").agg(
+        F.sum(F.col("ie") * F.col("ie")).cast("long").alias("na")
+    )
+    nb = cap.groupBy("query_id").agg(
+        F.sum(F.col("cv") * F.col("cv")).cast("long").alias("nb")
+    )
+    from pyspark.sql import Window
+
+    score = F.col("dot").cast("double") / F.sqrt(
+        (F.col("na") * F.col("nb")).cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_s"), F.asc("image_id")
+    )
+    return (
+        dots.join(na.hint("shuffle_hash"), "image_id")
+        .join(F.broadcast(nb), "query_id")
+        .withColumn("_s", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "image_id", "dot", "rank")
+    )

@@ -4012,3 +4012,80 @@ FROM ord o LEFT JOIN wts w ON w.wsrc = o.source
 SQL_TOKEN_BUDGET_MIX = _sql_token_budget_mix()
 
 PAIRS.update({"token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX)})
+
+
+def q_caption_image_retrieval(spark, sf):
+    """Cross-modal retrieval (multimodal.caption_to_image_topk): 8
+    caption queries (the planted docs 0,5,..,35 — their caption
+    vectors lean 3x toward their own image on 16 dims, exactly the
+    clip_align planting) retrieve top-5 images from the WHOLE
+    embeddings table by integer-cosine order. The planted signal makes
+    retrieval discriminative (a query's own image should surface at or
+    near rank 1); dot is exact int64, the float ordering key never
+    leaves the plan. The retrieval twin of clip_align_filter, sharing
+    its embedding stack end-to-end."""
+    from cola_spark.operators.multimodal import (
+        caption_text_embed,
+        caption_to_image_topk,
+        embedding_grid,
+    )
+
+    img = embedding_grid(_t(spark, sf, "embeddings"))
+    qdocs = (
+        _t(spark, sf, "documents")
+        .filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 40))
+        .select("doc_id", "text")
+    )
+    cap = caption_text_embed(qdocs, hash_kind="md5")
+    boost = img.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 40) & (F.col("j") < 16)
+    ).select("doc_id", "j", (F.lit(3) * F.col("ie")).alias("cv"))
+    planted = (
+        cap.unionByName(boost).groupBy("doc_id", "j").agg(F.sum("cv").alias("cv"))
+    )
+    return caption_to_image_topk(planted, img, k=5)
+
+
+def _sql_caption_retrieval(dim: int = 64, grid: int = 1000, k: int = 5) -> str:
+    js = ", ".join(str(j) for j in range(dim))
+    return rf"""
+WITH img AS (
+  SELECT vec_id AS image_id, j,
+         CAST(FLOOR(CAST(embedding[j + 1] AS DOUBLE) * {grid}) AS BIGINT) AS ie
+  FROM embeddings, UNNEST([{js}]) AS t(j)),
+tok AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents WHERE doc_id % 5 = 0 AND doc_id < 40),
+capraw AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('cd:' || tok), 1, 15)) AS BIGINT) % {dim}
+              AS INTEGER) AS j,
+         CAST(('0x' || substr(md5('cv:' || tok), 1, 15)) AS BIGINT) % 201 - 100
+           AS cv
+  FROM tok),
+boost AS (SELECT image_id AS doc_id, j, 3 * ie AS cv FROM img
+          WHERE image_id % 5 = 0 AND image_id < 40 AND j < 16),
+cap AS (SELECT doc_id AS query_id, j, CAST(SUM(cv) AS BIGINT) AS cv
+        FROM (SELECT * FROM capraw UNION ALL SELECT * FROM boost)
+        GROUP BY 1, 2),
+dots AS (SELECT c.query_id, i.image_id,
+                CAST(SUM(i.ie * c.cv) AS BIGINT) AS dot
+         FROM img i JOIN cap c ON c.j = i.j GROUP BY 1, 2),
+na AS (SELECT image_id, CAST(SUM(ie * ie) AS BIGINT) AS na FROM img GROUP BY 1),
+nb AS (SELECT query_id, CAST(SUM(cv * cv) AS BIGINT) AS nb FROM cap GROUP BY 1),
+sc AS (SELECT d.query_id, d.image_id, d.dot,
+              CAST(d.dot AS DOUBLE) / sqrt(CAST(n.na * b.nb AS DOUBLE)) AS s
+       FROM dots d JOIN na n USING (image_id) JOIN nb b USING (query_id)),
+rk AS (SELECT query_id, image_id, dot,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, image_id) AS BIGINT)
+                AS rank
+       FROM sc)
+SELECT query_id, image_id, dot, rank FROM rk WHERE rank <= {k}
+"""
+
+
+SQL_CAPTION_RETRIEVAL = _sql_caption_retrieval()
+
+PAIRS.update({
+    "caption_image_retrieval": (q_caption_image_retrieval, SQL_CAPTION_RETRIEVAL)
+})

@@ -133,3 +133,45 @@ def test_embedding_grid_shape(spark):
     assert {r["j"] for r in rows} == set(range(64))
     # grid values bounded by grid * max|e| -- unit-norm-ish embeddings
     assert all(abs(r["ie"]) <= 1000 for r in rows)
+
+
+def test_caption_to_image_topk_exact_ordering(spark):
+    """Hand-sized exact check: 2-dim vectors where cosine order is
+    computable by eye; dot values exact; rank tiling and the id
+    tiebreak pinned."""
+    from cola_spark.operators.multimodal import caption_to_image_topk
+
+    # images: id 1 -> (10, 0), id 2 -> (7, 7), id 3 -> (0, 10),
+    #         id 4 -> (10, 0) (duplicate direction of 1 -> tie by id)
+    img = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 0), (2, 0, 7), (2, 1, 7),
+         (3, 0, 10 * 0, ), (3, 1, 10), (4, 0, 10), (4, 1, 0)],
+        "doc_id long, j int, ie long",
+    )
+    # query 9 = (1, 0): cos -> 1.0 for ids 1,4 (tie -> id order),
+    # 0.707 for 2, 0.0 for 3
+    cap = spark.createDataFrame([(9, 0, 1)], "doc_id long, j int, cv long")
+    got = sorted(
+        (r["rank"], r["image_id"], r["dot"])
+        for r in caption_to_image_topk(cap, img, k=4).collect()
+    )
+    assert got == [(1, 1, 10), (2, 4, 10), (3, 2, 7), (4, 3, 0)]
+
+
+def test_caption_image_retrieval_planted_signal(spark):
+    """The planted 3x-boost makes retrieval discriminative: almost
+    every planted query finds its own image in the top-5 (8/8 at
+    sf0.01, 7/8 at sf0.001) and most at rank 1 (7/8 at sf0.01) —
+    hash noise edges the odd one down, the non-degenerate case."""
+    from cola_spark.queries import q_caption_image_retrieval
+
+    rows = q_caption_image_retrieval(spark, SF_DIR).collect()
+    assert len(rows) == 8 * 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["rank"]] = r["image_id"]
+    assert set(by_q) == {0, 5, 10, 15, 20, 25, 30, 35}
+    self_top5 = sum(1 for q, m in by_q.items() if q in m.values())
+    self_at_1 = sum(1 for q, m in by_q.items() if m[1] == q)
+    assert self_top5 >= 7
+    assert self_at_1 >= 5
