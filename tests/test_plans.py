@@ -108,3 +108,54 @@ def test_fetch_image_join_is_broadcast_for_small_images(spark):
     ).withColumn("host_rank", F.lit(1))
     p = _plan(synthetic_fetch(fr, gen_images(spark, 50), 50, decode=False))
     assert "BatchEvalPython" not in p  # no-decode path is pure JVM
+
+
+def test_line_dedup_census_join_not_auto_broadcast(spark):
+    """line_dedup's boilerplate set is corpus-derived: Catalyst's size
+    estimate must not auto-broadcast it (fine at sf0.01, an OOM at
+    10^10 lines — the bloom-gate plan-bug rule). The anti-join and the
+    reassembly join are pinned shuffle_hash."""
+    from cola_spark.operators.textdedup import line_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(line_dedup(docs, k=8, min_docs=5))
+    assert "LeftAnti" in p
+    # every join over corpus-derived sides is a shuffled hash join
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
+
+
+def test_caption_retrieval_query_side_broadcast_image_norms_shuffled(spark):
+    """Cross-modal retrieval: the query batch (config-scale) must
+    broadcast into the dot join; the per-image norms (corpus-scale)
+    must NOT auto-broadcast."""
+    from cola_spark.operators.multimodal import (
+        caption_text_embed,
+        caption_to_image_topk,
+        embedding_grid,
+    )
+
+    img = embedding_grid(spark.read.parquet(f"{SF}/embeddings.parquet"))
+    cap = caption_text_embed(
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 8)
+        .select("doc_id", "text")
+    )
+    p = _plan(caption_to_image_topk(cap, img, k=5))
+    assert "BroadcastHashJoin" in p      # query vectors + query norms
+    assert "ShuffledHashJoin" in p       # image norms join
+    # the image-norm join key is image_id and it must be the shuffled one
+    shj = [seg for seg in p.split("\n\n") if "ShuffledHashJoin" in seg]
+    assert any("image_id" in s for s in shj)
+
+
+def test_safety_gate_blocklist_broadcast(spark):
+    """The host blocklist is the genuine-small-dim case: broadcast IS
+    the rule there, while the per-doc unsafe counts (corpus-derived)
+    join shuffled."""
+    from cola_spark.operators.safety import safety_gate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(safety_gate(docs))
+    assert "BroadcastHashJoin" in p
+    assert "ShuffledHashJoin" in p
