@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     # pHash dedup + CLIP alignment, composed from the member queries
     "caption_image_retrieval",  # cross-modal text->image top-5: the
     # retrieval twin of the alignment gate (broadcast query batch)
+    "caption_image_retrieval_ivf",  # the serving path: trained-IVF
+    # cell pruning (nprobe=2/8) before the same exact ranker
     "safety_gate",  # broadcast host-blocklist + unsafe-lexicon permille
     "aspect_bucket_pack",  # SDXL aspect-ladder batching, (bucket,shard)
     # writer-shaped windows, integer-exact nearest-ratio argmin

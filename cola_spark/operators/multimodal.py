@@ -455,6 +455,7 @@ def caption_to_image_topk(
     cap_vec: DataFrame,
     img_vec: DataFrame,
     k: int = 5,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-modal retrieval — for each caption query vector, the top-k
     images by cosine against the image embeddings: the text->image
@@ -477,18 +478,24 @@ def caption_to_image_topk(
     image_id); image norms are corpus-derived (shuffle_hash by the
     no-auto-broadcast rule), query norms broadcast. Per-query top-k is
     a window over the query's candidate list — the ann_cosine_topk
-    brute-force convention; at 10^10 images the candidate set is
-    IVF-pruned first (similarity.ivf_cells) and this ranker runs on
-    the shortlist unchanged."""
+    brute-force convention; at 10^10 images pass ``cand`` (a
+    (query_id, image_id) shortlist, e.g. IVF-pruned — see
+    caption_to_image_topk_ivf) and only shortlisted dots are ever
+    computed: the restriction joins BEFORE the reduction."""
     cap = cap_vec.select(
         F.col("doc_id").alias("query_id"), "j", F.col("cv").cast("long").alias("cv")
     )
     img = img_vec.select(
         F.col("doc_id").alias("image_id"), "j", F.col("ie").cast("long").alias("ie")
     )
+    if cand is None:
+        pairs = img.join(F.broadcast(cap), "j")
+    else:
+        pairs = img.join(cand.hint("shuffle_hash"), "image_id").join(
+            F.broadcast(cap), ["query_id", "j"]
+        )
     dots = (
-        img.join(F.broadcast(cap), "j")
-        .groupBy("query_id", "image_id")
+        pairs.groupBy("query_id", "image_id")
         .agg(F.sum(F.col("ie") * F.col("cv")).cast("long").alias("dot"))
     )
     na = img.groupBy("image_id").agg(
@@ -513,3 +520,67 @@ def caption_to_image_topk(
         .filter(F.col("rank") <= int(k))
         .select("query_id", "image_id", "dot", "rank")
     )
+
+
+def caption_to_image_topk_ivf(
+    cap_vec: DataFrame,
+    embs: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    train_iters: int = 3,
+    train_permille: int = 1000,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-pruned cross-modal retrieval — the 10^10-image serving path
+    of caption_to_image_topk: candidates are restricted to the query's
+    ``nprobe`` nearest Lloyd-TRAINED k-means cells (the same coarse
+    quantizer as ann_ivf/semdedup), then the exact integer ranker runs
+    unchanged on the shortlist. The caption query vector lives in the
+    image embedding space by construction (the hashed-BoW dims align
+    with the grid dims), so ONE quantizer serves both modalities —
+    exactly how a production CLIP index works (text and image towers
+    share the space; the index is built once on the image side).
+
+    Scale shape: centroids are n_cells broadcast rows; image cell
+    assignment is the map-side fold (no shuffle); the query batch and
+    its probed cells are config-scale and broadcast into the
+    cell-keyed candidate join; only shortlisted dots are computed
+    (corpus work per query drops from N to ~nprobe·N/n_cells). Output
+    schema matches the brute ranker: (query_id, image_id, dot, rank).
+    """
+    from cola_spark.operators.similarity import _assign_cells, ivf_cells
+    from cola_spark.operators.textdedup import spread_small_scan
+
+    cents = ivf_cells(
+        embs, n_cells, id_col, vec_col,
+        train_iters=train_iters, train_permille=train_permille,
+    )
+    img_cell = _assign_cells(
+        spread_small_scan(embs, id_col).select(
+            F.col(id_col).alias("image_id"), F.col(vec_col).alias("_v")
+        ),
+        cents, nprobe=1,
+    ).select("image_id", "cell")
+    cap = cap_vec.select(
+        F.col("doc_id").alias("query_id"), "j", F.col("cv").cast("long").alias("cv")
+    )
+    qdense = (
+        cap.groupBy("query_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("j", "cv"))).alias("_m"))
+        .select(
+            "query_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+                lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)).cast(
+                    "double"
+                ),
+            ).alias("_v"),
+        )
+    )
+    q_cell = _assign_cells(qdense, cents, nprobe=nprobe).select("query_id", "cell")
+    cand = img_cell.join(F.broadcast(q_cell), "cell").select("query_id", "image_id")
+    img_grid = embedding_grid(embs)
+    return caption_to_image_topk(cap_vec, img_grid, k=k, cand=cand)

@@ -4089,3 +4089,124 @@ SQL_CAPTION_RETRIEVAL = _sql_caption_retrieval()
 PAIRS.update({
     "caption_image_retrieval": (q_caption_image_retrieval, SQL_CAPTION_RETRIEVAL)
 })
+
+
+def q_caption_image_retrieval_ivf(spark, sf):
+    """IVF-pruned cross-modal retrieval (multimodal.
+    caption_to_image_topk_ivf): the same 8 planted caption queries as
+    caption_image_retrieval, but the candidate set is pruned to each
+    query's 2 nearest Lloyd-TRAINED k-means cells (3 iterations, the
+    semdedup/ann_ivf quantizer) before the exact integer ranker runs —
+    the 10^10-image serving path, cross-engine verified INCLUDING the
+    training loop (the oracle unrolls all 3 Lloyd rounds as CTEs; a
+    wrong centroid update or a wrong probed cell hash-fails)."""
+    from cola_spark.operators.multimodal import (
+        caption_text_embed,
+        caption_to_image_topk_ivf,
+        embedding_grid,
+    )
+
+    embs = _t(spark, sf, "embeddings")
+    img = embedding_grid(embs)
+    qdocs = (
+        _t(spark, sf, "documents")
+        .filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 40))
+        .select("doc_id", "text")
+    )
+    cap = caption_text_embed(qdocs, hash_kind="md5")
+    boost = img.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 40) & (F.col("j") < 16)
+    ).select("doc_id", "j", (F.lit(3) * F.col("ie")).alias("cv"))
+    planted = (
+        cap.unionByName(boost).groupBy("doc_id", "j").agg(F.sum("cv").alias("cv"))
+    )
+    return caption_to_image_topk_ivf(
+        planted, embs, k=5, n_cells=8, nprobe=2, train_iters=_PQT_T
+    )
+
+
+def _sql_caption_retrieval_ivf(
+    dim: int = 64, grid: int = 1000, k: int = 5,
+    n_cells: int = 8, nprobe: int = 2, iters: int = _PQT_T,
+    scale: int = _PQT_S,
+) -> str:
+    js = ", ".join(str(j) for j in range(dim))
+    ctes = [
+        "corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv"
+        " FROM embeddings)"
+    ]
+    ctes += _sql_ivf_train_ctes(n_cells, iters, scale, dim)
+    ctes.append(f"""imgcell AS (
+  SELECT vec_id AS image_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.cv, c.ce) DESC, c.cent_id) AS rn
+    FROM corp e CROSS JOIN icb{iters} c) WHERE rn = 1)""")
+    ctes.append(f"""img AS (
+  SELECT vec_id AS image_id, j,
+         CAST(FLOOR(CAST(embedding[j + 1] AS DOUBLE) * {grid}) AS BIGINT) AS ie
+  FROM embeddings, UNNEST([{js}]) AS t(j))""")
+    ctes.append(r"""tok AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 40)""")
+    ctes.append(f"""capraw AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('cd:' || tok), 1, 15)) AS BIGINT) % {dim}
+              AS INTEGER) AS j,
+         CAST(('0x' || substr(md5('cv:' || tok), 1, 15)) AS BIGINT) % 201 - 100
+           AS cv
+  FROM tok)""")
+    ctes.append("""boost AS (
+  SELECT image_id AS doc_id, j, 3 * ie AS cv FROM img
+  WHERE image_id % 5 = 0 AND image_id < 40 AND j < 16)""")
+    ctes.append("""cap AS (
+  SELECT doc_id AS query_id, j, CAST(SUM(cv) AS BIGINT) AS cv
+  FROM (SELECT * FROM capraw UNION ALL SELECT * FROM boost)
+  GROUP BY 1, 2)""")
+    ctes.append(f"""qd AS (
+  SELECT q.query_id,
+         list(CAST(COALESCE(c.cv, 0) AS DOUBLE) ORDER BY d.j) AS qv
+  FROM (SELECT DISTINCT query_id FROM cap) q
+  CROSS JOIN UNNEST(range(0, {dim})) AS d(j)
+  LEFT JOIN cap c ON c.query_id = q.query_id AND c.j = d.j
+  GROUP BY q.query_id)""")
+    ctes.append(f"""qcell AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.ce) DESC, c.cent_id) AS rn
+    FROM qd q CROSS JOIN icb{iters} c) WHERE rn <= {nprobe})""")
+    ctes.append("""cand AS (
+  SELECT q.query_id, i.image_id FROM qcell q JOIN imgcell i USING (cell))""")
+    ctes.append("""dots AS (
+  SELECT c.query_id, c.image_id, CAST(SUM(i.ie * p.cv) AS BIGINT) AS dot
+  FROM cand c
+  JOIN img i ON i.image_id = c.image_id
+  JOIN cap p ON p.query_id = c.query_id AND p.j = i.j
+  GROUP BY 1, 2)""")
+    ctes.append("""na AS (
+  SELECT image_id, CAST(SUM(ie * ie) AS BIGINT) AS na FROM img GROUP BY 1)""")
+    ctes.append("""nb AS (
+  SELECT query_id, CAST(SUM(cv * cv) AS BIGINT) AS nb FROM cap GROUP BY 1)""")
+    ctes.append("""sc AS (
+  SELECT d.query_id, d.image_id, d.dot,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.na * b.nb AS DOUBLE)) AS s
+  FROM dots d JOIN na n USING (image_id) JOIN nb b USING (query_id))""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, image_id, dot, rank FROM (
+  SELECT query_id, image_id, dot,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, image_id) AS BIGINT) AS rank
+  FROM sc) WHERE rank <= {k}
+"""
+    )
+
+
+SQL_CAPTION_RETRIEVAL_IVF = _sql_caption_retrieval_ivf()
+
+PAIRS.update({
+    "caption_image_retrieval_ivf": (
+        q_caption_image_retrieval_ivf, SQL_CAPTION_RETRIEVAL_IVF
+    )
+})

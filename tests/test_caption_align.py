@@ -175,3 +175,63 @@ def test_caption_image_retrieval_planted_signal(spark):
     self_at_1 = sum(1 for q, m in by_q.items() if m[1] == q)
     assert self_top5 >= 7
     assert self_at_1 >= 5
+
+
+def test_caption_retrieval_ivf_recall_curve(spark):
+    """IVF pruning trades recall for candidate volume along nprobe —
+    pin the measured curve so a quantizer/assignment regression shows:
+    recall@5 vs brute >= 0.5 at nprobe=2 (2/8 cells searched) and
+    >= 0.65 at nprobe=3, monotone in nprobe; and searching ALL cells
+    recovers the brute ranking exactly (the pruning is the ONLY
+    approximation — the ranker itself is exact)."""
+    from cola_spark.operators.multimodal import (
+        caption_text_embed,
+        caption_to_image_topk_ivf,
+        embedding_grid,
+    )
+    from cola_spark.queries import _PQT_T, q_caption_image_retrieval
+
+    sf = SF_DIR
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    img = embedding_grid(embs)
+    qdocs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 40))
+        .select("doc_id", "text")
+    )
+    cap = caption_text_embed(qdocs, hash_kind="md5")
+    boost = img.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 40) & (F.col("j") < 16)
+    ).select("doc_id", "j", (F.lit(3) * F.col("ie")).alias("cv"))
+    planted = (
+        cap.unionByName(boost).groupBy("doc_id", "j").agg(F.sum("cv").alias("cv"))
+    )
+    brute = {}
+    for r in q_caption_image_retrieval(spark, sf).collect():
+        brute.setdefault(r["query_id"], set()).add(r["image_id"])
+    total = sum(len(v) for v in brute.values())
+
+    def recall(nprobe):
+        ivf = {}
+        rows = caption_to_image_topk_ivf(
+            planted, embs, k=5, n_cells=8, nprobe=nprobe, train_iters=_PQT_T
+        ).collect()
+        for r in rows:
+            ivf.setdefault(r["query_id"], set()).add(r["image_id"])
+        return rows, sum(len(brute[q] & ivf.get(q, set())) for q in brute) / total
+
+    _, r2 = recall(2)
+    _, r3 = recall(3)
+    rows8, r8 = recall(8)
+    assert r2 >= 0.5    # measured 0.525 (sf0.001) / 0.55 (sf0.01)
+    assert r3 >= 0.65   # measured 0.70 / 0.725
+    assert r2 <= r3 <= r8
+    assert r8 == 1.0    # all cells searched == brute, bit-exact ranker
+    want = sorted(
+        (r["query_id"], r["image_id"], r["dot"], r["rank"])
+        for r in q_caption_image_retrieval(spark, sf).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["image_id"], r["dot"], r["rank"]) for r in rows8
+    )
+    assert got == want
