@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     # all 3 iterations unrolled in the oracle
     "authority_schedule",  # the authority signal composed into the
     # per-host budget cut (broadcast side-table join)
+    "anchor_text_rollup",  # per-target anchor-text argmax with NO
+    # window: groupBys + shuffle_hash joins (Zipf fan-in safe)
     "cdc_chunk_dedup",  # content-defined chunking: rolling-hash
     # boundaries + chunk-hash dedup index (the crawl-archive modality)
     "clip_align_filter",  # LAION CLIP-score image<->caption gate in

@@ -90,3 +90,56 @@ def host_pagerank(
         if checkpoint:
             r = r.localCheckpoint()
     return r
+
+
+def anchor_rollup(
+    edges: DataFrame,
+    src_host_col: str = "src_host",
+    target_col: str = "target",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """(target, n_refs, n_hosts, top_anchor, top_cnt): per-target
+    anchor-text aggregation over a link-edge table — the classic
+    web-corpus signal (other pages' link text describes the target
+    better than the target describes itself; search indexing and
+    crawl prioritization both consume it, and LLM pipelines use it as
+    target-page training text).
+
+    top_anchor is the most frequent anchor string pointing at the
+    target, ties to the lexicographically SMALLEST — computed with NO
+    window: (target, anchor) counts, per-target max count, a
+    (target, cnt)-keyed join back, then a min() over the tied set.
+    Every stage is a map-side-combinable groupBy or an equi-join on
+    corpus-derived sides (shuffle_hash pinned); the hottest target is
+    an aggregation key, never a cross product, so Zipf-shaped link
+    graphs (the real ones) cannot skew a task beyond its own
+    aggregation buffer."""
+    e = edges.select(
+        F.col(target_col).alias("target"),
+        F.col(src_host_col).alias("src_host"),
+        F.col(anchor_col).alias("anchor"),
+    )
+    per_t = e.groupBy("target").agg(
+        F.count("*").cast("long").alias("n_refs"),
+        F.countDistinct("src_host").cast("long").alias("n_hosts"),
+    )
+    per_ta = e.groupBy("target", "anchor").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    top_cnt = (
+        per_ta.groupBy("target")
+        .agg(F.max("cnt").alias("top_cnt"))
+        .withColumnRenamed("target", "_t")  # break the self-join lineage
+    )
+    top = (
+        per_ta.join(
+            top_cnt.hint("shuffle_hash"),
+            (F.col("target") == F.col("_t")) & (F.col("cnt") == F.col("top_cnt")),
+        )
+        .select("target", "anchor", "top_cnt")
+        .groupBy("target", "top_cnt")
+        .agg(F.min("anchor").alias("top_anchor"))
+    )
+    return per_t.join(top.hint("shuffle_hash"), "target").select(
+        "target", "n_refs", "n_hosts", "top_anchor", "top_cnt"
+    )

@@ -4210,3 +4210,80 @@ PAIRS.update({
         q_caption_image_retrieval_ivf, SQL_CAPTION_RETRIEVAL_IVF
     )
 })
+
+
+def q_anchor_text_rollup(spark, sf):
+    """Anchor-text rollup (operators/linkrank.anchor_rollup) over a
+    deterministic synthetic link graph derived from the documents
+    table: each doc's host links to 3 md5-chosen targets out of 97
+    (1500 edges onto 97 pages at sf0.01 — heavy fan-in, the Zipf
+    shape), anchor text = the 2-token slice of the doc's own text at
+    the edge's offset. Per target: in-degree, distinct referring
+    hosts, and the most frequent anchor string (ties to the smallest —
+    the no-window argmax). The web-graph text signal used for crawl
+    prioritization and as target-page training text."""
+    from cola_spark.operators.linkrank import anchor_rollup
+
+    docs = _t(spark, sf, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    edges = (
+        docs.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string")).alias(
+                "src_host"
+            ),
+            "doc_id",
+            ws.alias("ws"),
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"),
+        )
+        .select(
+            "src_host",
+            F.concat(
+                F.lit("p"),
+                F.pmod(
+                    _md5_col(
+                        F.concat(
+                            F.lit("tg:"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("_"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    F.lit(97),
+                ).cast("string"),
+            ).alias("target"),
+            F.array_join(
+                F.slice(F.col("ws"), F.col("k") * 2 + 1, 2), " "
+            ).alias("anchor"),
+        )
+    )
+    return anchor_rollup(edges)
+
+
+SQL_ANCHOR_ROLLUP = r"""
+WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents),
+edges AS (
+  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS src_host,
+         'p' || CAST(CAST(('0x' || substr(md5('tg:' || CAST(doc_id AS VARCHAR)
+                    || '_' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 97
+                AS VARCHAR) AS target,
+         array_to_string(ws[k * 2 + 1 : k * 2 + 2], ' ') AS anchor
+  FROM base, UNNEST(generate_series(0, 2)) AS t(k)),
+per_t AS (
+  SELECT target, CAST(COUNT(*) AS BIGINT) AS n_refs,
+         CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_hosts
+  FROM edges GROUP BY target),
+per_ta AS (
+  SELECT target, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM edges GROUP BY target, anchor),
+tc AS (SELECT target, MAX(cnt) AS top_cnt FROM per_ta GROUP BY target),
+top AS (
+  SELECT a.target, a.cnt AS top_cnt, MIN(a.anchor) AS top_anchor
+  FROM per_ta a JOIN tc ON tc.target = a.target AND tc.top_cnt = a.cnt
+  GROUP BY a.target, a.cnt)
+SELECT p.target, p.n_refs, p.n_hosts, t.top_anchor,
+       CAST(t.top_cnt AS BIGINT) AS top_cnt
+FROM per_t p JOIN top t USING (target)
+"""
+
+PAIRS.update({"anchor_text_rollup": (q_anchor_text_rollup, SQL_ANCHOR_ROLLUP)})

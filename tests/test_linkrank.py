@@ -54,3 +54,45 @@ def test_partitioning_invariance(spark):
     e1 = spark.createDataFrame(rows, "src long, dst long").repartition(2)
     e2 = spark.createDataFrame(rows, "src long, dst long").repartition(11)
     assert _ranks(host_pagerank(e1, iters=3)) == _ranks(host_pagerank(e2, iters=3))
+
+
+def test_anchor_rollup_hand_case(spark):
+    from cola_spark.operators.linkrank import anchor_rollup
+
+    rows = [
+        # target A: "nice page" x2 (hosts h1,h2), "a page" x2 (h1,h1)
+        # -> tie on cnt=2, lexicographically smaller "a page" wins
+        ("h1", "A", "nice page"),
+        ("h2", "A", "nice page"),
+        ("h1", "A", "a page"),
+        ("h1", "A", "a page"),
+        # target B: single ref
+        ("h3", "B", "only one"),
+    ]
+    df = spark.createDataFrame(rows, "src_host string, target string, anchor string")
+    got = {r["target"]: r for r in anchor_rollup(df).collect()}
+    assert got["A"]["n_refs"] == 4 and got["A"]["n_hosts"] == 2
+    assert got["A"]["top_cnt"] == 2 and got["A"]["top_anchor"] == "a page"
+    assert got["B"]["n_refs"] == 1 and got["B"]["n_hosts"] == 1
+    assert got["B"]["top_anchor"] == "only one" and got["B"]["top_cnt"] == 1
+
+
+def test_anchor_rollup_no_window_plan(spark):
+    """The argmax is groupBys + shuffle_hash joins — no Window exec
+    (a per-target window would stream every Zipf-hot target's edge
+    list through one task) and no auto-broadcast of corpus-derived
+    sides."""
+    import io
+    from contextlib import redirect_stdout
+
+    from cola_spark.operators.linkrank import anchor_rollup
+
+    df = spark.createDataFrame(
+        [("h1", "A", "x y")], "src_host string, target string, anchor string"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        anchor_rollup(df).explain("formatted")
+    p = buf.getvalue()
+    assert "Window" not in p
+    assert "BroadcastHashJoin" not in p
