@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "lm_coverage_score",  # CCNet-shaped curated-bigram coverage filter
     "token_budget_mix",  # per-source token-budget fill, two-phase
     # segmented running sum (no per-source global window)
+    "epoch_repeat_mix",  # upsampling: budget div mass full epochs +
+    # greedy partial pass; one row per doc, repeat count = decision
     "tfidf_topk",  # integer-exact tf-idf keyword extraction, top-3/doc
     "image_mix_filter",  # LAION-shaped image-caption curation: metadata
     # gates + pHash near-dup CC dedup among survivors, fully SQL-oracled

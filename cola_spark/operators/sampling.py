@@ -102,13 +102,45 @@ def token_budget_mix(
     determinism trap), then localCheckpoint + unpersist (the
     eager_release protocol). Weights/budgets are a genuine config-size
     dim: broadcast joins are the rule here."""
-    spark = docs.sparkSession
+    lay = _hash_layout(docs, id_col, source_col, text_col, hash_kind, seed, parts)
+    bud = _budget_frame(docs.sparkSession, weights, budget_tokens)
+    return lay.join(F.broadcast(bud), "source", "left").select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "src_rank",
+        "cum_before",
+        F.coalesce(F.col("budget_tok"), F.lit(0)).cast("long").alias("budget_tok"),
+    ).withColumn("selected", F.col("cum_before") < F.col("budget_tok"))
+
+
+def _budget_frame(spark, weights: dict[str, int], budget_tokens: int) -> DataFrame:
+    """(source, budget_tok): the integer split of budget_tokens by
+    weight — config-scale, always broadcast."""
     total_w = sum(int(w) for w in weights.values())
     buds = [
         (s, int(budget_tokens) * int(w) // total_w)
         for s, w in sorted(weights.items())
     ]
-    bud = spark.createDataFrame(buds, "source string, budget_tok long")
+    return spark.createDataFrame(buds, "source string, budget_tok long")
+
+
+def _hash_layout(
+    docs: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    hash_kind: str,
+    seed: str,
+    parts: int | None,
+) -> DataFrame:
+    """(doc_id, source, n_tok, src_rank, cum_before): the deterministic
+    per-source hash-order layout with the SEGMENTED two-phase running
+    sum (see token_budget_mix's docstring for the scale argument).
+    Returned eagerly localCheckpoint-ed: both the offsets and rank
+    subtrees have read ONE RangePartitioner draw, and consumers
+    (budget cut, epoch repeat) join onto materialized blocks."""
+    spark = docs.sparkSession
     h = hash_family(hash_kind)(F.col(id_col).cast("string"), seed)
     ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
     from cola_spark.operators.textdedup import spread_small_scan
@@ -146,17 +178,78 @@ def token_budget_mix(
         )
         .withColumn("_lr", F.row_number().over(w_local))
         .join(F.broadcast(offsets), ["_pid", "source"])
-        .join(F.broadcast(bud), "source", "left")
         .select(
             "doc_id",
             "source",
             "n_tok",
             (F.col("_cnt_off") + F.col("_lr")).cast("long").alias("src_rank"),
             (F.col("_tok_off") + F.col("_lc")).cast("long").alias("cum_before"),
-            F.coalesce(F.col("budget_tok"), F.lit(0)).cast("long").alias("budget_tok"),
         )
-        .withColumn("selected", F.col("cum_before") < F.col("budget_tok"))
     )
     out = out.localCheckpoint(eager=True)
     ranged.unpersist()
     return out
+
+
+def epoch_repeat_mix(
+    docs: DataFrame,
+    weights: dict[str, int],
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    hash_kind: str = "xxhash64",
+    seed: str = "mix",
+    parts: int | None = None,
+) -> DataFrame:
+    """Repeat-factor (epoch) mixture — the UPSAMPLING counterpart of
+    token_budget_mix: when a source's token budget exceeds its mass
+    ("4 epochs of wiki"), every doc repeats for each full pass and the
+    remainder is a partial pass filled greedily in the same
+    deterministic hash order. n_epochs per doc = budget div mass
+    (+1 if the doc's cum_before < budget mod mass) — so
+    sum(n_tok · n_epochs) tracks the budget to within one boundary doc
+    per source, and epoch 0's membership is EXACTLY token_budget_mix's
+    selection for budgets below the mass.
+
+    Returns one row per input doc (no explode — the repeat count IS
+    the decision): (doc_id, source, n_tok, src_rank, cum_before,
+    budget_tok, mass_tok, n_epochs).
+
+    Scale: the layout is the shared segmented two-phase cumsum; the
+    per-source mass is one map-side-combinable groupBy whose output is
+    |sources| rows — genuinely config-scale, broadcast by the
+    small-dim rule."""
+    lay = _hash_layout(docs, id_col, source_col, text_col, hash_kind, seed, parts)
+    bud = _budget_frame(docs.sparkSession, weights, budget_tokens)
+    per_src = (
+        lay.groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("mass_tok"))
+        .join(F.broadcast(bud), "source", "left")
+        .select(
+            "source",
+            "mass_tok",
+            F.coalesce(F.col("budget_tok"), F.lit(0))
+            .cast("long")
+            .alias("budget_tok"),
+        )
+        .withColumn("_n_full", F.expr("budget_tok div mass_tok").cast("long"))
+        .withColumn("_rem", F.expr("budget_tok % mass_tok").cast("long"))
+    )
+    return lay.join(F.broadcast(per_src), "source").select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "src_rank",
+        "cum_before",
+        "budget_tok",
+        "mass_tok",
+        (
+            F.col("_n_full")
+            + F.when(F.col("cum_before") < F.col("_rem"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_epochs"),
+    )

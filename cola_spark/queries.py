@@ -4287,3 +4287,64 @@ FROM per_t p JOIN top t USING (target)
 """
 
 PAIRS.update({"anchor_text_rollup": (q_anchor_text_rollup, SQL_ANCHOR_ROLLUP)})
+
+
+_EPOCH_WEIGHTS = {"src0": 8, "src1": 1, "src5": 1}
+_EPOCH_BUDGET = 3000
+
+
+def q_epoch_repeat_mix(spark, sf):
+    """Repeat-factor (epoch) mixture (sampling.epoch_repeat_mix):
+    budget 3000 split 8:1:1 — src0's share (2400) EXCEEDS its token
+    mass, so every src0 doc trains >= 1 full epoch plus a greedy
+    partial pass; src1/src5 get sub-mass shares (partial pass only);
+    unlisted sources get n_epochs = 0. One row per doc — the repeat
+    count is the decision, no explode. Same deterministic md5 layout
+    as token_budget_mix (epoch 0 membership == its selection)."""
+    from cola_spark.operators.sampling import epoch_repeat_mix
+
+    return epoch_repeat_mix(
+        _t(spark, sf, "documents"),
+        weights=_EPOCH_WEIGHTS,
+        budget_tokens=_EPOCH_BUDGET,
+        hash_kind="md5",
+    )
+
+
+def _sql_epoch_repeat_mix() -> str:
+    total_w = sum(_EPOCH_WEIGHTS.values())
+    vals = ", ".join(
+        f"('{s}', CAST({_EPOCH_BUDGET * w // total_w} AS BIGINT))"
+        for s, w in sorted(_EPOCH_WEIGHTS.items())
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents),
+wts AS (SELECT * FROM (VALUES {vals}) AS t(wsrc, budget_tok)),
+ord AS (
+  SELECT doc_id, source, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS src_rank,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         SUM(n_tok) OVER (PARTITION BY source) AS mass_tok
+  FROM base)
+SELECT o.doc_id, o.source, o.n_tok,
+       CAST(o.src_rank AS BIGINT) AS src_rank,
+       CAST(o.cum_before AS BIGINT) AS cum_before,
+       CAST(COALESCE(w.budget_tok, 0) AS BIGINT) AS budget_tok,
+       CAST(o.mass_tok AS BIGINT) AS mass_tok,
+       CAST(COALESCE(w.budget_tok, 0) // o.mass_tok
+            + CASE WHEN o.cum_before < COALESCE(w.budget_tok, 0) % o.mass_tok
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+FROM ord o LEFT JOIN wts w ON w.wsrc = o.source
+"""
+
+
+SQL_EPOCH_REPEAT_MIX = _sql_epoch_repeat_mix()
+
+PAIRS.update({"epoch_repeat_mix": (q_epoch_repeat_mix, SQL_EPOCH_REPEAT_MIX)})

@@ -623,3 +623,35 @@ def test_token_budget_mix_two_phase_equals_naive_window(spark):
             ).collect()
         )
         assert got == want, f"parts={parts}"
+
+
+def test_epoch_repeat_mix_semantics(spark):
+    from cola_spark.operators.sampling import epoch_repeat_mix, token_budget_mix
+
+    # source a: 4 docs x 10 tok (mass 40); source b: 2 docs x 10 (mass 20)
+    rows = [(i, "a" if i < 4 else "b", ("t " * 10).strip()) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # weights 9:1 over budget 100 -> a: 90 (2 full epochs + 10 rem),
+    # b: 10 (partial only)
+    got = {
+        r["doc_id"]: r
+        for r in epoch_repeat_mix(df, {"a": 9, "b": 1}, 100, hash_kind="md5").collect()
+    }
+    assert len(got) == 6
+    a = [got[d] for d in range(4)]
+    assert all(r["mass_tok"] == 40 and r["budget_tok"] == 90 for r in a)
+    # 90 div 40 = 2 full epochs; rem 10 -> exactly the rank-1 doc gets +1
+    assert sorted(r["n_epochs"] for r in a) == [2, 2, 2, 3]
+    assert next(r for r in a if r["n_epochs"] == 3)["src_rank"] == 1
+    # total repeated tokens track the budget to within one boundary doc
+    assert sum(r["n_tok"] * r["n_epochs"] for r in a) == 90
+    b = [got[d] for d in (4, 5)]
+    assert all(r["budget_tok"] == 10 and r["mass_tok"] == 20 for r in b)
+    assert sorted(r["n_epochs"] for r in b) == [0, 1]
+    # epoch-0 membership (n_epochs >= 1) == token_budget_mix selection
+    sel = {
+        r["doc_id"]: r["selected"]
+        for r in token_budget_mix(df, {"a": 9, "b": 1}, 100, hash_kind="md5").collect()
+    }
+    for d, r in got.items():
+        assert (r["n_epochs"] >= 1) == sel[d]
