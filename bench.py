@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     # writer-shaped windows, integer-exact nearest-ratio argmin
     "bpe_train_merges",  # tokenizer induction: 4 BPE merge rounds on
     # the word-type vocabulary (corpus work = one map-side word count)
+    "bpe_encode_counts",  # the apply half: trained rules tokenize the
+    # corpus (vocab-scale apply + one word-keyed join back)
     "politeness_schedule",  # per-host delay calendar, host-window only
     "adaptive_recrawl",  # change-rate revisit intervals, one page window
     "trap_detect",  # crawler-trap signals: per-URL-local explode+agg

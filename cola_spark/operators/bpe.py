@@ -71,9 +71,18 @@ def _one_merge(chars: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .localCheckpoint()  # 1 row, read twice (output + this round's join)
     )
+    return _apply_merge(chars, best), best
 
+
+def _apply_merge(chars: DataFrame, rule: DataFrame) -> DataFrame:
+    """Apply ONE (lpiece, rpiece) merge rule — a 1-row broadcast frame —
+    to the char state with the leftmost-non-overlapping rule. Shared by
+    training (the round's argmax) and encoding (a stored trained rule),
+    so apply-time semantics are the training semantics by construction."""
+    wd = Window.partitionBy("word").orderBy("pos")
+    p = chars.withColumn("nxt", F.lead("piece").over(wd))
     m = p.join(
-        F.broadcast(best.select("lpiece", "rpiece")),
+        F.broadcast(rule.select("lpiece", "rpiece")),
         (F.col("piece") == F.col("lpiece")) & (F.col("nxt") == F.col("rpiece")),
         "left",
     )
@@ -111,7 +120,7 @@ def _one_merge(chars: DataFrame) -> tuple[DataFrame, DataFrame]:
         .otherwise(F.col("piece"))
         .alias("piece"),
     )
-    return nxt_chars, best
+    return nxt_chars
 
 
 def bpe_merges(
@@ -138,3 +147,56 @@ def bpe_merges(
     for b in out[1:]:
         res = res.unionByName(b)
     return res
+
+
+def bpe_encode(
+    docs: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, n_pieces, n_chars): tokenize the corpus with a
+    TRAINED merge table (bpe_merges' output) — the apply half of the
+    tokenizer story: production trains once, then encodes every corpus
+    forever. Applying the stored rules in merge_rank order replays the
+    training rounds' states exactly (same _apply_merge, same leftmost-
+    non-overlapping rule), so on the training corpus the encoded vocab
+    IS round-K's state — which is what lets the oracle reuse the
+    training CTE chain verbatim.
+
+    Scale shape (the map-reduce BPE decomposition again): encoding is
+    a function of the word TYPE, so every merge application runs on
+    the distinct-word vocabulary; the corpus-sized stages are ONE
+    word-count groupBy and ONE word-keyed join back (shuffle_hash —
+    corpus-derived sides). The rules frame is config-scale (a
+    tokenizer has a fixed merge list) and is collected to drive the
+    loop — the trained-codebook-memo precedent, never corpus data."""
+    chars = _word_chars(docs, id_col, text_col).localCheckpoint()
+    spark = docs.sparkSession
+    rl = sorted(
+        rules.select("merge_rank", "lpiece", "rpiece").collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    for r in rl:
+        rule = spark.createDataFrame(
+            [(r["lpiece"], r["rpiece"])], "lpiece string, rpiece string"
+        )
+        chars = _apply_merge(chars, rule).localCheckpoint()
+    word_enc = chars.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_pieces")
+    )
+    from cola_spark.operators.textdedup import spread_small_scan
+
+    dw = spread_small_scan(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    )
+    return (
+        dw.join(word_enc.hint("shuffle_hash"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+    )

@@ -3221,7 +3221,7 @@ def q_bpe_train_merges(spark, sf):
     return bpe_merges(_t(spark, sf, "documents"), merges=4)
 
 
-def _sql_bpe(merges: int = 4) -> str:
+def _sql_bpe_ctes(merges: int = 4) -> list:
     ctes = [
         r"tok AS (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS word"
         " FROM documents)",
@@ -3257,6 +3257,11 @@ def _sql_bpe(merges: int = 4) -> str:
             f" LEFT JOIN k{r} kc ON p.word = kc.word AND p.pos = kc.pos + 1"
             f" WHERE kc.pos IS NULL)",
         ]
+    return ctes
+
+
+def _sql_bpe(merges: int = 4) -> str:
+    ctes = _sql_bpe_ctes(merges)
     unions = "\nUNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_rank, lp AS lpiece,"
         f" rp AS rpiece, cnt AS pair_freq FROM b{r}"
@@ -4348,3 +4353,46 @@ FROM ord o LEFT JOIN wts w ON w.wsrc = o.source
 SQL_EPOCH_REPEAT_MIX = _sql_epoch_repeat_mix()
 
 PAIRS.update({"epoch_repeat_mix": (q_epoch_repeat_mix, SQL_EPOCH_REPEAT_MIX)})
+
+
+def q_bpe_encode_counts(spark, sf):
+    """BPE ENCODE with the trained tokenizer (operators/bpe.bpe_encode):
+    train the 4-rule merge table on the corpus, then tokenize every doc
+    with it — per-doc word / piece / char counts, the compression
+    evidence table. Applying stored rules in rank order replays the
+    training rounds' vocab states (same _apply_merge), so the oracle
+    reuses the training CTE chain and reads round-4's state as the
+    encoded vocabulary; a wrong apply-order or overlap rule
+    hash-fails."""
+    from cola_spark.operators.bpe import bpe_encode, bpe_merges
+
+    docs = _t(spark, sf, "documents")
+    return bpe_encode(docs, bpe_merges(docs, merges=4))
+
+
+def _sql_bpe_encode(merges: int = 4) -> str:
+    ctes = _sql_bpe_ctes(merges)
+    ctes.append(
+        f"enc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces"
+        f" FROM c{merges} GROUP BY word)"
+    )
+    ctes.append(
+        r"dw AS (SELECT doc_id,"
+        r" UNNEST(string_split_regex(trim(text), '\s+')) AS word"
+        r" FROM documents)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(length(d.word)) AS BIGINT) AS n_chars
+FROM dw d JOIN enc e USING (word)
+GROUP BY d.doc_id
+"""
+    )
+
+
+SQL_BPE_ENCODE = _sql_bpe_encode()
+
+PAIRS.update({"bpe_encode_counts": (q_bpe_encode_counts, SQL_BPE_ENCODE)})

@@ -39,3 +39,33 @@ def test_frequency_weighting(spark):
     # 'xy' repeated 5 times beats 'zz zz zz zz' (4 words, 1 pair each)
     got = _run(spark, [("d", "xy xy xy xy xy zz zz zz zz")], merges=1)
     assert got == [(1, "x", "y", 5)]
+
+
+def test_bpe_encode_hand_case(spark):
+    """Encode with a FIXED rule table (not retrained): rules applied in
+    rank order with leftmost-non-overlap; counts are per doc."""
+    from cola_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "abab ab"), (2, "aaaa")], "doc_id long, text string"
+    )
+    rules = spark.createDataFrame(
+        [(1, "a", "b"), (2, "ab", "ab")],
+        "merge_rank long, lpiece string, rpiece string",
+    )
+    got = {r["doc_id"]: r for r in bpe_encode(docs, rules).collect()}
+    # doc 1: "abab" -> a b a b -> ab ab -> abab (1 piece); "ab" -> ab (1)
+    assert (got[1]["n_words"], got[1]["n_pieces"], got[1]["n_chars"]) == (2, 2, 6)
+    # doc 2: "aaaa" -> rule (a,b) no match; rule (ab,ab) no match -> 4 pieces
+    assert (got[2]["n_words"], got[2]["n_pieces"], got[2]["n_chars"]) == (1, 4, 4)
+
+
+def test_bpe_encode_empty_rules_is_char_count(spark):
+    from cola_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame([(1, "xy z")], "doc_id long, text string")
+    rules = spark.createDataFrame(
+        [], "merge_rank long, lpiece string, rpiece string"
+    )
+    r = bpe_encode(docs, rules).collect()[0]
+    assert (r["n_words"], r["n_pieces"], r["n_chars"]) == (2, 3, 3)
