@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "adaptive_recrawl",  # change-rate revisit intervals, one page window
     "trap_detect",  # crawler-trap signals: per-URL-local explode+agg
     "pack_sequences",  # trainer-sequence packing: per-shard token layout
+    "trainer_batch_plan",  # CAPSTONE: mix survivors -> token-budget
+    # cut -> packed layout, all three stages nested in both engines
     "lm_coverage_score",  # CCNet-shaped curated-bigram coverage filter
     "token_budget_mix",  # per-source token-budget fill, two-phase
     # segmented running sum (no per-source global window)

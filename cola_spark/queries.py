@@ -4396,3 +4396,112 @@ GROUP BY d.doc_id
 SQL_BPE_ENCODE = _sql_bpe_encode()
 
 PAIRS.update({"bpe_encode_counts": (q_bpe_encode_counts, SQL_BPE_ENCODE)})
+
+
+def _mix_survivors(spark, sf):
+    """The corpus_mix_clean survivor set (doc_id, lang, source, text,
+    ...) BEFORE its per-lang summary — the curated corpus the trainer
+    layouts consume. Same member queries, same shared pair list."""
+    from cola_spark.operators.clusters import dedup_keep_set
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 20 != 7)
+    drops = dedup_keep_set(q_jaccard_prefix_pairs(spark, sf)).filter(~F.col("keep"))
+    quality = q_docs_quality(spark, sf).filter(F.col("is_quality")).select("doc_id")
+    low_rep = q_docs_repetition(spark, sf).filter(
+        F.col("dup_permille") <= 300
+    ).select("doc_id")
+    contaminated = q_decontam_overlap(spark, sf).filter(
+        F.col("contaminated")
+    ).select("doc_id")
+    sample = q_domain_sample(spark, sf).select("doc_id")
+    return (
+        d.join(drops.select("doc_id"), "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .join(low_rep, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(sample, "doc_id", "semi")
+    )
+
+
+_TBP_WEIGHTS = {"en": 3, "de": 1, "es": 1, "fr": 1}
+_TBP_BUDGET = 4000
+
+
+def q_trainer_batch_plan(spark, sf):
+    """The CAPSTONE composition — crawl output to the bytes a trainer
+    mmaps: corpus_mix_clean's survivor set (near-dup CC dedup +
+    quality + repetition + decontam + stratified sample) → per-lang
+    TOKEN-budget cut (token_budget_mix, 4000 tokens split 3:1:1:1) →
+    GPT-style concat-and-chunk sequence layout (pack_offsets, ctx 512,
+    8 md5 shards). Every member is individually oracled; this nests
+    all three stages in both engines, so a drift anywhere in the
+    pipeline (a wrong dedup drop, a budget boundary, a packing offset)
+    hash-fails the final layout."""
+    from cola_spark.operators.packing import pack_offsets
+    from cola_spark.operators.sampling import token_budget_mix
+
+    surv = _mix_survivors(spark, sf)
+    sel = token_budget_mix(
+        surv, weights=_TBP_WEIGHTS, budget_tokens=_TBP_BUDGET,
+        source_col="lang", hash_kind="md5",
+    ).filter("selected").select("doc_id")
+    chosen = surv.join(sel, "doc_id")
+    return pack_offsets(chosen, ctx_len=512, n_shards=8, hash_kind="md5")
+
+
+def _sql_trainer_batch_plan() -> str:
+    total_w = sum(_TBP_WEIGHTS.values())
+    vals = ", ".join(
+        f"('{s}', CAST({_TBP_BUDGET * w // total_w} AS BIGINT))"
+        for s, w in sorted(_TBP_WEIGHTS.items())
+    )
+    return (
+        "WITH RECURSIVE\n" + _MIX_PREFIX_CTES + r""",
+q AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+        AND (length(text) - length(replace(text, 'the', ''))) / 3 > 0),
+surv AS (SELECT d.doc_id, d.lang,
+                CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+                  AS n_tok
+         FROM documents d
+         JOIN q ON q.doc_id = d.doc_id
+         JOIN rep ON rep.doc_id = d.doc_id
+         WHERE d.doc_id % 20 <> 7
+           AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+           AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+           AND d.doc_id IN (SELECT doc_id FROM samp)),
+"""
+        + rf"""wts AS (SELECT * FROM (VALUES {vals}) AS t(wl, budget_tok)),
+mixo AS (
+  SELECT doc_id, lang, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY lang
+                   ORDER BY CAST(('0x' || substr(md5('mix:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM surv),
+sel AS (SELECT o.doc_id, o.n_tok FROM mixo o
+        LEFT JOIN wts w ON w.wl = o.lang
+        WHERE o.cum_before < COALESCE(w.budget_tok, 0)),
+pb AS (SELECT doc_id, n_tok,
+              CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 8 AS shard
+       FROM sel),
+pc AS (SELECT doc_id, shard, n_tok,
+              SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok
+                AS start_off
+       FROM pb)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tok,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // 512 AS BIGINT) AS first_bin,
+       CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS last_bin
+FROM pc
+"""
+    )
+
+
+SQL_TRAINER_BATCH_PLAN = _sql_trainer_batch_plan()
+
+PAIRS.update({"trainer_batch_plan": (q_trainer_batch_plan, SQL_TRAINER_BATCH_PLAN)})
