@@ -41,6 +41,14 @@ def test_driver_queries_invariant_to_shuffle_partitions(spark):
         # aggregate + pivot), unigram (Zipf-split join), full mix
         "span_dedup", "decontam_overlap", "domain_sample", "ann_pq_topk",
         "docs_unigram_quality", "corpus_mix_clean",
+        # round-5 additions: the partition-sensitive shapes — two-phase
+        # segmented cumsum (spark_partition_id + RangePartitioner),
+        # census anti-join + per-doc reassembly, no-window argmax,
+        # float-keyed top-k, per-(bucket, shard) windows, vocab-scale
+        # merge application, 3-stage nested composition
+        "token_budget_mix", "epoch_repeat_mix", "line_boilerplate_dedup",
+        "anchor_text_rollup", "caption_image_retrieval",
+        "aspect_bucket_pack", "bpe_encode_counts", "trainer_batch_plan",
     ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
