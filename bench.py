@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     # per-host budget cut (broadcast side-table join)
     "anchor_text_rollup",  # per-target anchor-text argmax with NO
     # window: groupBys + shuffle_hash joins (Zipf fan-in safe)
+    "mirror_host_pairs",  # host-granularity mirror detection: exact
+    # integer Jaccard over fingerprint sets, join keyed on fingerprint
     "cdc_chunk_dedup",  # content-defined chunking: rolling-hash
     # boundaries + chunk-hash dedup index (the crawl-archive modality)
     "clip_align_filter",  # LAION CLIP-score image<->caption gate in

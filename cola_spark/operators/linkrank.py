@@ -143,3 +143,64 @@ def anchor_rollup(
     return per_t.join(top.hint("shuffle_hash"), "target").select(
         "target", "n_refs", "n_hosts", "top_anchor", "top_cnt"
     )
+
+
+def mirror_host_pairs(
+    docs: DataFrame,
+    min_jaccard_x1000: int = 500,
+    host_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(host_a, host_b, common, n_a, n_b, jac_x1000): mirror-site
+    detection — host pairs whose DISTINCT document-fingerprint sets
+    overlap above a Jaccard threshold (CommonCrawl-style mirror
+    elimination: the same site served from several hosts floods a
+    crawl with per-URL-unique but content-identical pages; whole-doc
+    dedup removes the copies one by one, mirror detection removes the
+    HOST and its future fetch budget).
+
+    Granularity is the point: doc-level dedup (docs_exact_dedup) keys
+    on content, this keys on the host RELATION between content sets.
+    Jaccard is exact integer arithmetic (1000·common div union).
+
+    Scale shape: fingerprints are one map-side md5 projection; the
+    pair generation is an equi-join ON FINGERPRINT (a fingerprint is
+    shared by few hosts — data-adaptive buckets, never |hosts|²; a
+    boilerplate fingerprint shared by MANY hosts does fan out
+    quadratically, which is the true cost of that evidence — drop
+    sub-informative fingerprints upstream via line_dedup when that
+    bites); per-host sizes are one groupBy; everything joins
+    shuffle_hash (corpus-derived, the no-auto-broadcast rule)."""
+    fp = docs.select(
+        F.col(host_col).alias("host"),
+        F.md5(F.col(text_col).cast("binary")).alias("fp"),
+    ).distinct()
+    sizes = fp.groupBy("host").agg(F.count("*").cast("long").alias("n"))
+    a = fp.select(F.col("host").alias("host_a"), "fp")
+    b = fp.select(F.col("host").alias("host_b"), "fp")
+    common = (
+        a.join(b.hint("shuffle_hash"), "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a")).hint(
+                "shuffle_hash"
+            ),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b")).hint(
+                "shuffle_hash"
+            ),
+            "host_b",
+        )
+        .withColumn(
+            "jac_x1000",
+            F.expr("(1000 * common) div (n_a + n_b - common)").cast("long"),
+        )
+        .filter(F.col("jac_x1000") >= int(min_jaccard_x1000))
+        .select("host_a", "host_b", "common", "n_a", "n_b", "jac_x1000")
+    )

@@ -4505,3 +4505,58 @@ FROM pc
 SQL_TRAINER_BATCH_PLAN = _sql_trainer_batch_plan()
 
 PAIRS.update({"trainer_batch_plan": (q_trainer_batch_plan, SQL_TRAINER_BATCH_PLAN)})
+
+
+def q_mirror_host_pairs(spark, sf):
+    """Mirror-site detection (linkrank.mirror_host_pairs) on a PLANTED
+    mirror universe: 'mirror0' serves an exact copy of src0's docs
+    (Jaccard 1000 — detected), 'mirror1' serves ~a quarter of src1's
+    (Jaccard ~250 — correctly BELOW the 500 cut), and the base
+    corpus's cross-source exact-dup docs give tiny overlaps (also
+    excluded) — threshold exercised from both sides. Host-granularity
+    dedup: the signal that retires a mirrored HOST and its fetch
+    budget, not just its docs one by one."""
+    from cola_spark.operators.linkrank import mirror_host_pairs
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "source")
+    m0 = docs.filter(F.col("source") == "src0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        F.lit("mirror0").alias("source"),
+    )
+    m1 = docs.filter(
+        (F.col("source") == "src1") & (F.col("doc_id") % 80 == 1)
+    ).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        "text",
+        F.lit("mirror1").alias("source"),
+    )
+    return mirror_host_pairs(
+        docs.unionByName(m0).unionByName(m1), min_jaccard_x1000=500
+    )
+
+
+SQL_MIRROR_HOSTS = """
+WITH planted AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL SELECT doc_id + 100000, text, 'mirror0' FROM documents
+  WHERE source = 'src0'
+  UNION ALL SELECT doc_id + 200000, text, 'mirror1' FROM documents
+  WHERE source = 'src1' AND doc_id % 80 = 1),
+fp AS (SELECT DISTINCT source AS host, md5(text) AS fp FROM planted),
+sizes AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY host),
+cm AS (SELECT a.host AS host_a, b.host AS host_b,
+              CAST(COUNT(*) AS BIGINT) AS common
+       FROM fp a JOIN fp b ON a.fp = b.fp AND a.host < b.host
+       GROUP BY 1, 2),
+j AS (SELECT c.host_a, c.host_b, c.common, sa.n AS n_a, sb.n AS n_b,
+             CAST((1000 * c.common) // (sa.n + sb.n - c.common) AS BIGINT)
+               AS jac_x1000
+      FROM cm c
+      JOIN sizes sa ON sa.host = c.host_a
+      JOIN sizes sb ON sb.host = c.host_b)
+SELECT host_a, host_b, common, n_a, n_b, jac_x1000
+FROM j WHERE jac_x1000 >= 500
+"""
+
+PAIRS.update({"mirror_host_pairs": (q_mirror_host_pairs, SQL_MIRROR_HOSTS)})

@@ -96,3 +96,40 @@ def test_anchor_rollup_no_window_plan(spark):
     p = buf.getvalue()
     assert "Window" not in p
     assert "BroadcastHashJoin" not in p
+
+
+def test_mirror_host_pairs_threshold_both_sides(spark):
+    from cola_spark.operators.linkrank import mirror_host_pairs
+
+    rows = (
+        [(i, f"text {i}", "h1") for i in range(8)]
+        + [(100 + i, f"text {i}", "h2") for i in range(8)]      # full mirror
+        + [(200 + i, f"text {i}", "h3") for i in range(2)]      # 2/8 subset
+        + [(300, "text 0", "h4"), (301, "own a", "h4"), (302, "own b", "h4")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["host_a"], r["host_b"]): r
+        for r in mirror_host_pairs(df, min_jaccard_x1000=500).collect()
+    }
+    assert set(got) == {("h1", "h2")}
+    r = got[("h1", "h2")]
+    assert (r["common"], r["n_a"], r["n_b"], r["jac_x1000"]) == (8, 8, 8, 1000)
+    # with the threshold open, the sub-mirror overlaps appear with the
+    # exact integer Jaccard values (2/8 -> 250; 1/10 -> 100)
+    allp = {
+        (r["host_a"], r["host_b"]): r["jac_x1000"]
+        for r in mirror_host_pairs(df, min_jaccard_x1000=0).collect()
+    }
+    assert allp[("h1", "h3")] == 250 and allp[("h2", "h3")] == 250
+    assert allp[("h1", "h4")] == 100  # 1 shared / (8 + 3 - 1)
+    # duplicate text WITHIN a host counts once (distinct fingerprints)
+    df2 = df.unionByName(
+        spark.createDataFrame([(400, "text 0", "h1")],
+                              "doc_id long, text string, source string")
+    )
+    r2 = {
+        (r["host_a"], r["host_b"]): r
+        for r in mirror_host_pairs(df2, min_jaccard_x1000=500).collect()
+    }[("h1", "h2")]
+    assert (r2["common"], r2["n_a"], r2["jac_x1000"]) == (8, 8, 1000)
