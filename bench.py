@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "bpe_encode_counts",  # the apply half: trained rules tokenize the
     # corpus (vocab-scale apply + one word-keyed join back)
     "politeness_schedule",  # per-host delay calendar, host-window only
+    "sitemap_seed_expand",  # sitemap XML -> canonicalized, seen-
+    # deduped frontier seeds (makes the canonicalizer driver-oracled)
     "adaptive_recrawl",  # change-rate revisit intervals, one page window
     "trap_detect",  # crawler-trap signals: per-URL-local explode+agg
     "pack_sequences",  # trainer-sequence packing: per-shard token layout

@@ -4560,3 +4560,86 @@ FROM j WHERE jac_x1000 >= 500
 """
 
 PAIRS.update({"mirror_host_pairs": (q_mirror_host_pairs, SQL_MIRROR_HOSTS)})
+
+
+def q_sitemap_seed_expand(spark, sf):
+    """Sitemap-driven seed expansion — crawl discovery beyond page
+    links (SURVEY §2 seed injection, upgraded to the sitemap protocol):
+    per-host sitemap XML (deterministic synthetic: 3 <loc> entries per
+    host, URLs intentionally MESSY — uppercase scheme/host, explicit
+    :80, fragment, unsorted query) is parsed with one JVM-side
+    regexp_extract_all, every URL canonicalized (functions/urls.py —
+    this makes the canonicalizer itself driver-oracled: the DuckDB
+    side computes the expected canonical form from the generation
+    recipe, so a parser/normalization drift hash-fails), deduped
+    within the batch, and anti-joined against the seen store (pages
+    k < 10 already crawled). Output: (host, url_canon) — the admitted
+    new frontier seeds. One explode + one anti-join; no Python."""
+    from cola_spark.functions.urls import canonicalize_url
+
+    hosts = spark.range(40).select(F.col("id").alias("h"))
+    hs = F.col("h").cast("string")
+
+    def ent(j: int):
+        k = F.pmod(
+            _md5_col(F.concat(F.lit("sm:"), hs, F.lit(f"_{j}"))), F.lit(50)
+        ).cast("string")
+        return F.concat(
+            F.lit("<loc>HTTP://H"), hs, F.lit(".EXAMPLE.com:80/p"), k,
+            F.lit(f"?b=2&a=1#sec{j}"), F.lit("</loc>"),
+        )
+
+    sitemaps = hosts.select(
+        "h",
+        F.concat(
+            F.lit("<urlset>"), ent(0), ent(1), ent(2), F.lit("</urlset>")
+        ).alias("xml"),
+    )
+    locs = sitemaps.select(
+        "h",
+        F.explode(
+            F.regexp_extract_all("xml", F.lit(r"<loc>([^<]+)</loc>"), F.lit(1))
+        ).alias("url"),
+    )
+    canon = locs.select(
+        "h", canonicalize_url(F.col("url")).alias("url_canon")
+    ).distinct()
+    seen = (
+        hosts.select("h", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k"))
+        .select(
+            F.concat(
+                F.lit("http://h"), hs, F.lit(".example.com/p"),
+                F.col("k").cast("string"), F.lit("?a=1&b=2"),
+            ).alias("url_canon")
+        )
+    )
+    return (
+        canon.join(seen.hint("shuffle_hash"), "url_canon", "left_anti")
+        .select(
+            F.concat(F.lit("h"), hs, F.lit(".example.com")).alias("host"),
+            "url_canon",
+        )
+    )
+
+
+SQL_SITEMAP_SEEDS = """
+WITH hosts AS (SELECT CAST(h AS BIGINT) AS h FROM UNNEST(range(0, 40)) t(h)),
+ent AS (
+  SELECT h, j,
+         CAST(('0x' || substr(md5('sm:' || CAST(h AS VARCHAR) || '_'
+              || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 50 AS k
+  FROM hosts, UNNEST(range(0, 3)) tj(j)),
+canon AS (
+  SELECT DISTINCT h,
+         'http://h' || CAST(h AS VARCHAR) || '.example.com/p'
+           || CAST(k AS VARCHAR) || '?a=1&b=2' AS url_canon, k
+  FROM ent),
+seen AS (
+  SELECT 'http://h' || CAST(h AS VARCHAR) || '.example.com/p'
+           || CAST(k AS VARCHAR) || '?a=1&b=2' AS url_canon
+  FROM hosts, UNNEST(range(0, 10)) tk(k))
+SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host, url_canon
+FROM canon WHERE url_canon NOT IN (SELECT url_canon FROM seen)
+"""
+
+PAIRS.update({"sitemap_seed_expand": (q_sitemap_seed_expand, SQL_SITEMAP_SEEDS)})

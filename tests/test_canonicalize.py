@@ -52,3 +52,26 @@ def test_host_path_hash(spark):
     assert row.h == "h1.example"
     assert row.p == "/p/7"
     assert isinstance(row.k, int)
+
+
+def test_sitemap_seed_expand_semantics(spark):
+    """The sitemap query's invariants beyond the oracle: every admitted
+    URL is in recipe-canonical form (messy scheme/port/fragment/query
+    all normalized), no admitted URL has a seen page id (k < 10), and
+    within-batch duplicate <loc> entries collapse."""
+    import re
+
+    from cola_spark.queries import q_sitemap_seed_expand
+
+    rows = q_sitemap_seed_expand(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    pat = re.compile(r"^http://h(\d+)\.example\.com/p(\d+)\?a=1&b=2$")
+    seen_pairs = set()
+    for r in rows:
+        m = pat.match(r["url_canon"])
+        assert m, r["url_canon"]
+        assert r["host"] == f"h{m.group(1)}.example.com"
+        assert int(m.group(2)) >= 10          # seen pages filtered
+        key = (m.group(1), m.group(2))
+        assert key not in seen_pairs          # distinct admitted set
+        seen_pairs.add(key)
