@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "ann_pq_trained_topk",  # Lloyd-trained codebook (3 iters), recall 0.8
     "ann_pq_refine_topk",  # + exact re-rank of the 30-deep shortlist: 1.0
     "ann_ivfpq_sampled_topk",
+    "embedding_pca1",  # PCA by integer power iteration: one Gram pass
+    # at corpus scale, dim-scale iterations, exact projections
     "semdedup_prune",  # SemDeDup semantic dedup: trained k-means cells
     # + within-cell cosine prune, keep-first (the DataComp step)  # BOTH quantizers trained on the 25%
     # bounded sample — the 100 TB training shape; Lloyd cost drops with

@@ -1071,3 +1071,112 @@ def semdedup_prune(
             (F.coalesce(F.col("n_dups"), F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def embedding_pca1(
+    corpus: DataFrame,
+    iters: int = 3,
+    grid: int = 1000,
+    vscale: int = 1_000_000,
+    gram_div: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, pc1): each vector's projection onto the corpus's
+    dominant principal direction, computed by POWER ITERATION on the
+    integer grid — the spectral member of this repo's trained-as-
+    relational-ops family (LR gradient descent, Lloyd k-means, damped
+    PageRank, BPE merges): every iteration is exact integer DataFrame
+    arithmetic the DuckDB oracle replays as CTEs, so a wrong matrix-
+    vector product or a wrong normalization hash-fails.
+
+    The pipeline use is dimensionality triage before the ANN index
+    (project-then-bucket, whitening diagnostics, drift monitooring of
+    the embedding distribution between crawl snapshots).
+
+    Math on the grid: ie = floor(e·grid) (embedding_grid's exact
+    snap); the Gram matrix G_ij = Σ_vec ie_i·ie_j is ONE corpus pass —
+    a vec_id-keyed self-join fanning each vector to dim² product rows
+    feeding a map-side-combinable (i, j) aggregation with dim² = 4096
+    output cells at any corpus size (int64 headroom: 10^10 vectors ·
+    10^6 per product ≈ 10^16 < 2^63). The ITERATION products G·v need
+    dim·G_max·vscale < 2^63, which a 10^10-vector corpus exceeds —
+    power iteration is scale-invariant in G, so set ``gram_div`` (an
+    exact floor division of every Gram cell, replayed verbatim by the
+    oracle) to about G_max·dim·vscale / 2^62; the sandbox default 1
+    keeps the small-scale arithmetic untouched. Iterations then run at
+    CONFIG scale (dim-row frames): w = G·v via a broadcast join, then
+    the max-norm rescale in overflow- and sign-safe integer form:
+    with m = max|w|, sg the sign making the argmax entry positive
+    (fixing the eigenvector's sign ambiguity; ties → lower i), and
+    q = max(m div vscale, 1),
+
+        v' = ((sg·w + m) div q) − vscale
+
+    — the numerator is ≥ 0 (|w| ≤ m), so floor and truncate agree and
+    Spark's `div` equals DuckDB's `//` exactly; no product ever
+    exceeds 2·m (the naive w·vscale/m form overflows int64 AND
+    diverges between the engines' negative-division conventions). The
+    final
+    projection pc1 = Σ_j ie_j·v_j is one more broadcast join +
+    combinable groupBy. No window, no collect, no floats anywhere."""
+    from cola_spark.operators.multimodal import embedding_grid
+
+    g = embedding_grid(
+        spread_small_scan(corpus, id_col), id_col=id_col, vec_col=vec_col,
+        grid=grid,
+    )
+    gi = g.select(F.col("doc_id").alias("vid"), F.col("j").alias("i"),
+                  F.col("ie").alias("a"))
+    gj = g.select(F.col("doc_id").alias("vid"), F.col("j").alias("jj"),
+                  F.col("ie").alias("b"))
+    gram = (
+        gi.join(gj.hint("shuffle_hash"), "vid")
+        .groupBy("i", "jj")
+        .agg(
+            F.expr(f"sum(a * b) div {int(gram_div)}").cast("long").alias("gij")
+        )
+        .localCheckpoint()  # dim^2 rows; cuts the corpus lineage
+    )
+    spark = corpus.sparkSession
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("jj"),
+        F.lit(int(vscale)).cast("long").alias("v"),
+    )
+    for _ in range(int(iters)):
+        w = (
+            gram.join(F.broadcast(v), "jj")
+            .groupBy("i")
+            .agg(F.sum(F.col("gij") * F.col("v")).cast("long").alias("w"))
+        )
+        # 1-row (max |w|, sign of the argmax entry); ties -> lower i
+        mx = (
+            w.orderBy(F.abs(F.col("w")).desc(), F.asc("i"))
+            .limit(1)
+            .select(
+                F.abs(F.col("w")).alias("m"),
+                F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("sg"),
+            )
+        )
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("jj"),
+                (
+                    F.expr(
+                        f"(sg * w + m) div greatest(m div {int(vscale)}, 1)"
+                    )
+                    - F.lit(int(vscale))
+                )
+                .cast("long")
+                .alias("v"),
+            )
+            .localCheckpoint()  # dim rows; read by next round twice
+        )
+    return (
+        g.join(F.broadcast(v.withColumnRenamed("jj", "j")), "j")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("ie") * F.col("v")).cast("long").alias("pc1"))
+        .select(F.col("doc_id").alias("vec_id"), "pc1")
+    )

@@ -4643,3 +4643,61 @@ FROM canon WHERE url_canon NOT IN (SELECT url_canon FROM seen)
 """
 
 PAIRS.update({"sitemap_seed_expand": (q_sitemap_seed_expand, SQL_SITEMAP_SEEDS)})
+
+
+def q_embedding_pca1(spark, sf):
+    """PCA by integer power iteration (similarity.embedding_pca1): the
+    corpus's dominant principal direction from 3 exact-integer power
+    iterations on the grid-snapped Gram matrix, then every vector's
+    pc1 projection — the spectral member of the trained-relational
+    family (GD, Lloyd, PageRank, BPE). The oracle unrolls the Gram
+    build + all 3 iterations (overflow-/sign-safe rescale) as CTEs: a
+    wrong matrix-vector product, max, sign, or division rule
+    hash-fails."""
+    from cola_spark.operators.similarity import embedding_pca1
+
+    return embedding_pca1(_t(spark, sf, "embeddings"), iters=3)
+
+
+def _sql_embedding_pca1(
+    iters: int = 3, grid: int = 1000, vscale: int = 1_000_000,
+    gram_div: int = 1, dim: int = 64,
+) -> str:
+    js = ", ".join(str(j) for j in range(dim))
+    ctes = [
+        f"""g AS (
+  SELECT vec_id, j,
+         CAST(FLOOR(CAST(embedding[j + 1] AS DOUBLE) * {grid}) AS BIGINT) AS ie
+  FROM embeddings, UNNEST([{js}]) AS t(j))""",
+        f"""gram AS (
+  SELECT a.j AS i, b.j AS jj,
+         CAST(SUM(a.ie * b.ie) // {gram_div} AS BIGINT) AS gij
+  FROM g a JOIN g b ON a.vec_id = b.vec_id GROUP BY 1, 2)""",
+        f"""v0 AS (SELECT CAST(jj AS INTEGER) AS jj,
+               CAST({vscale} AS BIGINT) AS v
+        FROM UNNEST(range(0, {dim})) AS t(jj))""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""w{t} AS (
+  SELECT gr.i, CAST(SUM(gr.gij * v.v) AS BIGINT) AS w
+  FROM gram gr JOIN v{t - 1} v ON v.jj = gr.jj GROUP BY gr.i)""")
+        ctes.append(f"""m{t} AS (
+  SELECT ABS(w) AS m, CASE WHEN w < 0 THEN -1 ELSE 1 END AS sg
+  FROM w{t} ORDER BY ABS(w) DESC, i LIMIT 1)""")
+        ctes.append(f"""v{t} AS (
+  SELECT CAST(w.i AS INTEGER) AS jj,
+         CAST((w.w * m.sg + m.m) // GREATEST(m.m // {vscale}, 1)
+              - {vscale} AS BIGINT) AS v
+  FROM w{t} w, m{t} m)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT g.vec_id, CAST(SUM(g.ie * v.v) AS BIGINT) AS pc1
+FROM g JOIN v{iters} v ON v.jj = g.j
+GROUP BY g.vec_id
+"""
+    )
+
+
+SQL_EMBEDDING_PCA1 = _sql_embedding_pca1()
+
+PAIRS.update({"embedding_pca1": (q_embedding_pca1, SQL_EMBEDDING_PCA1)})

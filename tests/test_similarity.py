@@ -254,3 +254,50 @@ def test_semdedup_prune_semantics(spark, emb):
     # its own smaller-id near-dup (keep-first-occurrence)
     kept = [vid for vid, r in out.items() if r.keep]
     assert kept, "some exemplars must survive"
+
+
+def test_embedding_pca1_finds_planted_direction(spark):
+    """On a strongly anisotropic corpus (one planted direction u
+    carries almost all variance), 3 integer power iterations must
+    recover it: the pc1 projections correlate >= 0.999 in absolute
+    value with the planted coefficients (numpy is the reference)."""
+    import numpy as np
+
+    from cola_spark.operators.similarity import embedding_pca1
+
+    dim = 8
+    rng_u = np.array([3, 1, -2, 5, 0, 2, -1, 4], dtype=np.float64)
+    u = rng_u / np.linalg.norm(rng_u)
+    rows = []
+    coef = []
+    for i in range(40):
+        a = (i - 20) / 4.0                      # dominant coefficient
+        noise = np.array(
+            [((i * 7 + j * 13) % 11 - 5) / 200.0 for j in range(dim)]
+        )
+        vec = a * u + noise
+        rows.append((i, [float(x) for x in vec]))
+        coef.append(a)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["pc1"]
+        for r in embedding_pca1(df, iters=3, dim=dim).collect()
+    }
+    pc1 = np.array([got[i] for i in range(40)], dtype=np.float64)
+    c = np.array(coef)
+    corr = np.corrcoef(pc1, c)[0, 1]
+    assert abs(corr) >= 0.999, corr
+    # determinism: bit-identical across invocations
+    again = {
+        r["vec_id"]: r["pc1"]
+        for r in embedding_pca1(df, iters=3, dim=dim).collect()
+    }
+    assert again == got
+    # gram_div rescale keeps the direction (scale-invariance of power
+    # iteration under exact integer pre-division)
+    div = {
+        r["vec_id"]: r["pc1"]
+        for r in embedding_pca1(df, iters=3, dim=dim, gram_div=7).collect()
+    }
+    pc1d = np.array([div[i] for i in range(40)], dtype=np.float64)
+    assert abs(np.corrcoef(pc1d, c)[0, 1]) >= 0.999
