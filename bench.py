@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "ann_ivfpq_sampled_topk",
     "embedding_pca1",  # PCA by integer power iteration: one Gram pass
     # at corpus scale, dim-scale iterations, exact projections
+    "ann_pca_bucket_topk",  # projection-pruned ANN: pc1 buckets +/-1
+    # probed, exact cosine rank on the shortlist
     "semdedup_prune",  # SemDeDup semantic dedup: trained k-means cells
     # + within-cell cosine prune, keep-first (the DataComp step)  # BOTH quantizers trained on the 25%
     # bounded sample — the 100 TB training shape; Lloyd cost drops with

@@ -301,3 +301,44 @@ def test_embedding_pca1_finds_planted_direction(spark):
     }
     pc1d = np.array([div[i] for i in range(40)], dtype=np.float64)
     assert abs(np.corrcoef(pc1d, c)[0, 1]) >= 0.999
+
+
+def test_pca_bucket_topk_recall_and_brute_degeneration(spark):
+    """Projection pruning: recall floors on the isotropic synthetic
+    embeddings (measured 0.94 at sf0.01 / 0.80 at sf0.001, scanning
+    ~half the corpus), and probe=ALL degrades EXACTLY to brute force
+    (the pruning is the only approximation). Note cosine caveat: pc1
+    prunes by the u-COMPONENT, so it helps cosine search only where
+    vectors are norm-comparable (as here) — same-direction vectors of
+    very different magnitude are cosine-near but pc1-far."""
+    from cola_spark.operators.similarity import (
+        brute_force_topk,
+        pca_bucket_topk,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 10)
+    brute = {}
+    for r in brute_force_topk(q, embs, k=5).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(v) for v in brute.values())
+
+    def recall(bw, probe):
+        got = {}
+        rows = pca_bucket_topk(q, embs, k=5, bucket_width=bw, probe=probe).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return rows, sum(len(brute[x] & got.get(x, set())) for x in brute) / total
+
+    _, r29 = recall(1 << 29, 1)
+    assert r29 >= 0.7  # measured 0.80 (sf0.001), 0.94 (sf0.01)
+    rows_all, r_all = recall(1 << 29, 1000)
+    assert r_all == 1.0
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in brute_force_topk(q, embs, k=5)
+        .select("query_id", "neighbor_id", "rank").collect()
+    )
+    assert sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in rows_all
+    ) == want
