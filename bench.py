@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "tfidf_topk",  # integer-exact tf-idf keyword extraction, top-3/doc
     "image_mix_filter",  # LAION-shaped image-caption curation: metadata
     # gates + pHash near-dup CC dedup among survivors, fully SQL-oracled
+    "rendezvous_route",  # HRW consistent routing: pure map-side argmax,
+    # minimal frontier movement on worker-pool change (1/(W+1) vs 8/9)
 ]
 
 

@@ -1,0 +1,86 @@
+"""Rendezvous (highest-random-weight) frontier routing.
+
+cola routes every frontier message to a fixed worker by hashing the
+URL over the node list (SURVEY.md §2 row 4, mq/node routing; the salted
+hash partitioner in operators/priority.py is this repo's steady-state
+twin). Plain `hash(url) % W` has a production flaw the reference never
+had to face at its scale: when the worker set changes (a node joins or
+dies mid-crawl), (W-1)/W of all keys change owner, so nearly every
+per-host politeness queue, budget counter and in-flight dedup shard
+migrates at once. Rendezvous hashing (Thaler & Ravishankar 1998, the
+scheme behind consistent routing in most modern frontiers) fixes that:
+
+    owner(url) = argmax over workers w of hash(url, w)
+
+Adding a worker moves exactly the keys whose new-worker score wins —
+an expected 1/(W+1) of the frontier — and every moved key moves TO the
+new worker; removing one moves only its own keys. Both properties are
+pinned in tests and in the driver oracle (the `moved → new owner`
+implication is part of the output relation).
+
+Scale design: routing is PURE MAP-SIDE — per row, W integer hashes and
+an expanded argmax CASE chain (scalar codegen, no per-row array sort,
+no HOF, no shuffle). The worker list is config-scale. At a 10^10-URL
+frontier this pipelines inside the canonicalize stage; the only
+exchange it ever implies is the one the router exists to produce (the
+partition-by-owner write), which the scheduler already pays.
+
+Hash family: "md5" (cross-engine, DuckDB-oracle-able) or "xxhash64"
+(JVM intrinsic, the scale default) — textdedup.hash_family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cola_spark.operators.textdedup import hash_family
+
+
+def rendezvous_score(url_col: Column, worker: int, hash_kind: str = "md5") -> Column:
+    """The (url, worker) rendezvous score: hash of "url|worker"."""
+    h = hash_family(hash_kind)
+    return h(F.concat(url_col, F.lit(f"|{worker}")), "hrw")
+
+
+def rendezvous_owner(
+    url_col: Column, n_workers: int, hash_kind: str = "md5"
+) -> Column:
+    """argmax_w score(url, w) as an expanded strictly-greater chain —
+    ties resolve to the SMALLEST worker id (deterministic; with 60-bit
+    hashes a tie is ~2^-60 per pair, but the rule must still be a
+    rule). Scalar codegen: 2·W column expressions, no array ops."""
+    if n_workers < 1:
+        raise ValueError("n_workers must be >= 1")
+    best_s = rendezvous_score(url_col, 0, hash_kind)
+    best_w = F.lit(0)
+    for w in range(1, n_workers):
+        s = rendezvous_score(url_col, w, hash_kind)
+        best_w = F.when(s > best_s, F.lit(w)).otherwise(best_w)
+        best_s = F.when(s > best_s, s).otherwise(best_s)
+    return best_w.cast("long")
+
+
+def rendezvous_route(
+    df: DataFrame,
+    url_col: str = "url",
+    n_before: int = 8,
+    n_after: int = 9,
+    hash_kind: str = "md5",
+) -> DataFrame:
+    """Per-URL owner under two worker-set sizes plus the movement
+    decision table: (url, owner_before, owner_after, moved).
+
+    The minimal-disruption contract is auditable from the relation
+    itself: when n_after = n_before + 1, every moved=true row has
+    owner_after = n_before (all movement flows to the new node) and
+    the moved fraction concentrates around 1/n_after."""
+    u = F.col(url_col)
+    before = rendezvous_owner(u, n_before, hash_kind)
+    after = rendezvous_owner(u, n_after, hash_kind)
+    return df.select(
+        u.alias("url"),
+        before.alias("owner_before"),
+        after.alias("owner_after"),
+        (before != after).alias("moved"),
+    )

@@ -4774,3 +4774,63 @@ SELECT query_id, neighbor_id, rank FROM (
 SQL_ANN_PCA_BUCKET = _sql_ann_pca_bucket()
 
 PAIRS.update({"ann_pca_bucket_topk": (q_ann_pca_bucket_topk, SQL_ANN_PCA_BUCKET)})
+
+
+# ------------------------------------------ rendezvous routing (round 5)
+
+
+def q_rendezvous_route(spark, sf):
+    """Rendezvous/HRW frontier routing (operators/routing.py — the
+    consistent-hashing upgrade to SURVEY §2 row 4's mod-hash node
+    routing): owner(url) = argmax_w hash(url|w), so growing the worker
+    pool 8→9 moves only ~1/9 of the frontier and EVERY moved key moves
+    to the new node — vs 8/9 churn under hash%W. Pure map-side (W
+    integer hashes + an expanded argmax chain per row, no shuffle, no
+    array sort); the full movement decision table is the output, so the
+    oracle verifies the minimal-disruption contract key by key."""
+    from cola_spark.operators.routing import rendezvous_route
+
+    li = _t(spark, sf, "lineitem")
+    url = F.concat(
+        F.lit("http://h"),
+        F.pmod(F.col("l_orderkey"), F.lit(97)).cast("string"),
+        F.lit(".example.com/p"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("_"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return rendezvous_route(
+        li.select(url.alias("url")), n_before=8, n_after=9, hash_kind="md5"
+    )
+
+
+def _sql_rendezvous(n_before: int = 8, n_after: int = 9) -> str:
+    scores = ",\n       ".join(
+        _md5i("url || '|%d'" % w, "hrw") + f" AS s{w}" for w in range(n_after)
+    )
+
+    def owner(n: int) -> str:
+        g = "GREATEST(" + ", ".join(f"s{w}" for w in range(n)) + ")"
+        cases = " ".join(f"WHEN s{w} = {g} THEN {w}" for w in range(n))
+        return f"CAST(CASE {cases} END AS BIGINT)"
+
+    return f"""
+WITH u AS (
+  SELECT 'http://h' || CAST(l_orderkey % 97 AS VARCHAR) || '.example.com/p'
+         || CAST(l_orderkey AS VARCHAR) || '_'
+         || CAST(l_linenumber AS VARCHAR) AS url
+  FROM lineitem),
+s AS (SELECT url,
+       {scores}
+      FROM u)
+SELECT url,
+       {owner(n_before)} AS owner_before,
+       {owner(n_after)} AS owner_after,
+       {owner(n_before)} <> {owner(n_after)} AS moved
+FROM s
+"""
+
+
+SQL_RENDEZVOUS_ROUTE = _sql_rendezvous()
+
+PAIRS.update({"rendezvous_route": (q_rendezvous_route, SQL_RENDEZVOUS_ROUTE)})
