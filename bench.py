@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     # gates + pHash near-dup CC dedup among survivors, fully SQL-oracled
     "rendezvous_route",  # HRW consistent routing: pure map-side argmax,
     # minimal frontier movement on worker-pool change (1/(W+1) vs 8/9)
+    "hll_seen_estimate",  # HyperLogLog seen-cardinality: 256-register
+    # integer sketch, one map-side pass + a 256-key groupBy, mergeable
 ]
 
 

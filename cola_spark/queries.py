@@ -4834,3 +4834,116 @@ FROM s
 SQL_RENDEZVOUS_ROUTE = _sql_rendezvous()
 
 PAIRS.update({"rendezvous_route": (q_rendezvous_route, SQL_RENDEZVOUS_ROUTE)})
+
+
+# --------------------------------------- HLL seen cardinality (round 5)
+
+
+_HLL_URL = (
+    "'http://h' || CAST(l_orderkey % 97 AS VARCHAR) || '.example.com/p'"
+    " || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)"
+)
+
+
+def _hll_urls(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        F.concat(
+            F.lit("http://h"),
+            F.pmod(F.col("l_orderkey"), F.lit(97)).cast("string"),
+            F.lit(".example.com/p"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("url")
+    )
+
+
+def q_hll_registers(spark, sf):
+    """HyperLogLog sketch state (operators/cardinality.py) over the
+    frontier URL universe — the 256-row register table, every register
+    replayed bit-for-bit by the oracle (hash → bucket/rank split →
+    trailing-zero rank via bit_count(w XOR (w-1)) → per-bucket max).
+    One map-side pass + a 256-key combinable groupBy at any corpus
+    size; elementwise-max mergeable across partitions/rounds
+    (test-pinned). The production seen-cardinality metric at 10^10
+    URLs — countDistinct's full key shuffle replaced by a sketch of a
+    few hundred bytes."""
+    from cola_spark.operators.cardinality import hll_registers
+
+    return hll_registers(_hll_urls(spark, sf))
+
+
+_SQL_HLL_REGS_CTES = f"""u AS (SELECT {_HLL_URL} AS url FROM lineitem),
+hh AS (SELECT CAST(('0x' || substr(md5('hll:' || url), 1, 15)) AS BIGINT)
+         AS h FROM u),
+hw AS (SELECT h % 256 AS bucket, h // 256 AS w FROM hh),
+rk AS (SELECT bucket,
+              LEAST(CASE WHEN w = 0 THEN 53
+                    ELSE CAST(bit_count(xor(w, w - 1)) AS BIGINT) END,
+                    40) AS rnk
+       FROM hw),
+occ AS (SELECT bucket, MAX(rnk) AS register FROM rk GROUP BY bucket),
+spine AS (SELECT CAST(i AS BIGINT) AS bucket
+          FROM UNNEST(generate_series(0, 255)) AS t(i)),
+regs AS (SELECT s.bucket, CAST(COALESCE(o.register, 0) AS BIGINT) AS register
+         FROM spine s LEFT JOIN occ o ON s.bucket = o.bucket)"""
+
+SQL_HLL_REGISTERS = (
+    "WITH " + _SQL_HLL_REGS_CTES + "\nSELECT bucket, register FROM regs"
+)
+
+
+def q_hll_seen_estimate(spark, sf):
+    """The one-row integer HLL estimate from the register table
+    (m, n_empty, s_scaled, est) joined with the exact countDistinct as
+    a test-scale audit column (exact_distinct, err_permille — the
+    exact count is the SANDBOX audit; at scale the sketch replaces it,
+    which is the point). All arithmetic on the integer grid — see the
+    module docstring for the overflow-saturated α_256 rational form."""
+    from cola_spark.operators.cardinality import hll_estimate, hll_registers
+
+    urls = _hll_urls(spark, sf)
+    est = hll_estimate(hll_registers(urls))
+    exact = urls.agg(
+        F.countDistinct("url").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(exact).select(
+        "m",
+        "n_empty",
+        "s_scaled",
+        "est",
+        "exact_distinct",
+        F.expr("abs(est - exact_distinct) * 1000 div exact_distinct")
+        .cast("long")
+        .alias("err_permille"),
+    )
+
+
+SQL_HLL_ESTIMATE = (
+    "WITH "
+    + _SQL_HLL_REGS_CTES
+    + """,
+agg AS (SELECT CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_empty,
+        CAST(SUM(CAST(1 AS BIGINT) << CAST(40 - register AS INTEGER))
+          AS BIGINT) AS s_scaled
+        FROM regs),
+ex AS (SELECT CAST(COUNT(DISTINCT url) AS BIGINT) AS exact_distinct FROM u),
+es AS (SELECT CAST(256 AS BIGINT) AS m, n_empty, s_scaled,
+        CAST((718273 * LEAST((CAST(65536 AS BIGINT)
+                              * (CAST(1 AS BIGINT) << 40)) // s_scaled,
+                             12800000000000)) // 1000000 AS BIGINT) AS est
+       FROM agg)
+SELECT m, n_empty, s_scaled, est, exact_distinct,
+       CAST(abs(est - exact_distinct) * 1000 // exact_distinct AS BIGINT)
+         AS err_permille
+FROM es, ex"""
+)
+
+PAIRS.update(
+    {
+        "hll_registers": (q_hll_registers, SQL_HLL_REGISTERS),
+        "hll_seen_estimate": (q_hll_seen_estimate, SQL_HLL_ESTIMATE),
+    }
+)
