@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     # minimal frontier movement on worker-pool change (1/(W+1) vs 8/9)
     "hll_seen_estimate",  # HyperLogLog seen-cardinality: 256-register
     # integer sketch, one map-side pass + a 256-key groupBy, mergeable
+    "registrable_domain",  # eTLD+1 politeness grouping: longest-suffix
+    # match vs a broadcast PSL dim, host-scale work only
 ]
 
 

@@ -4947,3 +4947,108 @@ PAIRS.update(
         "hll_seen_estimate": (q_hll_seen_estimate, SQL_HLL_ESTIMATE),
     }
 )
+
+
+# ------------------------------------ registrable domains (round 5)
+
+
+def q_registrable_domain(spark, sf):
+    """Registrable-domain (eTLD+1) politeness grouping
+    (operators/domains.py): longest-public-suffix match over a
+    broadcast suffix dim — the granularity every open-web crawler
+    groups politeness by (per-HOST budgets over-throttle subdomain
+    families of one registrant and under-throttle private-registry
+    hosts). Universe: per-site suffix drawn from {com, co.uk,
+    github.io, ac.uk, zz} (2-label suffixes, a private registry that
+    overrides its parent, an UNLISTED TLD exercising the PSL `*`
+    default), per-URL subdomain depth 0-2. Output: the per-host
+    decision table + URL counts — the politeness regroup is one
+    further groupBy on `registrable`."""
+    from cola_spark.operators.domains import registrable_domain
+
+    li = _t(spark, sf, "lineitem")
+    site = F.pmod(F.col("l_orderkey"), F.lit(200))
+    sub_i = F.pmod(
+        _md5_col(
+            F.concat(
+                F.lit("sub:"),
+                F.col("l_orderkey").cast("string"),
+                F.lit("_"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        F.lit(3),
+    )
+    sfx_i = F.pmod(
+        _md5_col(F.concat(F.lit("sfx:"), site.cast("string"))), F.lit(5)
+    )
+    host = F.concat(
+        F.element_at(F.array(F.lit(""), F.lit("www."), F.lit("a.b.")),
+                     (sub_i + 1).cast("int")),
+        F.lit("site"),
+        site.cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("co.uk"), F.lit("github.io"),
+                    F.lit("ac.uk"), F.lit("zz")),
+            (sfx_i + 1).cast("int"),
+        ),
+    )
+    counts = (
+        li.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )
+    rd = registrable_domain(counts)
+    # both sides are host-scale: pin shuffle_hash (the bloom-gate rule)
+    return counts.join(rd.hint("shuffle_hash"), "host").select(
+        "host", "n_urls", "public_suffix", "registrable"
+    )
+
+
+SQL_REGISTRABLE_DOMAIN = """
+WITH raw AS (
+  SELECT l_orderkey % 200 AS site,
+         CAST(('0x' || substr(md5('sub:' || CAST(l_orderkey AS VARCHAR)
+              || '_' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 3 AS sub_i
+  FROM lineitem),
+h AS (
+  SELECT CASE sub_i WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'a.b.' END
+         || 'site' || CAST(site AS VARCHAR) || '.'
+         || CASE CAST(('0x' || substr(md5('sfx:' || CAST(site AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 5
+              WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'github.io'
+              WHEN 3 THEN 'ac.uk' ELSE 'zz' END AS host
+  FROM raw),
+hc AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls FROM h GROUP BY host),
+lb AS (SELECT host, n_urls, string_split(host, '.') AS l,
+              len(string_split(host, '.')) AS n
+       FROM hc),
+sufs(suffix) AS (VALUES ('com'), ('org'), ('net'), ('io'), ('uk'),
+                        ('co.uk'), ('ac.uk'), ('github.io')),
+cand AS (
+  SELECT host, k, array_to_string(list_slice(l, n - k + 1, n), '.') AS cand
+  FROM lb, UNNEST(generate_series(1, 3)) AS t(k)
+  WHERE n >= k),
+m AS (
+  SELECT c.host, MAX(c.k) AS mk
+  FROM cand c JOIN sufs s ON c.cand = s.suffix
+  GROUP BY c.host),
+ms AS (
+  SELECT lb.host,
+         COALESCE(m.mk, 1) AS mk,
+         CASE WHEN m.mk IS NOT NULL
+              THEN array_to_string(list_slice(lb.l, lb.n - m.mk + 1, lb.n),
+                                   '.')
+              ELSE lb.l[lb.n] END AS suf,
+         lb.n, lb.l, lb.n_urls
+  FROM lb LEFT JOIN m ON lb.host = m.host)
+SELECT host, n_urls, suf AS public_suffix,
+       CASE WHEN n > mk THEN l[n - mk] || '.' || suf END AS registrable
+FROM ms
+"""
+
+PAIRS.update(
+    {"registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN)}
+)
