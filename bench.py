@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     # integer sketch, one map-side pass + a 256-key groupBy, mergeable
     "registrable_domain",  # eTLD+1 politeness grouping: longest-suffix
     # match vs a broadcast PSL dim, host-scale work only
+    "robots_parse_gate",  # raw robots.txt parsed relationally (UA block
+    # windows + most-specific group) + longest-prefix/allow-wins gate
 ]
 
 

@@ -9,7 +9,7 @@ frontier → broadcast anti-join, zero shuffle of the big side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -31,3 +31,146 @@ def robots_gate(
         r["disallow_prefix"]
     )
     return frontier.join(r, cond, "left_anti")
+
+
+# ---------------------------------------------------------------------
+# robots.txt PARSING (round 5): the sitemap treatment applied to row 11
+# — instead of assuming a pre-parsed rule table, parse the raw per-host
+# robots.txt text relationally and decide per-URL with the web rule
+# (RFC 9309 / Google): longest matching prefix wins, Allow beats
+# Disallow on a length tie, and the MOST SPECIFIC user-agent group is
+# used alone (an exact-agent group REPLACES the `*` group — groups do
+# not merge; the spec subtlety tests pin). Simplifications, documented:
+# UA selection is exact-or-star (the spec's longest-substring UA match
+# degenerates to that for the agents a scheduler actually runs), and
+# $/ * wildcards inside paths are out of scope (plain prefix rules).
+#
+# Scale: the robots corpus is HOST-scale. Parsing is one posexplode +
+# one host-keyed window (block numbering) + config-scale joins; the
+# per-URL decision joins the frontier to chosen rules on host — the
+# same exchange shape the frontier already pays — then reduces with one
+# combinable max(struct). No URL-scale window, no Python.
+
+
+def _robots_lines(robots: DataFrame, host_col: str, txt_col: str) -> DataFrame:
+    """(host, line_no, dir, val, is_ua, block) — comment-stripped,
+    case-folded directives, values verbatim (paths are case-sensitive);
+    block = index of the user-agent RUN governing this line (a maximal
+    run of consecutive UA lines opens a new block; its rules follow)."""
+    ln = F.posexplode(F.split(F.col(txt_col), "\n"))
+    clean = F.trim(F.regexp_replace("line", "#.*$", ""))
+    pat = r"(?i)^(user-agent|disallow|allow|crawl-delay)\s*:\s*(.*)$"
+    base = (
+        robots.select(F.col(host_col).alias("host"), ln.alias("line_no", "line"))
+        .select(
+            "host",
+            "line_no",
+            F.lower(F.regexp_extract(clean, pat, 1)).alias("dir"),
+            F.trim(F.regexp_extract(clean, pat, 2)).alias("val"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = (F.col("dir") == "user-agent").alias("is_ua")
+    run_start = F.col("is_ua") & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))
+    return (
+        base.select("host", "line_no", "dir", "val", is_ua)
+        .select(
+            "*",
+            F.sum(run_start.cast("int"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("block"),
+        )
+    )
+
+
+def _chosen_blocks(lines: DataFrame, agent: str) -> DataFrame:
+    """(host, block) of the governing UA group: the exact-agent blocks
+    when any exist for the host, else the `*` blocks."""
+    uas = lines.filter("is_ua").select(
+        "host", "block", F.lower("val").alias("ua")
+    )
+    exact = uas.filter(F.col("ua") == agent.lower()).select("host", "block")
+    star = uas.filter(F.col("ua") == "*").select("host", "block")
+    has_exact = exact.select("host").distinct()
+    return exact.unionByName(
+        star.join(has_exact.hint("shuffle_hash"), "host", "left_anti")
+    ).distinct()
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "txt",
+    agent: str = "colabot",
+) -> DataFrame:
+    """(host, prefix, is_allow) — the path rules of the governing UA
+    group. Empty-value rules are the spec no-op and are dropped."""
+    lines = _robots_lines(robots, host_col, txt_col)
+    chosen = _chosen_blocks(lines, agent)
+    return (
+        lines.filter(F.col("dir").isin("allow", "disallow"))
+        .filter(F.col("val") != "")
+        .join(chosen.hint("shuffle_hash"), ["host", "block"])
+        .select(
+            "host",
+            F.col("val").alias("prefix"),
+            (F.col("dir") == "allow").alias("is_allow"),
+        )
+    )
+
+
+def parse_robots_delay(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "txt",
+    agent: str = "colabot",
+) -> DataFrame:
+    """(host, delay_s) — min crawl-delay of the governing group; hosts
+    without one are absent (caller applies its default)."""
+    lines = _robots_lines(robots, host_col, txt_col)
+    chosen = _chosen_blocks(lines, agent)
+    return (
+        lines.filter(F.col("dir") == "crawl-delay")
+        .filter(F.col("val").rlike("^[0-9]+$"))
+        .join(chosen.hint("shuffle_hash"), ["host", "block"])
+        .groupBy("host")
+        .agg(F.min(F.col("val").cast("long")).alias("delay_s"))
+    )
+
+
+def robots_decide(
+    frontier: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Per-URL decision table (frontier cols + matched_len + allowed):
+    longest matching prefix wins, Allow beats Disallow on a tie (the
+    max(struct(len, is_allow)) encodes exactly that order), no match →
+    allowed. One host-keyed join + one combinable aggregate."""
+    r = rules.select(
+        F.col("host").alias("_rh"), "prefix", F.col("is_allow").cast("int").alias("_a")
+    )
+    hits = (
+        frontier.join(
+            r.hint("shuffle_hash"),
+            (frontier[host_col] == F.col("_rh"))
+            & frontier[path_col].startswith(F.col("prefix")),
+            "left",
+        )
+        .groupBy(host_col, path_col)
+        .agg(
+            F.max(
+                F.when(
+                    F.col("prefix").isNotNull(),
+                    F.struct(F.length("prefix").alias("l"), F.col("_a").alias("a")),
+                )
+            ).alias("_best")
+        )
+    )
+    return hits.select(
+        host_col,
+        path_col,
+        F.coalesce(F.col("_best.l"), F.lit(0)).cast("long").alias("matched_len"),
+        F.coalesce(F.col("_best.a") == 1, F.lit(True)).alias("allowed"),
+    )

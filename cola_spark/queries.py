@@ -5052,3 +5052,172 @@ FROM ms
 PAIRS.update(
     {"registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN)}
 )
+
+
+# --------------------------------------- robots.txt parsing (round 5)
+
+
+def _robots_universe(spark):
+    """50 hosts; every robots.txt has a `*` group (Disallow /private,
+    Allow /private/ok, an empty no-op Disallow, a Crawl-Delay, and an
+    equal-length /t tie pair); every third host APPENDS a two-UA group
+    (colabot+otherbot) whose rules REPLACE the `*` group for those
+    agents. Comments, blank lines, mixed directive case throughout."""
+    h = F.col("id")
+    hs = h.cast("string")
+    qs = F.pmod(h, F.lit(5)).cast("string")
+    d1 = (F.pmod(h, F.lit(3)) + 2).cast("string")
+    d2 = (F.pmod(h, F.lit(4)) + 1).cast("string")
+    star = F.concat(
+        F.lit("# robots h"), hs,
+        F.lit("\nUser-Agent: *\nDisallow: /private\nAllow: /private/ok"
+              "\nDisallow:\nCrawl-Delay: "),
+        d1,
+        F.lit("\nDisallow: /t\nAllow: /t"),
+    )
+    bot = F.concat(
+        F.lit("\n\nUser-agent: colabot\nUser-agent: otherbot\nDisallow: /p"),
+        qs,
+        F.lit("\nAllow: /p"), qs, F.lit("/ok\nCrawl-delay: "), d2,
+    )
+    txt = F.concat(
+        star, F.when(F.pmod(h, F.lit(3)) == 0, bot).otherwise(F.lit(""))
+    )
+    host = F.concat(F.lit("h"), hs, F.lit(".example.com"))
+    hosts = spark.range(50)
+    rb = hosts.select(host.alias("host"), txt.alias("txt"))
+    paths = F.array(
+        F.lit("/private/a"), F.lit("/private/ok/b"), F.lit("/p0/x"),
+        F.lit("/p1"), F.lit("/p2/ok/c"), F.lit("/home"), F.lit("/p3"),
+        F.lit("/t/x"),
+    )
+    fr = hosts.select(
+        host.alias("host"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
+        paths.alias("_p"),
+    ).select("host", F.element_at("_p", F.col("j") + 1).alias("path"))
+    return rb, fr
+
+
+def q_robots_parse_gate(spark, sf):
+    """robots.txt PARSED, not assumed (operators/robots.py round-5
+    half — the sitemap treatment applied to SURVEY §2 row 11): raw
+    per-host robots text → comment strip → directive extraction → UA
+    block numbering (one host-keyed window) → most-specific-group
+    selection (exact agent REPLACES `*` — groups don't merge) →
+    per-URL longest-prefix decision with Allow-beats-Disallow on
+    length ties (one combinable max(struct)). The oracle replays the
+    entire parse and decision; the planted universe makes every rule
+    live: tie pair, empty no-op Disallow, multi-UA block, star-only
+    vs overridden hosts."""
+    from cola_spark.operators.robots import parse_robots_rules, robots_decide
+
+    rb, fr = _robots_universe(spark)
+    return robots_decide(fr, parse_robots_rules(rb, agent="colabot"))
+
+
+def q_robots_crawl_delay(spark, sf):
+    """Crawl-delay of the governing UA group per host (min over the
+    group's delay lines) — feeds politeness_schedule's delay_ms.
+    Same parse as robots_parse_gate."""
+    from cola_spark.operators.robots import parse_robots_delay
+
+    rb, _ = _robots_universe(spark)
+    return parse_robots_delay(rb, agent="colabot")
+
+
+_SQL_ROBOTS_PARSE_CTES = r"""hosts AS (
+  SELECT CAST(i AS BIGINT) AS h FROM UNNEST(generate_series(0, 49)) AS t(i)),
+rb AS (
+  SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+         '# robots h' || CAST(h AS VARCHAR) || chr(10) ||
+         'User-Agent: *' || chr(10) ||
+         'Disallow: /private' || chr(10) ||
+         'Allow: /private/ok' || chr(10) ||
+         'Disallow:' || chr(10) ||
+         'Crawl-Delay: ' || CAST(h % 3 + 2 AS VARCHAR) || chr(10) ||
+         'Disallow: /t' || chr(10) || 'Allow: /t' ||
+         CASE WHEN h % 3 = 0 THEN
+           chr(10) || chr(10) ||
+           'User-agent: colabot' || chr(10) ||
+           'User-agent: otherbot' || chr(10) ||
+           'Disallow: /p' || CAST(h % 5 AS VARCHAR) || chr(10) ||
+           'Allow: /p' || CAST(h % 5 AS VARCHAR) || '/ok' || chr(10) ||
+           'Crawl-delay: ' || CAST(h % 4 + 1 AS VARCHAR)
+         ELSE '' END AS txt
+  FROM hosts),
+lines0 AS (SELECT host, string_split(txt, chr(10)) AS ls FROM rb),
+lines1 AS (SELECT host, CAST(i AS BIGINT) AS line_no, ls[i] AS line
+           FROM lines0, UNNEST(generate_series(1, len(ls))) AS t(i)),
+lp AS (SELECT host, line_no,
+        lower(regexp_extract(trim(regexp_replace(line, '#.*$', '')),
+          '(?i)^(user-agent|disallow|allow|crawl-delay)\s*:\s*(.*)$', 1))
+          AS dir,
+        trim(regexp_extract(trim(regexp_replace(line, '#.*$', '')),
+          '(?i)^(user-agent|disallow|allow|crawl-delay)\s*:\s*(.*)$', 2))
+          AS val
+       FROM lines1),
+bl0 AS (SELECT host, line_no, dir, val, (dir = 'user-agent') AS is_ua,
+         COALESCE(LAG(dir = 'user-agent')
+           OVER (PARTITION BY host ORDER BY line_no), FALSE) AS prev_ua
+        FROM lp),
+bl AS (SELECT host, line_no, dir, val, is_ua,
+        SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+          OVER (PARTITION BY host ORDER BY line_no
+                ROWS UNBOUNDED PRECEDING) AS block
+       FROM bl0),
+uas AS (SELECT host, block, lower(val) AS ua FROM bl WHERE is_ua),
+ex AS (SELECT DISTINCT host, block FROM uas WHERE ua = 'colabot'),
+st AS (SELECT DISTINCT host, block FROM uas WHERE ua = '*'),
+ch AS (SELECT host, block FROM ex
+       UNION
+       SELECT host, block FROM st
+       WHERE host NOT IN (SELECT host FROM ex)),
+rules AS (SELECT b.host, b.val AS prefix, (b.dir = 'allow') AS is_allow
+          FROM bl b JOIN ch ON b.host = ch.host AND b.block = ch.block
+          WHERE b.dir IN ('allow', 'disallow') AND b.val <> '')"""
+
+SQL_ROBOTS_PARSE_GATE = (
+    "WITH "
+    + _SQL_ROBOTS_PARSE_CTES
+    + r""",
+fr AS (SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+        CASE j WHEN 0 THEN '/private/a' WHEN 1 THEN '/private/ok/b'
+               WHEN 2 THEN '/p0/x' WHEN 3 THEN '/p1' WHEN 4 THEN '/p2/ok/c'
+               WHEN 5 THEN '/home' WHEN 6 THEN '/p3' ELSE '/t/x' END AS path
+       FROM hosts, UNNEST(generate_series(0, 7)) AS t(j)),
+hits AS (SELECT f.host, f.path, r.prefix, r.is_allow
+         FROM fr f LEFT JOIN rules r
+           ON f.host = r.host AND starts_with(f.path, r.prefix)),
+rk AS (SELECT host, path, prefix, is_allow,
+        ROW_NUMBER() OVER (PARTITION BY host, path
+                           ORDER BY length(prefix) DESC,
+                                    is_allow DESC) AS rn
+       FROM hits WHERE prefix IS NOT NULL),
+best AS (SELECT host, path, CAST(length(prefix) AS BIGINT) AS ml, is_allow
+         FROM rk WHERE rn = 1)
+SELECT f.host, f.path,
+       COALESCE(b.ml, 0) AS matched_len,
+       COALESCE(b.is_allow, TRUE) AS allowed
+FROM (SELECT DISTINCT host, path FROM fr) f
+LEFT JOIN best b ON f.host = b.host AND f.path = b.path
+"""
+)
+
+SQL_ROBOTS_CRAWL_DELAY = (
+    "WITH "
+    + _SQL_ROBOTS_PARSE_CTES
+    + r"""
+SELECT b.host, MIN(CAST(b.val AS BIGINT)) AS delay_s
+FROM bl b JOIN ch ON b.host = ch.host AND b.block = ch.block
+WHERE b.dir = 'crawl-delay' AND regexp_matches(b.val, '^[0-9]+$')
+GROUP BY b.host
+"""
+)
+
+PAIRS.update(
+    {
+        "robots_parse_gate": (q_robots_parse_gate, SQL_ROBOTS_PARSE_GATE),
+        "robots_crawl_delay": (q_robots_crawl_delay, SQL_ROBOTS_CRAWL_DELAY),
+    }
+)

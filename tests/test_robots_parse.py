@@ -1,0 +1,95 @@
+"""robots.txt parsing: RFC 9309 / Google decision semantics."""
+
+from __future__ import annotations
+
+from cola_spark.operators.robots import (
+    parse_robots_delay,
+    parse_robots_rules,
+    robots_decide,
+)
+
+STAR = (
+    "# comment line\n"
+    "User-Agent: *\n"
+    "Disallow: /private\n"
+    "Allow: /private/ok\n"
+    "Disallow:\n"          # empty value: the spec no-op
+    "Crawl-Delay: 3\n"
+    "Disallow: /t\n"
+    "Allow: /t"            # equal-length tie with the line above
+)
+BOT = (
+    "\n\nUser-agent: colabot\n"
+    "User-agent: otherbot\n"   # multi-UA run shares one block
+    "Disallow: /p2\n"
+    "Allow: /p2/ok\n"
+    "Crawl-delay: 1"
+)
+
+
+def _frames(spark):
+    rb = spark.createDataFrame(
+        [("star.com", STAR), ("both.com", STAR + BOT)],
+        "host string, txt string",
+    )
+    fr = spark.createDataFrame(
+        [
+            ("star.com", "/private/x"),
+            ("star.com", "/private/ok/y"),
+            ("star.com", "/t/z"),
+            ("star.com", "/home"),
+            ("both.com", "/private/x"),
+            ("both.com", "/p2/deep"),
+            ("both.com", "/p2/ok/c"),
+        ],
+        "host string, path string",
+    )
+    return rb, fr
+
+
+def test_decision_semantics(spark):
+    rb, fr = _frames(spark)
+    got = {
+        (r.host, r.path): (r.matched_len, r.allowed)
+        for r in robots_decide(fr, parse_robots_rules(rb)).collect()
+    }
+    # longest match wins
+    assert got[("star.com", "/private/x")] == (8, False)
+    assert got[("star.com", "/private/ok/y")] == (11, True)
+    # equal-length tie: Allow beats Disallow
+    assert got[("star.com", "/t/z")] == (2, True)
+    # no rule: allowed
+    assert got[("star.com", "/home")] == (0, True)
+    # exact-agent group REPLACES the star group (no merge):
+    # /private is NOT blocked for colabot on both.com
+    assert got[("both.com", "/private/x")] == (0, True)
+    assert got[("both.com", "/p2/deep")] == (3, False)
+    assert got[("both.com", "/p2/ok/c")] == (6, True)
+
+
+def test_multi_ua_block_shared_and_star_fallback(spark):
+    rb, _ = _frames(spark)
+    other = parse_robots_rules(rb, agent="otherbot")
+    got = sorted(
+        (r.prefix, r.is_allow)
+        for r in other.filter("host = 'both.com'").collect()
+    )
+    assert got == [("/p2", False), ("/p2/ok", True)]
+    # an agent with no group anywhere falls back to * on every host
+    nobody = parse_robots_rules(rb, agent="nobody")
+    assert nobody.filter("host = 'both.com'").count() == 4  # star rules
+
+
+def test_crawl_delay_follows_the_governing_group(spark):
+    rb, _ = _frames(spark)
+    d = {r.host: r.delay_s for r in parse_robots_delay(rb).collect()}
+    assert d == {"star.com": 3, "both.com": 1}
+
+
+def test_rules_outside_any_group_are_ignored(spark):
+    rb = spark.createDataFrame(
+        [("x.com", "Disallow: /lost\nUser-agent: *\nDisallow: /kept")],
+        "host string, txt string",
+    )
+    got = [(r.prefix, r.is_allow) for r in parse_robots_rules(rb).collect()]
+    assert got == [("/kept", False)]
