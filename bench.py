@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     # match vs a broadcast PSL dim, host-scale work only
     "robots_parse_gate",  # raw robots.txt parsed relationally (UA block
     # windows + most-specific group) + longest-prefix/allow-wins gate
+    "fetch_latency_quantiles",  # mergeable log2-histogram tail-latency
+    # sketch: one map-side pass into a <=13-key groupBy, p50/p95/p99
 ]
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cola_spark.operators.fetch import CHILD_SEQ_OFFSET
@@ -86,3 +86,77 @@ def round_metrics(spark: SparkSession, workdir: str) -> DataFrame:
         for h in hist
     ]
     return spark.createDataFrame(rows, "round int, scheduled long, secs double")
+
+
+# ---------------------------------------------------------------------
+# Latency quantile sketch (round 5): cola's speed controller keys on
+# MEAN fetch time per worker (cola/core/rpc speed units, SURVEY §2 row
+# 22); a production scheduler keys politeness and timeout policy on
+# TAIL latency (p95/p99). Exact quantiles need a global sort; the
+# standard fix is a fixed-bucket histogram sketch: log2 buckets →
+# counts (≤ ~40 keys at any corpus size, map-side combinable,
+# MERGEABLE by addition across rounds/nodes — test-pinned), quantile =
+# first bucket whose cumulative count reaches ceil(q·n/1000), answered
+# as the bucket's [2^b, 2^(b+1)-1] bound pair. Relative error ≤ 2× by
+# construction (one-bucket resolution), integer-exact cross-engine —
+# floor(log2 v) is computed with the branch-free smear+popcount idiom
+# (v |= v>>1 ... v>>32; bit_count(v)-1), no floats anywhere.
+
+
+def floor_log2(c):
+    """floor(log2(v)) for v >= 1, branch-free: smear the top bit right
+    then popcount. 6 OR-shifts + one bit_count, all codegen scalars."""
+    m = c.cast("long")
+    for s in (1, 2, 4, 8, 16, 32):
+        m = m.bitwiseOR(F.shiftright(m, s))
+    return (F.bit_count(m) - 1).cast("long")
+
+
+def log2_histogram(df: DataFrame, value_col: str) -> DataFrame:
+    """(bucket, cnt) over floor(log2(value)); values must be >= 1.
+    The sketch state: add counts bucketwise to merge."""
+    return (
+        df.select(floor_log2(F.col(value_col)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, permilles: tuple = (500, 950, 990)
+) -> DataFrame:
+    """Quantile bounds from a log2 histogram: one row per requested
+    permille — (permille, n, rank_needed, bucket, lb, ub) with
+    lb = 2^bucket, ub = 2^(bucket+1)-1 bracketing the true quantile.
+    Everything after the histogram is config-scale (≤ 64 buckets ×
+    len(permilles) rows)."""
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+    ).crossJoin(hist.agg(F.sum("cnt").cast("long").alias("n")))
+    targets = hist.sparkSession.createDataFrame(
+        [(int(p),) for p in permilles], "permille long"
+    )
+    need = F.expr("(permille * n + 999) div 1000")
+    sel = (
+        F.broadcast(targets)
+        .join(cum, cum["cum"] >= need)
+        .groupBy("permille")
+        .agg(
+            F.max("n").alias("n"),
+            F.min("bucket").cast("long").alias("bucket"),
+        )
+    )
+    return sel.select(
+        "permille",
+        "n",
+        F.expr("(permille * n + 999) div 1000").cast("long")
+        .alias("rank_needed"),
+        "bucket",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))")
+        .alias("lb"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(bucket + 1 AS INT)) - 1"
+        ).alias("ub"),
+    )

@@ -5221,3 +5221,86 @@ PAIRS.update(
         "robots_crawl_delay": (q_robots_crawl_delay, SQL_ROBOTS_CRAWL_DELAY),
     }
 )
+
+
+# ----------------------------------- latency quantile sketch (round 5)
+
+
+def q_fetch_latency_quantiles(spark, sf):
+    """Tail-latency quantiles from the mergeable log2-histogram sketch
+    (operators/counters.py): p50/p95/p99 bounds over a planted
+    heavy-tailed per-event fetch latency (1 + h1 mod 2^(1 + h2 mod 12)
+    — 12 octaves of spread). The corpus-scale work is ONE map-side
+    pass into a ≤13-key combinable groupBy; everything after is
+    config-scale. floor(log2) is the branch-free smear+popcount idiom
+    — no floats, so DuckDB replays the sketch and the quantile
+    selection exactly. cola tracks mean speed only; tail policy is
+    what a 10^10-fetch scheduler actually needs."""
+    from cola_spark.operators.counters import (
+        histogram_quantiles,
+        log2_histogram,
+    )
+
+    ev = _t(spark, sf, "events")
+    base = ev.select(
+        _md5_col(
+            F.concat(F.lit("lat:"), F.col("event_id").cast("string"))
+        ).alias("h1"),
+        _md5_col(
+            F.concat(F.lit("spread:"), F.col("event_id").cast("string"))
+        ).alias("h2"),
+    )
+    lat = base.select(
+        F.expr(
+            "1 + h1 % shiftleft(CAST(1 AS BIGINT),"
+            " CAST(1 + h2 % 12 AS INT))"
+        ).alias("lat_ms")
+    )
+    return histogram_quantiles(log2_histogram(lat, "lat_ms"))
+
+
+SQL_FETCH_LATENCY_QUANTILES = """
+WITH e AS (
+  SELECT CAST(('0x' || substr(md5('lat:' || CAST(event_id AS VARCHAR)),
+               1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5('spread:' || CAST(event_id AS VARCHAR)),
+               1, 15)) AS BIGINT) AS h2
+  FROM events),
+l AS (SELECT 1 + h1 % (CAST(1 AS BIGINT) << CAST(1 + h2 % 12 AS INTEGER))
+        AS v FROM e),
+s1 AS (SELECT v | (v >> 1) AS m FROM l),
+s2 AS (SELECT m | (m >> 2) AS m FROM s1),
+s3 AS (SELECT m | (m >> 4) AS m FROM s2),
+s4 AS (SELECT m | (m >> 8) AS m FROM s3),
+s5 AS (SELECT m | (m >> 16) AS m FROM s4),
+s6 AS (SELECT m | (m >> 32) AS m FROM s5),
+hist AS (SELECT CAST(bit_count(m) - 1 AS BIGINT) AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM s6 GROUP BY 1),
+c AS (SELECT bucket,
+             CAST(SUM(cnt) OVER (ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             (SELECT CAST(SUM(cnt) AS BIGINT) FROM hist) AS n
+      FROM hist),
+t(permille) AS (VALUES (CAST(500 AS BIGINT)), (CAST(950 AS BIGINT)),
+                       (CAST(990 AS BIGINT))),
+sel AS (SELECT t.permille, MAX(c.n) AS n, CAST(MIN(c.bucket) AS BIGINT)
+          AS bucket
+        FROM t JOIN c ON c.cum >= (t.permille * c.n + 999) // 1000
+        GROUP BY t.permille)
+SELECT permille, n,
+       CAST((permille * n + 999) // 1000 AS BIGINT) AS rank_needed,
+       bucket,
+       CAST(1 AS BIGINT) << CAST(bucket AS INTEGER) AS lb,
+       (CAST(1 AS BIGINT) << CAST(bucket + 1 AS INTEGER)) - 1 AS ub
+FROM sel
+"""
+
+PAIRS.update(
+    {
+        "fetch_latency_quantiles": (
+            q_fetch_latency_quantiles,
+            SQL_FETCH_LATENCY_QUANTILES,
+        )
+    }
+)
