@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     # windows + most-specific group) + longest-prefix/allow-wins gate
     "fetch_latency_quantiles",  # mergeable log2-histogram tail-latency
     # sketch: one map-side pass into a <=13-key groupBy, p50/p95/p99
+    "clip_percentile_filter",  # DataComp top-p CLIP cut: float cosine
+    # as ordering key only, two-phase global rank (no global window)
 ]
 
 

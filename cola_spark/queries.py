@@ -5304,3 +5304,68 @@ PAIRS.update(
         )
     }
 )
+
+
+# ------------------------------- CLIP top-p percentile gate (round 5)
+
+
+def q_clip_percentile_filter(spark, sf):
+    """DataComp's actual CLIP gate: LAION keeps cos >= 0.28, DataComp
+    keeps the TOP-p FRACTION by CLIP score (30% here) — a global-rank
+    cut, not a fixed threshold. Composes clip_align_filter's exact
+    integer decision table; the float cosine is ONLY the ordering key
+    (one IEEE divide + sqrt over exact int64 sums — bit-identical
+    cross-engine, the caption_image_retrieval rule), computed
+    cast-before-multiply so both engines take the same rounding path;
+    rank is the two-phase global_rank (no single-partition window —
+    the writer-shaped scale fix), tie-broken by doc_id. Output: the
+    full auditable table (doc_id, dot, na, nb, rank, kept)."""
+    from cola_spark.operators.ranking import global_rank
+
+    ali = q_clip_align_filter(spark, sf)
+    s = F.when(
+        F.col("nb") > 0,
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+    ).otherwise(F.lit(-2.0))
+    scored = ali.select("doc_id", "dot", "na", "nb", (-s).alias("_neg"))
+    ranked = global_rank(
+        scored, ["_neg", "doc_id"], out_col="rank", eager_release=True
+    )
+    n1 = ali.agg(F.count("*").cast("long").alias("_n"))
+    return ranked.crossJoin(F.broadcast(n1)).select(
+        "doc_id",
+        "dot",
+        "na",
+        "nb",
+        "rank",
+        (F.col("rank") <= F.expr("(300 * _n + 999) div 1000")).alias("kept"),
+    )
+
+
+SQL_CLIP_PERCENTILE = f"""
+WITH sc AS (
+  SELECT doc_id, dot, na, nb,
+         CASE WHEN nb > 0
+              THEN CAST(dot AS DOUBLE)
+                   / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+              ELSE -2.0 END AS s
+  FROM ({SQL_CLIP_ALIGN})),
+rk AS (
+  SELECT doc_id, dot, na, nb,
+         CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS n
+  FROM sc)
+SELECT doc_id, dot, na, nb, rank,
+       rank <= (300 * n + 999) // 1000 AS kept
+FROM rk
+"""
+
+PAIRS.update(
+    {
+        "clip_percentile_filter": (
+            q_clip_percentile_filter,
+            SQL_CLIP_PERCENTILE,
+        )
+    }
+)

@@ -235,3 +235,18 @@ def test_caption_retrieval_ivf_recall_curve(spark):
         (r["query_id"], r["image_id"], r["dot"], r["rank"]) for r in rows8
     )
     assert got == want
+
+
+def test_clip_percentile_filter_topp(spark):
+    """Top-p cut: exactly ceil(0.3n) kept, rank is a permutation, and
+    the planted every-5th-doc alignment signal dominates the kept set."""
+    from cola_spark.queries import q_clip_percentile_filter
+
+    rows = q_clip_percentile_filter(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    kept = [r for r in rows if r.kept]
+    assert len(kept) == (300 * n + 999) // 1000
+    assert sorted(r.rank for r in rows) == list(range(1, n + 1))
+    planted_kept = sum(1 for r in kept if r.doc_id % 5 == 0)
+    # planted docs are ~20% of the corpus but must dominate the top-30%
+    assert planted_kept / len(kept) > 0.5
