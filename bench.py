@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     # sketch: one map-side pass into a <=13-key groupBy, p50/p95/p99
     "clip_percentile_filter",  # DataComp top-p CLIP cut: float cosine
     # as ordering key only, two-phase global rank (no global window)
+    "crawl_policy_plan",  # CRAWL capstone: canonicalize -> trap filter
+    # -> parsed-robots gate -> politeness calendar, nested end-to-end
 ]
 
 

@@ -5369,3 +5369,173 @@ PAIRS.update(
         )
     }
 )
+
+
+# ------------------------------- crawl policy capstone (round 5)
+
+
+def q_crawl_policy_plan(spark, sf):
+    """The CRAWL-side capstone (trainer_batch_plan's twin on the
+    scheduler side): messy discovered URLs → canonicalizer →
+    trap filter → PARSED-robots gate (most-specific UA group,
+    longest-prefix/allow-wins) → per-host politeness calendar whose
+    delays come from the parsed Crawl-delay of the governing group —
+    four individually-oracled stages nested end-to-end in both
+    engines. Universe makes every branch live: a messy j=0 URL
+    (uppercase scheme/host, :80, fragment, unsorted query) that
+    colabot hosts robots-block and star hosts admit, a /private path
+    with the OPPOSITE split (group replacement), an allow-override
+    path, a depth+cycle trap dropped everywhere, and /home. Output:
+    (host, url_canon, slot, offset_ms) — the fetch calendar."""
+    from cola_spark.functions.urls import canonicalize_url
+    from cola_spark.operators.robots import (
+        parse_robots_delay,
+        parse_robots_rules,
+        robots_decide,
+    )
+    from cola_spark.operators.traps import trap_signals
+
+    rb, _ = _robots_universe(spark)
+    h = F.col("id")
+    hs = h.cast("string")
+    qs = F.pmod(h, F.lit(5)).cast("string")
+    host = F.concat(F.lit("h"), hs, F.lit(".example.com"))
+    u = spark.range(50).select(
+        host.alias("host"),
+        hs.alias("hs"),
+        qs.alias("qs"),
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("j"),
+    )
+    mid = F.array(
+        F.lit("/private/data"),
+        F.lit("/private/ok/page"),
+        F.lit("/loop/a/b/a/b/a/b/a/b/a/b"),
+        F.lit("/home"),
+    )
+    raw = (
+        F.when(
+            F.col("j") == 0,
+            F.concat(
+                F.lit("HTTP://H"), F.col("hs"),
+                F.lit(".EXAMPLE.com:80/p"), F.col("qs"),
+                F.lit("0?b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("j") == 5,
+            F.concat(
+                F.lit("http://h"), F.col("hs"), F.lit(".example.com/p"),
+                F.col("qs"), F.lit("/ok/x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://h"), F.col("hs"), F.lit(".example.com"),
+                F.element_at(mid, F.col("j")),
+            )
+        )
+    )
+    wpath = u.select(
+        "host", canonicalize_url(raw).alias("url_canon")
+    ).select(
+        "host",
+        "url_canon",
+        F.regexp_extract("url_canon", r"^[a-z]+://[^/]+([^?#]*)", 1)
+        .alias("path"),
+    )
+    ts = trap_signals(wpath, url_col="path", key_col="url_canon")
+    keep1 = wpath.join(
+        ts.filter(~F.col("is_trap"))
+        .select(F.col("url_key").alias("url_canon"))
+        .hint("shuffle_hash"),
+        "url_canon",
+    )
+    dec = robots_decide(keep1, parse_robots_rules(rb, agent="colabot"))
+    adm = keep1.join(
+        dec.filter("allowed").select("host", "path").hint("shuffle_hash"),
+        ["host", "path"],
+    )
+    delay = parse_robots_delay(rb, agent="colabot")
+    w = Window.partitionBy("host").orderBy("url_canon")
+    return (
+        adm.join(F.broadcast(delay), "host", "left")
+        .select(
+            "host",
+            "url_canon",
+            F.row_number().over(w).cast("long").alias("slot"),
+            F.coalesce("delay_s", F.lit(500)).alias("_d"),
+        )
+        .select(
+            "host",
+            "url_canon",
+            "slot",
+            ((F.col("slot") - 1) * F.col("_d") * 1000)
+            .cast("long")
+            .alias("offset_ms"),
+        )
+    )
+
+
+SQL_CRAWL_POLICY_PLAN = (
+    "WITH "
+    + _SQL_ROBOTS_PARSE_CTES
+    + r""",
+uu AS (SELECT h, 'h' || CAST(h AS VARCHAR) || '.example.com' AS host, j
+       FROM hosts, UNNEST(generate_series(0, 5)) AS t(j)),
+cn AS (SELECT host,
+        CASE WHEN j = 0 THEN 'http://' || host || '/p'
+               || CAST(h % 5 AS VARCHAR) || '0?a=1&b=2'
+             WHEN j = 1 THEN 'http://' || host || '/private/data'
+             WHEN j = 2 THEN 'http://' || host || '/private/ok/page'
+             WHEN j = 3 THEN 'http://' || host
+               || '/loop/a/b/a/b/a/b/a/b/a/b'
+             WHEN j = 4 THEN 'http://' || host || '/home'
+             ELSE 'http://' || host || '/p' || CAST(h % 5 AS VARCHAR)
+               || '/ok/x' END AS url_canon,
+        CASE WHEN j = 0 THEN '/p' || CAST(h % 5 AS VARCHAR) || '0'
+             WHEN j = 1 THEN '/private/data'
+             WHEN j = 2 THEN '/private/ok/page'
+             WHEN j = 3 THEN '/loop/a/b/a/b/a/b/a/b/a/b'
+             WHEN j = 4 THEN '/home'
+             ELSE '/p' || CAST(h % 5 AS VARCHAR) || '/ok/x' END AS path
+       FROM uu),
+segs AS (SELECT url_canon, UNNEST(string_split(substr(path, 2), '/')) AS seg
+         FROM cn),
+rep AS (SELECT url_canon, MAX(c) AS mr
+        FROM (SELECT url_canon, seg, COUNT(*) AS c FROM segs GROUP BY 1, 2)
+        GROUP BY 1),
+notrap AS (SELECT c.host, c.url_canon, c.path
+           FROM cn c JOIN rep r ON c.url_canon = r.url_canon
+           WHERE NOT (len(string_split(substr(c.path, 2), '/')) > 8
+                      OR r.mr >= 4)),
+hits AS (SELECT f.host, f.url_canon, f.path, r.prefix, r.is_allow
+         FROM notrap f LEFT JOIN rules r
+           ON f.host = r.host AND starts_with(f.path, r.prefix)),
+rk AS (SELECT host, url_canon, prefix, is_allow,
+        ROW_NUMBER() OVER (PARTITION BY host, url_canon
+                           ORDER BY length(prefix) DESC,
+                                    is_allow DESC) AS rn
+       FROM hits WHERE prefix IS NOT NULL),
+adm AS (SELECT n.host, n.url_canon
+        FROM notrap n LEFT JOIN (SELECT host, url_canon, is_allow
+                                 FROM rk WHERE rn = 1) b
+          ON n.host = b.host AND n.url_canon = b.url_canon
+        WHERE COALESCE(b.is_allow, TRUE)),
+dl AS (SELECT b.host, MIN(CAST(b.val AS BIGINT)) AS delay_s
+       FROM bl b JOIN ch ON b.host = ch.host AND b.block = ch.block
+       WHERE b.dir = 'crawl-delay' AND regexp_matches(b.val, '^[0-9]+$')
+       GROUP BY b.host),
+pl AS (SELECT host, url_canon,
+        CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY url_canon)
+          AS BIGINT) AS slot
+       FROM adm)
+SELECT p.host, p.url_canon, p.slot,
+       CAST((p.slot - 1) * COALESCE(d.delay_s, 500) * 1000 AS BIGINT)
+         AS offset_ms
+FROM pl p LEFT JOIN dl d ON p.host = d.host
+"""
+)
+
+PAIRS.update(
+    {"crawl_policy_plan": (q_crawl_policy_plan, SQL_CRAWL_POLICY_PLAN)}
+)

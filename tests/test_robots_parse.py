@@ -93,3 +93,37 @@ def test_rules_outside_any_group_are_ignored(spark):
     )
     got = [(r.prefix, r.is_allow) for r in parse_robots_rules(rb).collect()]
     assert got == [("/kept", False)]
+
+
+def test_crawl_policy_plan_composition(spark):
+    """Every stage decides something: traps dropped everywhere, robots
+    split differs between star-only and colabot-overridden hosts, and
+    the calendar spacing equals the governing group's crawl-delay."""
+    from cola_spark.queries import q_crawl_policy_plan
+
+    rows = q_crawl_policy_plan(spark, "/root/testdata/sf0.001").collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    assert len(by_host) == 50 and len(rows) == 200
+    for host, rs in by_host.items():
+        h = int(host[1:].split(".")[0])
+        urls = {r.url_canon.split(".com", 1)[1] for r in rs}
+        assert not any("/loop/" in u for u in urls)  # trap stage
+        q = h % 5
+        if h % 3 == 0:  # colabot group governs
+            assert f"/p{q}0?a=1&b=2" not in urls     # Disallow /p{q}
+            assert "/private/data" in urls           # star rules replaced
+            assert f"/p{q}/ok/x" in urls             # Allow override
+            delay = 1 + h % 4
+        else:
+            assert f"/p{q}0?a=1&b=2" in urls
+            assert "/private/data" not in urls       # star Disallow
+            assert "/private/ok/page" in urls        # Allow wins
+            delay = 2 + h % 3
+        # calendar: slots 1..k, offsets spaced by the parsed delay
+        rs = sorted(rs, key=lambda r: r.slot)
+        assert [r.slot for r in rs] == list(range(1, len(rs) + 1))
+        assert all(
+            r.offset_ms == (r.slot - 1) * delay * 1000 for r in rs
+        )
