@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     # as ordering key only, two-phase global rank (no global window)
     "crawl_policy_plan",  # CRAWL capstone: canonicalize -> trap filter
     # -> parsed-robots gate -> politeness calendar, nested end-to-end
+    "aimd_rate_control",  # TCP-style adaptive per-host budgets: 8
+    # unrolled host-scale join+CASE rounds, oracle replays each
 ]
 
 

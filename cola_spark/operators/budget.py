@@ -117,3 +117,67 @@ def all_finished(state: DataFrame) -> bool:
         F.min(F.col("finished") >= F.col("budget")).alias("done")
     ).first()
     return bool(row.done)
+
+
+# ---------------------------------------------------------------------
+# AIMD per-host rate control (round 5): cola's adaptive speed unit
+# (cola/core/rpc speed control, SURVEY §2 row 22) halves a worker's
+# page budget on overload and creeps it back up — TCP's
+# additive-increase / multiplicative-decrease, per host:
+#
+#     rate[t] = min(cap, rate[t-1] + 1)          if round t succeeded
+#             = max(1, rate[t-1] div 2)          if it errored
+#
+# This is NOT window-expressible (the halving makes the recurrence
+# non-linear), so it runs as the repo's standard unrolled-iteration
+# shape (host_pagerank / Lloyd / GD): T host-scale passes, each one
+# equi-join + CASE, localCheckpoint per round to cut lineage; the
+# oracle replays all T rounds as CTEs, so a wrong cap/floor or a
+# truncation-vs-floor divergence hash-fails. All values nonneg ->
+# Spark div == DuckDB //.
+
+
+def aimd_rates(
+    outcomes: DataFrame,
+    rounds: int,
+    r0: int = 4,
+    cap: int = 16,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Full rate trajectory (host, round, ok, rate) from per-round
+    outcomes (host, round, ok). `rate` is the budget IN EFFECT for
+    that round, i.e. the value AFTER applying round t's outcome to the
+    previous rate — the number the next scheduling cut consumes."""
+    hosts = outcomes.select("host").distinct()
+    if checkpoint:
+        hosts = hosts.localCheckpoint()
+    cur = hosts.select("host", F.lit(r0).cast("long").alias("rate"))
+    outs = []
+    for t in range(1, rounds + 1):
+        ot = outcomes.filter(F.col("round") == t).select("host", "ok")
+        nxt = cur.join(ot.hint("shuffle_hash"), "host").select(
+            "host",
+            F.col("ok"),
+            F.when(
+                F.col("ok"),
+                F.least(F.lit(cap).cast("long"), F.col("rate") + 1),
+            )
+            .otherwise(
+                F.greatest(
+                    F.lit(1).cast("long"), F.expr("rate div 2")
+                )
+            )
+            .alias("rate"),
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint()
+        outs.append(
+            nxt.select(
+                "host", F.lit(t).cast("long").alias("round"), "ok", "rate"
+            )
+        )
+        cur = nxt.select("host", "rate")
+    u = outs[0]
+    for f in outs[1:]:
+        u = u.unionByName(f)
+    return u

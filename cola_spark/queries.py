@@ -5539,3 +5539,77 @@ FROM pl p LEFT JOIN dl d ON p.host = d.host
 PAIRS.update(
     {"crawl_policy_plan": (q_crawl_policy_plan, SQL_CRAWL_POLICY_PLAN)}
 )
+
+
+# ------------------------------------ AIMD rate control (round 5)
+
+
+def q_aimd_rate_control(spark, sf):
+    """cola's adaptive speed unit as TCP-style AIMD
+    (operators/budget.py aimd_rates): per-host budget +1 on a clean
+    round (cap 16), halved on an error round (floor 1) — the
+    non-linear recurrence window functions can't express, run as the
+    repo's unrolled-iteration shape (8 host-scale join+CASE passes,
+    lineage-cut per round) and replayed round-for-round in the oracle
+    CTE chain. Outcomes planted at 75% success (md5 % 4 != 0), so
+    trajectories hit the cap, the floor, and every path between."""
+    from cola_spark.operators.budget import aimd_rates
+
+    hosts = spark.range(60).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host")
+    )
+    u = hosts.select(
+        "host", F.explode(F.sequence(F.lit(1), F.lit(8))).alias("round")
+    )
+    ok = (
+        F.pmod(
+            _md5_col(
+                F.concat(
+                    F.lit("ok:"),
+                    F.col("host"),
+                    F.lit("_"),
+                    F.col("round").cast("string"),
+                )
+            ),
+            F.lit(4),
+        )
+        != 0
+    )
+    outcomes = u.select(
+        "host", F.col("round").cast("long").alias("round"), ok.alias("ok")
+    )
+    return aimd_rates(outcomes, rounds=8)
+
+
+def _sql_aimd(rounds: int = 8, r0: int = 4, cap: int = 16) -> str:
+    ctes = [
+        """u AS (SELECT 'h' || CAST(i AS VARCHAR) AS host,
+                CAST(t AS BIGINT) AS round
+         FROM UNNEST(generate_series(0, 59)) AS a(i),
+              UNNEST(generate_series(1, 8)) AS b(t))""",
+        """o AS (SELECT host, round,
+                (CAST(('0x' || substr(md5('ok:' || host || '_'
+                   || CAST(round AS VARCHAR)), 1, 15)) AS BIGINT) % 4) <> 0
+                  AS ok
+         FROM u)""",
+        f"r0 AS (SELECT DISTINCT host, CAST({r0} AS BIGINT) AS rate FROM o)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""r{t} AS (SELECT o.host, o.ok,
+           CASE WHEN o.ok THEN LEAST(CAST({cap} AS BIGINT), p.rate + 1)
+                ELSE GREATEST(CAST(1 AS BIGINT), p.rate // 2) END AS rate
+         FROM r{t-1} p JOIN o ON o.host = p.host AND o.round = {t})"""
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT host, CAST({t} AS BIGINT) AS round, ok, rate FROM r{t}"
+        for t in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+SQL_AIMD_RATE_CONTROL = _sql_aimd()
+
+PAIRS.update(
+    {"aimd_rate_control": (q_aimd_rate_control, SQL_AIMD_RATE_CONTROL)}
+)

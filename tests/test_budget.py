@@ -52,3 +52,32 @@ def test_allfinished_transition(spark):
                              _counts(spark, {"h1": 2, "h2": 1}, "n_finished"),
                              _counts(spark, {}, "n_errored"))
     assert all_finished(st)
+
+
+def test_aimd_hand_replay_and_bounds(spark):
+    """AIMD recurrence replayed sequentially in Python; cap and floor
+    trajectories pinned."""
+    from cola_spark.operators.budget import aimd_rates
+    import pyspark.sql.functions as F
+
+    # h_up: 8 successes -> climbs 5..12 capped at 16? r0=4: 5,6,..12
+    # h_down: 8 errors -> 2,1,1,1,...
+    # h_mix: alternating
+    rows = []
+    for t in range(1, 9):
+        rows += [("h_up", t, True), ("h_down", t, False),
+                 ("h_mix", t, t % 2 == 1)]
+    out = spark.createDataFrame(rows, "host string, round long, ok boolean")
+    got = {}
+    for r in aimd_rates(out, rounds=8, r0=4, cap=8).collect():
+        got[(r.host, r.round)] = r.rate
+    exp = {}
+    for h in ("h_up", "h_down", "h_mix"):
+        rate = 4
+        for t in range(1, 9):
+            ok = {"h_up": True, "h_down": False, "h_mix": t % 2 == 1}[h]
+            rate = min(8, rate + 1) if ok else max(1, rate // 2)
+            exp[(h, t)] = rate
+    assert got == exp
+    assert got[("h_up", 8)] == 8      # cap reached and held
+    assert got[("h_down", 8)] == 1    # floor reached and held
