@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     # -> parsed-robots gate -> politeness calendar, nested end-to-end
     "aimd_rate_control",  # TCP-style adaptive per-host budgets: 8
     # unrolled host-scale join+CASE rounds, oracle replays each
+    "link_reciprocity",  # link-farm permille: one edge-keyed
+    # self-semi-join, flags mutual cliques before PageRank launders them
 ]
 
 

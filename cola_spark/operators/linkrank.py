@@ -204,3 +204,52 @@ def mirror_host_pairs(
         .filter(F.col("jac_x1000") >= int(min_jaccard_x1000))
         .select("host_a", "host_b", "common", "n_a", "n_b", "jac_x1000")
     )
+
+
+def link_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_out: int = 3,
+    thr_permille: int = 600,
+) -> DataFrame:
+    """Link-farm signal: per source host, the fraction of its distinct
+    out-links that are reciprocated (the reverse edge exists). Organic
+    web linking is overwhelmingly one-directional; a mutual-link
+    clique (a farm selling authority) reciprocates near-1000 permille,
+    and its pages should be de-prioritized BEFORE PageRank launders
+    the clique's self-granted mass (the standard TrustRank-era
+    heuristic, complementing mirror_host_pairs' content-side signal).
+
+    is_farm = recip_permille >= thr AND out_deg >= min_out (singleton
+    mutual friendships are normal; a floor keeps them out).
+
+    Scale: one distinct + ONE edge-keyed self-semi-join (the reversed
+    frame joins on the same (src, dst) key shape — co-partitioned, no
+    host² anything) + two host-keyed counts. Integer permille output."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = e.join(rev.hint("shuffle_hash"), ["src", "dst"], "left_semi")
+    out = e.groupBy("src").agg(F.count("*").cast("long").alias("out_deg"))
+    ro = rec.groupBy("src").agg(
+        F.count("*").cast("long").alias("recip_out")
+    )
+    j = out.join(ro.hint("shuffle_hash"), "src", "left").select(
+        F.col("src").alias("host"),
+        "out_deg",
+        F.coalesce("recip_out", F.lit(0)).cast("long").alias("recip_out"),
+    )
+    perm = F.expr("recip_out * 1000 div out_deg")
+    return j.select(
+        "host",
+        "out_deg",
+        "recip_out",
+        perm.cast("long").alias("recip_permille"),
+        (
+            (perm >= thr_permille) & (F.col("out_deg") >= min_out)
+        ).alias("is_farm"),
+    )

@@ -5613,3 +5613,86 @@ SQL_AIMD_RATE_CONTROL = _sql_aimd()
 PAIRS.update(
     {"aimd_rate_control": (q_aimd_rate_control, SQL_AIMD_RATE_CONTROL)}
 )
+
+
+# ------------------------------------ link reciprocity (round 5)
+
+
+def q_link_reciprocity(spark, sf):
+    """Link-farm detection (linkrank.link_reciprocity): per host, the
+    permille of distinct out-links that are reciprocated — a mutual-
+    link clique reciprocates ~1000, organic links near-0; flagging it
+    BEFORE PageRank keeps the clique from laundering its self-granted
+    authority into the crawl priority (complement of
+    mirror_host_pairs' content signal). Planted: a 6-host full clique
+    (30 mutual edges, all flagged) over 100 organic hosts with 4
+    md5-chosen out-links each (reciprocation ~permille-scale noise,
+    none flagged at the 600 cut in this draw). One edge-keyed
+    self-semi-join — never hosts²."""
+    from cola_spark.operators.linkrank import link_reciprocity
+
+    rnd = spark.range(100).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("src"),
+        F.col("id").cast("string").alias("i"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    )
+    rand_edges = rnd.select(
+        "src",
+        F.concat(
+            F.lit("s"),
+            F.pmod(
+                _md5_col(
+                    F.concat(F.lit("lk:"), F.col("i"), F.lit("_"),
+                             F.col("k").cast("string"))
+                ),
+                F.lit(100),
+            ).cast("string"),
+        ).alias("dst"),
+    )
+    farm = (
+        spark.range(6)
+        .select(F.col("id").alias("a"))
+        .crossJoin(spark.range(6).select(F.col("id").alias("b")))
+        .filter("a <> b")
+        .select(
+            F.concat(F.lit("f"), F.col("a").cast("string")).alias("src"),
+            F.concat(F.lit("f"), F.col("b").cast("string")).alias("dst"),
+        )
+    )
+    return link_reciprocity(rand_edges.unionByName(farm))
+
+
+SQL_LINK_RECIPROCITY = """
+WITH rnd AS (
+  SELECT 's' || CAST(i AS VARCHAR) AS src,
+         's' || CAST(CAST(('0x' || substr(md5('lk:' || CAST(i AS VARCHAR)
+                || '_' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+                AS VARCHAR) AS dst
+  FROM UNNEST(generate_series(0, 99)) AS a(i),
+       UNNEST(generate_series(0, 3)) AS b(k)),
+farm AS (
+  SELECT 'f' || CAST(a AS VARCHAR) AS src, 'f' || CAST(b AS VARCHAR) AS dst
+  FROM UNNEST(generate_series(0, 5)) AS x(a),
+       UNNEST(generate_series(0, 5)) AS y(b)
+  WHERE a <> b),
+e AS (SELECT DISTINCT src, dst
+      FROM (SELECT * FROM rnd UNION ALL SELECT * FROM farm)
+      WHERE src <> dst),
+rec AS (SELECT e.src, e.dst FROM e
+        WHERE EXISTS (SELECT 1 FROM e r
+                      WHERE r.src = e.dst AND r.dst = e.src)),
+o AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+r AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS recip_out
+      FROM rec GROUP BY src)
+SELECT o.src AS host, o.out_deg,
+       CAST(COALESCE(r.recip_out, 0) AS BIGINT) AS recip_out,
+       CAST(COALESCE(r.recip_out, 0) * 1000 // o.out_deg AS BIGINT)
+         AS recip_permille,
+       (COALESCE(r.recip_out, 0) * 1000 // o.out_deg >= 600
+        AND o.out_deg >= 3) AS is_farm
+FROM o LEFT JOIN r ON o.src = r.src
+"""
+
+PAIRS.update(
+    {"link_reciprocity": (q_link_reciprocity, SQL_LINK_RECIPROCITY)}
+)

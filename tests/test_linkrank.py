@@ -133,3 +133,27 @@ def test_mirror_host_pairs_threshold_both_sides(spark):
         for r in mirror_host_pairs(df2, min_jaccard_x1000=500).collect()
     }[("h1", "h2")]
     assert (r2["common"], r2["n_a"], r2["jac_x1000"]) == (8, 8, 1000)
+
+
+def test_link_reciprocity_clique_vs_organic(spark):
+    """A planted clique is fully reciprocal and flagged; organic chain
+    links are not; the min_out floor spares small mutual pairs."""
+    from cola_spark.operators.linkrank import link_reciprocity
+
+    edges = (
+        [(f"f{a}", f"f{b}") for a in range(4) for b in range(4) if a != b]
+        + [("s0", "s1"), ("s1", "s2"), ("s2", "s3"), ("s3", "s0")]  # cycle
+        + [("m0", "m1"), ("m1", "m0")]  # mutual pair below min_out
+        + [("s0", "s0")]  # self loop dropped
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.host: r for r in link_reciprocity(df).collect()}
+    for a in range(4):
+        r = got[f"f{a}"]
+        assert r.recip_permille == 1000 and r.is_farm
+    # a directed 4-cycle has zero reciprocated edges
+    assert all(not got[f"s{i}"].is_farm and got[f"s{i}"].recip_out == 0
+               for i in range(4))
+    # mutual pair: fully reciprocal but out_deg 1 < min_out
+    assert got["m0"].recip_permille == 1000 and not got["m0"].is_farm
+    assert got["s0"].out_deg == 1  # self loop excluded
