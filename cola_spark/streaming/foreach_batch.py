@@ -98,3 +98,86 @@ class ForeachBatchCrawler:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class StreamingCardinality:
+    """foreachBatch HLL accumulator — the running frontier-cardinality
+    metric (operators/cardinality.py) over an unbounded key stream.
+
+    State is the 256-row register table, persisted as versioned delta
+    dirs like the crawler's seen store: each micro-batch writes ONLY
+    its own batch sketch (delta={batch_id}), and the current state is
+    the elementwise-max merge of all deltas at read time. Because max
+    is IDEMPOTENT and commutative, at-least-once replays and
+    out-of-order batch arrivals cannot corrupt the metric — a replayed
+    batch re-writes an identical delta (overwrite mode) and the merge
+    absorbs it; no commit-ordering discipline is needed, in deliberate
+    contrast to NearDupStreamGate's output-first protocol (dedup
+    decisions are not a semilattice; a cardinality sketch is).
+
+    compact() folds all deltas into delta=0 (same merge), bounding the
+    read fan-in the way the crawler's seen compaction does."""
+
+    def __init__(self, spark, workdir: str, key_col: str = "url",
+                 hash_kind: str = "md5"):
+        self.spark, self.workdir = spark, workdir
+        self.key_col, self.hash_kind = key_col, hash_kind
+        os.makedirs(f"{workdir}/hll", exist_ok=True)
+
+    def _delta_ids(self) -> list:
+        base = f"{self.workdir}/hll"
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith("delta=")
+        )
+
+    def registers(self) -> DataFrame:
+        from cola_spark.operators.cardinality import M_DEFAULT, hll_merge
+
+        ids = self._delta_ids()
+        if not ids:
+            return self.spark.range(M_DEFAULT).select(
+                F.col("id").alias("bucket"),
+                F.lit(0).cast("long").alias("register"),
+            )
+        frames = [
+            self.spark.read.parquet(f"{self.workdir}/hll/delta={i}")
+            for i in ids
+        ]
+        return hll_merge(*frames)
+
+    def estimate_row(self):
+        from cola_spark.operators.cardinality import hll_estimate
+
+        return hll_estimate(self.registers()).collect()[0]
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from cola_spark.operators.cardinality import hll_registers
+
+        hll_registers(
+            batch_df, key_col=self.key_col, hash_kind=self.hash_kind
+        ).write.mode("overwrite").parquet(
+            f"{self.workdir}/hll/delta={batch_id}"
+        )
+
+    def compact(self) -> None:
+        ids = self._delta_ids()
+        if len(ids) <= 1:
+            return
+        merged = self.registers()
+        tmp = f"{self.workdir}/hll_compact_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        for i in ids:
+            shutil.rmtree(f"{self.workdir}/hll/delta={i}")
+        os.rename(tmp, f"{self.workdir}/hll/delta=0")
+
+    def attach(self, key_stream: DataFrame, checkpoint: str):
+        return (
+            key_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

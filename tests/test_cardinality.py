@@ -74,3 +74,49 @@ def test_xxhash64_family_estimates_too(spark):
         hll_registers(_urls(spark, 10000), hash_kind="xxhash64")
     ).collect()[0].est
     assert abs(est - 10000) / 10000 < 0.20
+
+
+def test_streaming_cardinality_accumulator(spark, tmp_path):
+    """foreachBatch HLL: streamed estimate == batch estimate of the
+    union; a replayed batch is absorbed (idempotent max); compaction
+    and a fresh handler on the same workdir preserve the registers."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from cola_spark.streaming.foreach_batch import StreamingCardinality
+
+    src = str(tmp_path / "drops")
+    wd = str(tmp_path / "wd")
+    ckpt = str(tmp_path / "ckpt")
+    for b in range(3):
+        _urls(spark, 4000, prefix=f"b{b}_").write.mode("overwrite").parquet(
+            f"{src}/drop={b}"
+        )
+    acc = StreamingCardinality(spark, wd)
+    stream = spark.readStream.schema("url string").parquet(src + "/drop=*")
+    acc.attach(stream, ckpt).awaitTermination(120)
+
+    union = _urls(spark, 4000, prefix="b0_")
+    for b in (1, 2):
+        union = union.unionByName(_urls(spark, 4000, prefix=f"b{b}_"))
+    batch_regs = {
+        r.bucket: r.register for r in hll_registers(union).collect()
+    }
+    stream_regs = {r.bucket: r.register for r in acc.registers().collect()}
+    assert stream_regs == batch_regs
+    est = acc.estimate_row()
+    assert abs(est.est - 12000) / 12000 < 0.20
+
+    # at-least-once replay: re-running a batch changes nothing
+    acc.process_batch(_urls(spark, 4000, prefix="b1_"), 1)
+    assert {
+        r.bucket: r.register for r in acc.registers().collect()
+    } == batch_regs
+
+    # compaction folds deltas, registers unchanged; a fresh handler
+    # on the same workdir reads the same state (restart continuity)
+    acc.compact()
+    assert len(acc._delta_ids()) == 1
+    acc2 = StreamingCardinality(spark, wd)
+    assert {
+        r.bucket: r.register for r in acc2.registers().collect()
+    } == batch_regs
