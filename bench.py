@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     # unrolled host-scale join+CASE rounds, oracle replays each
     "link_reciprocity",  # link-farm permille: one edge-keyed
     # self-semi-join, flags mutual cliques before PageRank launders them
+    "crawl_snapshot_diff",  # incremental re-crawl change table: one
+    # doc-keyed full-outer fingerprint join, added/removed/changed/same
 ]
 
 

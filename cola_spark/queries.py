@@ -5696,3 +5696,66 @@ FROM o LEFT JOIN r ON o.src = r.src
 PAIRS.update(
     {"link_reciprocity": (q_link_reciprocity, SQL_LINK_RECIPROCITY)}
 )
+
+
+# ------------------------------------ crawl snapshot diff (round 5)
+
+
+def q_crawl_snapshot_diff(spark, sf):
+    """Incremental re-crawl reporting (SURVEY §2 row 30's audit
+    artifact): two crawl snapshots compared by page fingerprint — one
+    doc-keyed FULL OUTER join (co-partitioned; the same exchange shape
+    the seen-store merge pays), emitting the complete change table
+    (added / removed / changed / same) that drives adaptive_recrawl's
+    change-rate estimates and the chunk store's delta ingest. Planted:
+    snapshot A = doc_id % 10 != 0, snapshot B = doc_id % 7 != 0 with
+    every 5th page's content edited — all four statuses live."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    a = docs.filter(F.pmod("doc_id", F.lit(10)) != 0).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp_a")
+    )
+    b = docs.filter(F.pmod("doc_id", F.lit(7)) != 0).select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(5)) == 0,
+            F.md5(F.concat(F.lit("v2:"), F.col("text")).cast("binary")),
+        )
+        .otherwise(F.md5(F.col("text").cast("binary")))
+        .alias("fp_b"),
+    )
+    j = a.join(b.hint("shuffle_hash"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return j.select(
+        "doc_id",
+        F.col("fp_a").isNotNull().alias("in_prev"),
+        F.col("fp_b").isNotNull().alias("in_curr"),
+        status.alias("status"),
+    )
+
+
+SQL_CRAWL_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT doc_id, md5(text) AS fp_a FROM documents WHERE doc_id % 10 <> 0),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN md5('v2:' || text)
+              ELSE md5(text) END AS fp_b
+  FROM documents WHERE doc_id % 7 <> 0)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       a.fp_a IS NOT NULL AS in_prev,
+       b.fp_b IS NOT NULL AS in_curr,
+       CASE WHEN a.fp_a IS NULL THEN 'added'
+            WHEN b.fp_b IS NULL THEN 'removed'
+            WHEN a.fp_a <> b.fp_b THEN 'changed'
+            ELSE 'same' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+PAIRS.update(
+    {"crawl_snapshot_diff": (q_crawl_snapshot_diff, SQL_CRAWL_SNAPSHOT_DIFF)}
+)

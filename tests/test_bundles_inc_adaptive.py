@@ -206,3 +206,26 @@ def test_bundle_generated_seqs_globally_unique(spark):
     assert min(r.seq for r in rows if r.generated) > max(
         r.seq for r in rows if not r.generated
     )
+
+
+def test_crawl_snapshot_diff_statuses(spark):
+    """Every page's status replayed sequentially from the recipe."""
+    from cola_spark.queries import q_crawl_snapshot_diff
+
+    rows = q_crawl_snapshot_diff(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        d = r.doc_id
+        in_a, in_b = d % 10 != 0, d % 7 != 0
+        assert (r.in_prev, r.in_curr) == (in_a, in_b)
+        if not in_a:
+            exp = "added"
+        elif not in_b:
+            exp = "removed"
+        elif d % 5 == 0:
+            exp = "changed"
+        else:
+            exp = "same"
+        assert r.status == exp
+    # the universe covers all four statuses
+    assert {r.status for r in rows} == {"added", "removed", "changed", "same"}
