@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     # self-semi-join, flags mutual cliques before PageRank launders them
     "crawl_snapshot_diff",  # incremental re-crawl change table: one
     # doc-keyed full-outer fingerprint join, added/removed/changed/same
+    "redirect_resolve",  # 301-chain resolution: max_hops unrolled
+    # url-keyed joins, over-budget chains and cycles flagged
 ]
 
 

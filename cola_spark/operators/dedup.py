@@ -270,3 +270,66 @@ def relational_bloom_gate(
         )
     )
     return bits, gated
+
+
+def resolve_redirects(
+    frontier: DataFrame,
+    redirects: DataFrame,
+    max_hops: int = 3,
+    url_col: str = "url",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Redirect-chain resolution (round 5): dedup and politeness must
+    key on the FINAL URL — a frontier that treats 301 hops as distinct
+    pages re-fetches every alias of a page and splits its budget
+    accounting across them (the reference's opener follows redirects
+    implicitly inside urllib; a declarative frontier has to resolve
+    them as data). Bounded iterative join, the unrolled-iteration
+    shape (host_pagerank / AIMD): hop t left-joins the current target
+    against the redirect edge table; rows that moved increment hops.
+    A chain longer than max_hops, or a redirect cycle, is flagged
+    unresolved (is_cycle) — production crawlers drop those.
+
+    Output: (url, final_url, hops, is_cycle). is_cycle is TRUE when
+    after max_hops the current target STILL redirects (covers both
+    true cycles and over-long chains — indistinguishable under a hop
+    budget, deliberately).
+
+    Scale: the edge table is redirect-scale (≪ frontier); each hop is
+    one url-keyed equi-join (co-partitioned on the current target) —
+    max_hops exchanges total, no window, no driver loop state."""
+    r = redirects.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    cur = frontier.select(
+        F.col(url_col).alias("url"),
+        F.col(url_col).alias("final_url"),
+        F.lit(0).cast("long").alias("hops"),
+    )
+    for _ in range(max_hops):
+        cur = (
+            cur.join(
+                r.hint("shuffle_hash"),
+                cur["final_url"] == r["_src"],
+                "left",
+            )
+            .select(
+                "url",
+                F.coalesce("_dst", "final_url").alias("final_url"),
+                (
+                    F.col("hops")
+                    + F.col("_dst").isNotNull().cast("long")
+                ).alias("hops"),
+            )
+        )
+    # still redirecting after the budget -> unresolved/cycle
+    out = cur.join(
+        r.hint("shuffle_hash"), cur["final_url"] == r["_src"], "left"
+    ).select(
+        "url",
+        "final_url",
+        "hops",
+        F.col("_src").isNotNull().alias("is_cycle"),
+    )
+    return out

@@ -5759,3 +5759,84 @@ FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 PAIRS.update(
     {"crawl_snapshot_diff": (q_crawl_snapshot_diff, SQL_CRAWL_SNAPSHOT_DIFF)}
 )
+
+
+# ------------------------------------ redirect resolution (round 5)
+
+
+def q_redirect_resolve(spark, sf):
+    """Redirect-chain resolution (operators/dedup.resolve_redirects):
+    the frontier keys dedup/politeness on the FINAL URL, so 301 chains
+    are resolved declaratively — max_hops=3 unrolled url-keyed joins
+    (the AIMD/pagerank iteration shape), with over-budget chains and
+    true cycles both flagged is_cycle (indistinguishable under a hop
+    budget, deliberately). Universe: 400 pages; i%8<3 plants chains of
+    length 1-3 (resolved, the 3-chain lands exactly on the budget), a
+    4-link run at 100-103 exceeds it (flagged), and 396<->397 is a
+    true 2-cycle (flagged). Oracle unrolls every hop."""
+    from cola_spark.operators.dedup import resolve_redirects
+
+    u = spark.range(400).select(
+        F.col("id").alias("i"),
+        F.concat(
+            F.lit("http://h"),
+            F.pmod("id", F.lit(20)).cast("string"),
+            F.lit(".example.com/p"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    a, b = u.alias("a"), u.alias("b")
+    chain = (
+        a.join(b, F.col("b.i") == F.col("a.i") + 1)
+        .filter(
+            (F.col("a.i") % 8 < 3)
+            | F.col("a.i").isin(100, 101, 102, 103)
+        )
+        .select(F.col("a.url").alias("src"), F.col("b.url").alias("dst"))
+    )
+    cyc = (
+        a.join(b, (F.col("a.i") == 396) & (F.col("b.i") == 397))
+        .select(F.col("a.url").alias("src"), F.col("b.url").alias("dst"))
+        .unionByName(
+            a.join(b, (F.col("a.i") == 397) & (F.col("b.i") == 396)).select(
+                F.col("a.url").alias("src"), F.col("b.url").alias("dst")
+            )
+        )
+    )
+    return resolve_redirects(
+        u.select("url"), chain.unionByName(cyc), max_hops=3
+    )
+
+
+SQL_REDIRECT_RESOLVE = """
+WITH p AS (SELECT CAST(i AS BIGINT) AS i
+           FROM UNNEST(generate_series(0, 399)) AS t(i)),
+u AS (SELECT i, 'http://h' || CAST(i % 20 AS VARCHAR) || '.example.com/p'
+             || CAST(i AS VARCHAR) AS url
+      FROM p),
+e AS (
+  SELECT a.url AS src, b.url AS dst
+  FROM u a JOIN u b ON b.i = a.i + 1
+  WHERE a.i % 8 < 3 OR a.i IN (100, 101, 102, 103)
+  UNION ALL
+  SELECT a.url, b.url FROM u a, u b WHERE a.i = 396 AND b.i = 397
+  UNION ALL
+  SELECT a.url, b.url FROM u a, u b WHERE a.i = 397 AND b.i = 396),
+h0 AS (SELECT url, url AS final_url, CAST(0 AS BIGINT) AS hops FROM u),
+h1 AS (SELECT h.url, COALESCE(e.dst, h.final_url) AS final_url,
+              h.hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops
+       FROM h0 h LEFT JOIN e ON h.final_url = e.src),
+h2 AS (SELECT h.url, COALESCE(e.dst, h.final_url) AS final_url,
+              h.hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops
+       FROM h1 h LEFT JOIN e ON h.final_url = e.src),
+h3 AS (SELECT h.url, COALESCE(e.dst, h.final_url) AS final_url,
+              h.hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops
+       FROM h2 h LEFT JOIN e ON h.final_url = e.src)
+SELECT h.url, h.final_url, CAST(h.hops AS BIGINT) AS hops,
+       e.src IS NOT NULL AS is_cycle
+FROM h3 h LEFT JOIN e ON h.final_url = e.src
+"""
+
+PAIRS.update(
+    {"redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE)}
+)

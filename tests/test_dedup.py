@@ -75,3 +75,33 @@ def test_first_wins_within_batch_is_min_seq(spark):
     admitted, _ = admit(batch, seen)
     rows = admitted.collect()
     assert len(rows) == 1 and rows[0].seq == 3 and rows[0].priority == 0
+
+
+def test_resolve_redirects_chains_cycles_budget(spark):
+    """Hand graph: straight chains resolve with exact hop counts, a
+    2-cycle and an over-budget chain are flagged, non-redirecting
+    URLs pass through untouched."""
+    from cola_spark.operators.dedup import resolve_redirects
+    import pyspark.sql.functions as F  # noqa: N812
+
+    fr = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("x",), ("y",), ("l0",), ("solo",)],
+        "url string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),      # 3-chain, exactly budget
+         ("x", "y"), ("y", "x"),                  # 2-cycle
+         ("l0", "l1"), ("l1", "l2"), ("l2", "l3"), ("l3", "l4")],  # 4-chain
+        "src string, dst string",
+    )
+    got = {
+        r.url: (r.final_url, r.hops, r.is_cycle)
+        for r in resolve_redirects(fr, edges, max_hops=3).collect()
+    }
+    assert got["a"] == ("d", 3, False)
+    assert got["b"] == ("d", 2, False)
+    assert got["c"] == ("d", 1, False)
+    assert got["d"] == ("d", 0, False)
+    assert got["solo"] == ("solo", 0, False)
+    assert got["x"][2] and got["y"][2]            # cycle flagged
+    assert got["l0"] == ("l3", 3, True)           # budget exhausted mid-chain
