@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     # doc-keyed full-outer fingerprint join, added/removed/changed/same
     "redirect_resolve",  # 301-chain resolution: max_hops unrolled
     # url-keyed joins, over-budget chains and cycles flagged
+    "url_template_census",  # path-template mining: numeric segments ->
+    # {n} map-side, (template) census for page-family budgeting
 ]
 
 

@@ -5840,3 +5840,93 @@ FROM h3 h LEFT JOIN e ON h.final_url = e.src
 PAIRS.update(
     {"redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE)}
 )
+
+
+# ------------------------------------ URL template census (round 5)
+
+
+def q_url_template_census(spark, sf):
+    """URL template mining (SURVEY §2 row 9's learning twin): paths
+    generalized by collapsing numeric segments to {n} (one
+    regexp_replace, pure map-side), then a (host, template) census —
+    the signal crawlers use to spot parameterized page families
+    (/product/{n} with 10^6 instances = one template to budget, or a
+    calendar trap to cap). Uses the frontier URL recipe, so templates
+    and their instance counts are fully deterministic; per-template
+    n_urls + n_hosts out. The census is the same agg shape as
+    counter_rollup — combinable, skew-bounded by template count."""
+    li = _t(spark, sf, "lineitem")
+    r = F.pmod("l_orderkey", F.lit(3))
+    path = (
+        F.when(
+            r == 0,
+            F.concat(
+                F.lit("/cat/"),
+                F.pmod("l_orderkey", F.lit(7)).cast("string"),
+                F.lit("/item/"),
+                F.col("l_orderkey").cast("string"),
+                F.lit("/v"),
+                F.col("l_linenumber").cast("string"),
+            ),
+        )
+        .when(
+            r == 1,
+            F.concat(
+                F.lit("/blog/"),
+                F.col("l_orderkey").cast("string"),
+                F.lit("/comments"),
+            ),
+        )
+        .otherwise(
+            F.element_at(
+                F.array(
+                    F.lit("/static/about"),
+                    F.lit("/static/contact"),
+                    F.lit("/static/terms"),
+                ),
+                (F.pmod("l_linenumber", F.lit(3)) + 1).cast("int"),
+            )
+        )
+    )
+    host = F.concat(
+        F.lit("h"),
+        F.pmod("l_orderkey", F.lit(97)).cast("string"),
+        F.lit(".example.com"),
+    )
+    base = li.select(host.alias("host"), path.alias("path"))
+    tpl = F.regexp_replace("path", "[0-9]+", "{n}")
+    return (
+        base.select("host", tpl.alias("template"))
+        .groupBy("template")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+    )
+
+
+SQL_URL_TEMPLATE_CENSUS = """
+WITH b AS (
+  SELECT 'h' || CAST(l_orderkey % 97 AS VARCHAR) || '.example.com' AS host,
+         CASE l_orderkey % 3
+           WHEN 0 THEN '/cat/' || CAST(l_orderkey % 7 AS VARCHAR)
+             || '/item/' || CAST(l_orderkey AS VARCHAR) || '/v'
+             || CAST(l_linenumber AS VARCHAR)
+           WHEN 1 THEN '/blog/' || CAST(l_orderkey AS VARCHAR)
+             || '/comments'
+           ELSE CASE l_linenumber % 3
+             WHEN 0 THEN '/static/about'
+             WHEN 1 THEN '/static/contact'
+             ELSE '/static/terms' END
+         END AS path
+  FROM lineitem)
+SELECT regexp_replace(path, '[0-9]+', '{n}', 'g') AS template,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+FROM b
+GROUP BY 1
+"""
+
+PAIRS.update(
+    {"url_template_census": (q_url_template_census, SQL_URL_TEMPLATE_CENSUS)}
+)

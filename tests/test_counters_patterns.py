@@ -64,3 +64,32 @@ def test_url_patterns_first_match_wins_and_drops(spark):
     got = {r.url_canon: r.parser_id for r in up.dispatch(df).collect()}
     assert got == {"http://h/p/12": "teens", "http://h/p/3": "pages"}  # /about dropped
     assert up.matches(df).count() == 2
+
+
+def test_url_template_census_generalizes(spark):
+    """Numeric segments collapse to {n}; statics survive verbatim;
+    counts replay from the recipe."""
+    from cola_spark.queries import q_url_template_census
+
+    rows = {
+        r.template: (r.n_urls, r.n_hosts)
+        for r in q_url_template_census(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {
+        "/cat/{n}/item/{n}/v{n}",
+        "/blog/{n}/comments",
+        "/static/about",
+        "/static/contact",
+        "/static/terms",
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM"
+        " read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    n = con.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    assert sum(v[0] for v in rows.values()) == n
