@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     # url-keyed joins, over-budget chains and cycles flagged
     "url_template_census",  # path-template mining: numeric segments ->
     # {n} map-side, (template) census for page-family budgeting
+    "magic_sniff_gate",  # content-type-lie gate: magic-byte container
+    # sniff on raw binary (hex-slice scalars), pre-decode dispatch
 ]
 
 

@@ -584,3 +584,38 @@ def caption_to_image_topk_ivf(
     cand = img_cell.join(F.broadcast(q_cell), "cell").select("query_id", "image_id")
     img_grid = embedding_grid(embs)
     return caption_to_image_topk(cap_vec, img_grid, k=k, cand=cand)
+
+
+# ------------------------------------------------------------- sniffing
+
+
+MAGIC_RULES = [
+    ("png", "89504E47", 1),
+    ("jpeg", "FFD8FF", 1),
+    ("gif", "47494638", 1),
+]
+
+
+def sniff_format(df: DataFrame, bytes_col: str = "bytes"):
+    """Magic-byte container sniffing over the raw binary column — the
+    content-type-lie gate (round 5): on the open web the declared
+    Content-Type/extension routinely disagrees with the payload, and
+    the decode dispatch (codecs/__init__) must trust the BYTES.
+    Returns a string column: png/jpeg/gif by prefix magic, webp by
+    RIFF container magic + the 'WEBP' fourcc at offset 9, else
+    'unknown'. Pure scalar comparisons on hex(bytes) slices (DuckDB has
+    no BLOB substring, so both engines slice the hex string — one hex()
+    + substr per probe, codegen-side, no Python), exactly replayable in
+    any engine, unlike a decoder probe."""
+    hx = F.hex(F.col(bytes_col))
+
+    def is_magic(hexs: str, pos: int):
+        return F.substring(hx, 2 * pos - 1, len(hexs)) == hexs
+
+    out = F.lit("unknown")
+    out = F.when(
+        is_magic("52494646", 1) & is_magic("57454250", 9), F.lit("webp")
+    ).otherwise(out)
+    for name, hexs, pos in reversed(MAGIC_RULES):
+        out = F.when(is_magic(hexs, pos), F.lit(name)).otherwise(out)
+    return out

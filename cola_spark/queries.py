@@ -5930,3 +5930,107 @@ GROUP BY 1
 PAIRS.update(
     {"url_template_census": (q_url_template_census, SQL_URL_TEMPLATE_CENSUS)}
 )
+
+
+# ------------------------------------ magic-byte sniffing (round 5)
+
+
+def q_magic_sniff_gate(spark, sf):
+    """Content-type-lie gate (multimodal.sniff_format): the raw binary
+    payload's magic bytes decide the real container format; every 5th
+    image's DECLARED format is planted wrong (rotated), and the gate
+    emits (declared_fmt, sniffed_fmt, mismatch) — the pre-decode check
+    that keeps a mislabeled payload from reaching the wrong codec.
+    Bytes are planted cross-engine (unhex of magic || md5 body), so
+    the binary column itself — not a stand-in — is what DuckDB
+    replays: this is the first D-oracled query over the bytes axis
+    (the codec ops are exact-LOCAL-oracled by necessity; a pure
+    byte-slice gate needs no decoder). webp exercises the two-probe
+    RIFF rule; nulls/short bodies excluded by construction."""
+    from cola_spark.operators.multimodal import sniff_format
+
+    fmts = F.array(
+        F.lit("png"), F.lit("jpeg"), F.lit("gif"), F.lit("webp")
+    )
+    magics = F.array(
+        F.lit("89504E47"),
+        F.lit("FFD8FF"),
+        F.lit("47494638"),
+        F.lit("524946460000000057454250"),
+    )
+    base = spark.range(500).select(
+        F.col("id").alias("image_id"),
+        F.pmod(
+            _md5_col(F.concat(F.lit("fmt:"), F.col("id").cast("string"))),
+            F.lit(4),
+        ).alias("f"),
+        F.pmod(
+            _md5_col(F.concat(F.lit("lie:"), F.col("id").cast("string"))),
+            F.lit(5),
+        ).alias("lie"),
+        F.upper(
+            F.substring(
+                F.md5(F.concat(F.lit("body:"), F.col("id").cast("string"))),
+                1,
+                14,
+            )
+        ).alias("bodyhex"),
+    )
+    declared = F.element_at(
+        fmts,
+        (
+            F.when(F.col("lie") == 0, F.pmod(F.col("f") + 1, F.lit(4)))
+            .otherwise(F.col("f"))
+            + 1
+        ).cast("int"),
+    )
+    by = F.unhex(
+        F.concat(
+            F.element_at(magics, (F.col("f") + 1).cast("int")), F.col("bodyhex")
+        )
+    )
+    img = base.select(
+        "image_id", declared.alias("declared_fmt"), by.alias("bytes")
+    )
+    sniffed = sniff_format(img)
+    return img.select(
+        "image_id",
+        "declared_fmt",
+        sniffed.alias("sniffed_fmt"),
+        (F.col("declared_fmt") != sniffed).alias("mismatch"),
+    )
+
+
+SQL_MAGIC_SNIFF = """
+WITH base AS (
+  SELECT CAST(i AS BIGINT) AS image_id,
+         CAST(('0x' || substr(md5('fmt:' || CAST(i AS VARCHAR)), 1, 15))
+           AS BIGINT) % 4 AS f,
+         CAST(('0x' || substr(md5('lie:' || CAST(i AS VARCHAR)), 1, 15))
+           AS BIGINT) % 5 AS lie,
+         upper(substr(md5('body:' || CAST(i AS VARCHAR)), 1, 14)) AS bodyhex
+  FROM UNNEST(generate_series(0, 499)) AS t(i)),
+img AS (
+  SELECT image_id,
+         ['png', 'jpeg', 'gif', 'webp'][
+           CAST(CASE WHEN lie = 0 THEN (f + 1) % 4 ELSE f END AS INTEGER) + 1]
+           AS declared_fmt,
+         unhex((['89504E47', 'FFD8FF', '47494638',
+                 '524946460000000057454250'][CAST(f AS INTEGER) + 1])
+               || bodyhex) AS b
+  FROM base),
+sn AS (
+  SELECT image_id, declared_fmt,
+         CASE WHEN substr(hex(b), 1, 8) = '89504E47' THEN 'png'
+              WHEN substr(hex(b), 1, 6) = 'FFD8FF' THEN 'jpeg'
+              WHEN substr(hex(b), 1, 8) = '47494638' THEN 'gif'
+              WHEN substr(hex(b), 1, 8) = '52494646'
+                   AND substr(hex(b), 17, 8) = '57454250' THEN 'webp'
+              ELSE 'unknown' END AS sniffed_fmt
+  FROM img)
+SELECT image_id, declared_fmt, sniffed_fmt,
+       declared_fmt <> sniffed_fmt AS mismatch
+FROM sn
+"""
+
+PAIRS.update({"magic_sniff_gate": (q_magic_sniff_gate, SQL_MAGIC_SNIFF)})

@@ -203,3 +203,37 @@ def test_caption_consolidate_longest_strategy(spark):
     }
     with pytest.raises(ValueError):
         caption_consolidate(docs, pairs, strategy="median").collect()
+
+
+def test_sniff_format_magics_and_lies(spark):
+    """Real container magics sniff correctly from raw bytes (incl. the
+    two-probe RIFF/WEBP rule); truncated/garbage bytes -> unknown; the
+    planted declared-format lies are exactly the mismatch rows."""
+    from cola_spark.operators.multimodal import sniff_format
+    from cola_spark.queries import q_magic_sniff_gate
+    import pyspark.sql.functions as F  # noqa: N812
+
+    samples = [
+        ("png", bytes.fromhex("89504E47") + b"rest"),
+        ("jpeg", bytes.fromhex("FFD8FF") + b"\xe0body"),
+        ("gif", b"GIF8" + b"9a..."),
+        ("webp", b"RIFF" + b"\x00\x00\x00\x00" + b"WEBP" + b"vp8 "),
+        ("unknown", b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + b"data"),
+        ("unknown", b"\x00\x01"),
+        ("unknown", b""),
+    ]
+    df = spark.createDataFrame(
+        [(i, exp, bs) for i, (exp, bs) in enumerate(samples)],
+        "i long, exp string, bytes binary",
+    )
+    got = df.select("exp", sniff_format(df).alias("s")).collect()
+    assert all(r.exp == r.s for r in got)
+
+    rows = q_magic_sniff_gate(spark, "/root/testdata/sf0.001").collect()
+    # every payload is a real container: sniff never says unknown, and
+    # mismatch rows are exactly the lie-planted fifth
+    assert all(r.sniffed_fmt != "unknown" for r in rows)
+    assert 0.10 < sum(r.mismatch for r in rows) / len(rows) < 0.30
+    assert all(
+        (r.declared_fmt != r.sniffed_fmt) == r.mismatch for r in rows
+    )
