@@ -49,6 +49,15 @@ def test_driver_queries_invariant_to_shuffle_partitions(spark):
         "token_budget_mix", "epoch_repeat_mix", "line_boilerplate_dedup",
         "anchor_text_rollup", "caption_image_retrieval",
         "aspect_bucket_pack", "bpe_encode_counts", "trainer_batch_plan",
+        # round-5 late additions: iterative joins (redirect hops, AIMD
+        # rounds), host-window parse (robots blocks), global-rank cut
+        # (clip top-p), sketch merges (HLL), full-outer diff,
+        # self-semi-join (reciprocity), longest-suffix match (PSL)
+        "redirect_resolve", "aimd_rate_control", "robots_parse_gate",
+        "crawl_policy_plan", "clip_percentile_filter", "hll_registers",
+        "hll_seen_estimate", "crawl_snapshot_diff", "link_reciprocity",
+        "registrable_domain", "rendezvous_route", "url_template_census",
+        "fetch_latency_quantiles", "magic_sniff_gate",
     ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:

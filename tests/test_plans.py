@@ -159,3 +159,54 @@ def test_safety_gate_blocklist_broadcast(spark):
     p = _plan(safety_gate(docs))
     assert "BroadcastHashJoin" in p
     assert "ShuffledHashJoin" in p
+
+
+def test_rendezvous_route_is_pure_map_side(spark):
+    """Routing must add ZERO exchanges: per-row hashes + argmax chain."""
+    from cola_spark.operators.routing import rendezvous_route
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("string").alias("url")
+    )
+    p = _plan(rendezvous_route(df))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_magic_sniff_is_pure_map_side(spark):
+    from cola_spark.operators.multimodal import sniff_format
+
+    df = spark.createDataFrame([(b"\x89PNGxx",)], "bytes binary")
+    p = _plan(df.select(sniff_format(df).alias("s")))
+    assert "Exchange" not in p
+
+
+def test_hll_registers_one_corpus_exchange(spark):
+    """The sketch pays ONE corpus exchange (the 256-key agg shuffle);
+    the spine join must be broadcast, never a shuffled join of the
+    corpus side."""
+    from cola_spark.operators.cardinality import hll_registers
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("string").alias("url")
+    )
+    p = _plan(hll_registers(df))
+    assert "BroadcastHashJoin" in p
+    # exactly one shuffle of corpus data (partial_max -> final max);
+    # formatted mode puts the partitioning in an Arguments: line
+    assert p.count("Arguments: hashpartitioning") == 1, p
+    assert "partial_max" in p
+
+
+def test_registrable_domain_suffix_dim_broadcast(spark):
+    from cola_spark.operators.domains import registrable_domain
+
+    hosts = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.concat(
+            F.lit("h"), F.pmod("l_orderkey", F.lit(97)).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host")
+    )
+    p = _plan(registrable_domain(hosts))
+    assert "BroadcastHashJoin" in p          # suffix dim
+    assert "ShuffledHashJoin" in p           # host-scale match join pinned
