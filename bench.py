@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     # {n} map-side, (template) census for page-family budgeting
     "magic_sniff_gate",  # content-type-lie gate: magic-byte container
     # sniff on raw binary (hex-slice scalars), pre-decode dispatch
+    "quality_lr_confusion",  # model-eval table: trained classifier's
+    # confusion + integer PR vs planted truth (nests all 8 GD epochs)
 ]
 
 

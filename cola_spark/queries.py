@@ -6034,3 +6034,74 @@ FROM sn
 """
 
 PAIRS.update({"magic_sniff_gate": (q_magic_sniff_gate, SQL_MAGIC_SNIFF)})
+
+
+# ---------------------------- classifier evaluation table (round 5)
+
+
+def q_quality_lr_confusion(spark, sf):
+    """Model evaluation as a first-class pipeline op: the trained
+    quality classifier's confusion matrix + integer precision/recall/
+    accuracy against the planted labels — the eval artifact every
+    production filter ships with (a trainer-corpus gate is only as
+    good as its measured PR). Composes docs_quality_lr (training
+    in-query), so the oracle nests the ENTIRE 8-epoch GD replay: a
+    wrong gradient anywhere shifts a decision and hash-fails the
+    single summary row."""
+    s = q_docs_quality_lr(spark, sf)
+    pos = F.pmod("doc_id", F.lit(3)) != 1
+    j = s.select(
+        "keep", pos.alias("pos")
+    )
+    agg = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("keep") & F.col("pos")).cast("int"))
+        .cast("long")
+        .alias("tp"),
+        F.sum((F.col("keep") & ~F.col("pos")).cast("int"))
+        .cast("long")
+        .alias("fp"),
+        F.sum((~F.col("keep") & F.col("pos")).cast("int"))
+        .cast("long")
+        .alias("fn"),
+        F.sum((~F.col("keep") & ~F.col("pos")).cast("int"))
+        .cast("long")
+        .alias("tn"),
+    )
+    return agg.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("tp * 1000 div (tp + fp)").cast("long")
+        .alias("precision_permille"),
+        F.expr("tp * 1000 div (tp + fn)").cast("long")
+        .alias("recall_permille"),
+        F.expr("(tp + tn) * 1000 div n").cast("long")
+        .alias("accuracy_permille"),
+    )
+
+
+SQL_QUALITY_LR_CONFUSION = f"""
+WITH s AS ({SQL_QUALITY_LR}),
+j AS (SELECT keep, (doc_id % 3 <> 1) AS pos FROM s),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN keep AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN keep AND NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+          AS fp,
+        CAST(SUM(CASE WHEN NOT keep AND pos THEN 1 ELSE 0 END) AS BIGINT)
+          AS fn,
+        CAST(SUM(CASE WHEN NOT keep AND NOT pos THEN 1 ELSE 0 END)
+          AS BIGINT) AS tn
+      FROM j)
+SELECT n, tp, fp, fn, tn,
+       CAST(tp * 1000 // (tp + fp) AS BIGINT) AS precision_permille,
+       CAST(tp * 1000 // (tp + fn) AS BIGINT) AS recall_permille,
+       CAST((tp + tn) * 1000 // n AS BIGINT) AS accuracy_permille
+FROM a
+"""
+
+PAIRS.update(
+    {"quality_lr_confusion": (q_quality_lr_confusion, SQL_QUALITY_LR_CONFUSION)}
+)

@@ -96,3 +96,21 @@ def test_features_are_binary_and_bounded(spark):
     rows = hashed_features(docs, n_buckets=16).collect()
     assert len(rows) == len({(r.doc_id, r.bucket) for r in rows})
     assert all(0 <= r.bucket < 16 for r in rows)
+
+
+def test_confusion_matrix_replays_from_decisions(spark):
+    """The eval row recomputed in Python from the member query's
+    per-doc decisions — cells, permille ratios, and conservation."""
+    from cola_spark.queries import q_docs_quality_lr, q_quality_lr_confusion
+
+    sf = "/root/testdata/sf0.001"
+    dec = q_docs_quality_lr(spark, sf).collect()
+    tp = sum(1 for r in dec if r.keep and r.doc_id % 3 != 1)
+    fp = sum(1 for r in dec if r.keep and r.doc_id % 3 == 1)
+    fn = sum(1 for r in dec if not r.keep and r.doc_id % 3 != 1)
+    tn = sum(1 for r in dec if not r.keep and r.doc_id % 3 == 1)
+    row = q_quality_lr_confusion(spark, sf).collect()[0]
+    assert (row.tp, row.fp, row.fn, row.tn) == (tp, fp, fn, tn)
+    assert row.n == tp + fp + fn + tn == len(dec)
+    assert row.precision_permille == tp * 1000 // (tp + fp)
+    assert row.recall_permille == tp * 1000 // (tp + fn)
