@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     # sniff on raw binary (hex-slice scalars), pre-decode dispatch
     "quality_lr_confusion",  # model-eval table: trained classifier's
     # confusion + integer PR vs planted truth (nests all 8 GD epochs)
+    "ann_recall_report",  # driver-verified recall@5: IVF+PQ serving
+    # path vs exact brute ranking, both CTE chains nested in the oracle
 ]
 
 

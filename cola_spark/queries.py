@@ -6105,3 +6105,53 @@ FROM a
 PAIRS.update(
     {"quality_lr_confusion": (q_quality_lr_confusion, SQL_QUALITY_LR_CONFUSION)}
 )
+
+
+# ------------------------------------ ANN recall report (round 5)
+
+
+def q_ann_recall_report(spark, sf):
+    """Index-quality evaluation as a first-class op (the ANN twin of
+    quality_lr_confusion): per-query recall@5 of the trained-geometry
+    IVF+PQ serving path against the exact brute-force ranking —
+    DRIVER-VERIFIED recall, not just a test-floor assertion. The
+    oracle nests BOTH member CTE chains (codebook construction, cell
+    pruning, ADC ranking on one side; exact cosine ranking on the
+    other), so a quantizer or pruning drift shifts a hit count and
+    hash-fails."""
+    iv = q_ann_ivfpq_topk(spark, sf).select("query_id", "neighbor_id")
+    br = q_ann_cosine_topk(spark, sf).select("query_id", "neighbor_id")
+    qs = br.select("query_id").distinct()
+    hits = (
+        br.join(iv.hint("shuffle_hash"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    return (
+        qs.join(hits.hint("shuffle_hash"), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.expr("coalesce(hits, 0) * 1000 div 5")
+            .cast("long")
+            .alias("recall_permille"),
+        )
+    )
+
+
+SQL_ANN_RECALL_REPORT = f"""
+WITH iv AS ({SQL_ANN_IVFPQ}),
+br AS ({SQL_ANN}),
+q AS (SELECT DISTINCT query_id FROM br),
+h AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM br b JOIN iv ON iv.query_id = b.query_id
+                       AND iv.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id)
+SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.hits, 0) * 1000 // 5 AS BIGINT) AS recall_permille
+FROM q LEFT JOIN h ON q.query_id = h.query_id
+"""
+
+PAIRS.update(
+    {"ann_recall_report": (q_ann_recall_report, SQL_ANN_RECALL_REPORT)}
+)

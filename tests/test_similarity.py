@@ -342,3 +342,27 @@ def test_pca_bucket_topk_recall_and_brute_degeneration(spark):
     assert sorted(
         (r["query_id"], r["neighbor_id"], r["rank"]) for r in rows_all
     ) == want
+
+
+def test_ann_recall_report_replays_from_members(spark):
+    """Per-query hit counts recomputed in Python from the two member
+    rankings; permille arithmetic pinned."""
+    from cola_spark.queries import (
+        q_ann_cosine_topk,
+        q_ann_ivfpq_topk,
+        q_ann_recall_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    br = {}
+    for r in q_ann_cosine_topk(spark, sf).collect():
+        br.setdefault(r.query_id, set()).add(r.neighbor_id)
+    iv = {}
+    for r in q_ann_ivfpq_topk(spark, sf).collect():
+        iv.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rows = q_ann_recall_report(spark, sf).collect()
+    assert {r.query_id for r in rows} == set(br)
+    for r in rows:
+        hits = len(br[r.query_id] & iv.get(r.query_id, set()))
+        assert r.hits == hits
+        assert r.recall_permille == hits * 1000 // 5
