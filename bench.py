@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     # confusion + integer PR vs planted truth (nests all 8 GD epochs)
     "ann_recall_report",  # driver-verified recall@5: IVF+PQ serving
     # path vs exact brute ranking, both CTE chains nested in the oracle
+    "merkle_snapshot_tree",  # archive integrity: one corpus-scale leaf
+    # pass + log n shrinking pair-hash groupBys, O(log n) divergence audit
 ]
 
 

@@ -221,3 +221,59 @@ def compact_store(
     for p in old_packs:
         io.remove_dir(p)
     return m2
+
+
+# ---------------------------------------------------------------------
+# Merkle tree over content hashes (round 5): snapshot INTEGRITY for the
+# chunk-store family. Two crawl archives (or a primary and its
+# object-store replica, stateio.py) verify equality by comparing ONE
+# root hash, and locate a divergence with O(log n) hash exchanges —
+# the standard content-addressed-storage audit (git/IPFS shape).
+#
+# Relational build: level 0 is the sorted leaf-hash list (the only
+# corpus-scale pass); every higher level pairs adjacent nodes with one
+# combinable groupBy(idx div 2) — exactly one row per parity, so the
+# pair concat is MAX(CASE parity) + MAX(CASE parity) — and hashes the
+# 64-char concat. Geometrically shrinking exchanges, log2(n) rounds.
+# Odd tails promote the lone node unchanged (Bitcoin-style duplication
+# would double-count; promotion is the simpler audited rule).
+
+
+def merkle_tree(
+    leaves: DataFrame,
+    idx_col: str = "idx",
+    hash_col: str = "h",
+    levels: int | None = None,
+) -> DataFrame:
+    """(level, idx, h) for the full tree over (idx, h) leaves —
+    level 0 = input, top level = the root (single row). `levels`
+    defaults to enough rounds to reach a single node (caller passes it
+    explicitly when the count is known; the oracle unrolls it)."""
+    from pyspark.sql import functions as F
+
+    cur = leaves.select(
+        F.col(idx_col).cast("long").alias("idx"),
+        F.col(hash_col).alias("h"),
+    )
+    if levels is None:
+        n = cur.count()
+        levels = max(1, (int(n) - 1).bit_length())
+    out = [cur.select(F.lit(0).cast("long").alias("level"), "idx", "h")]
+    for lv in range(1, levels + 1):
+        left = F.max(F.when(F.col("idx") % 2 == 0, F.col("h")))
+        right = F.max(F.when(F.col("idx") % 2 == 1, F.col("h")))
+        cur = (
+            cur.groupBy(F.expr("idx div 2").alias("idx"))
+            .agg(
+                F.when(right.isNull(), left)
+                .otherwise(F.md5(F.concat(left, right).cast("binary")))
+                .alias("h")
+            )
+        )
+        out.append(
+            cur.select(F.lit(lv).cast("long").alias("level"), "idx", "h")
+        )
+    u = out[0]
+    for f in out[1:]:
+        u = u.unionByName(f)
+    return u

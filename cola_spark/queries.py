@@ -6155,3 +6155,60 @@ FROM q LEFT JOIN h ON q.query_id = h.query_id
 PAIRS.update(
     {"ann_recall_report": (q_ann_recall_report, SQL_ANN_RECALL_REPORT)}
 )
+
+
+# ------------------------------------ Merkle snapshot root (round 5)
+
+
+def q_merkle_snapshot_tree(spark, sf):
+    """Snapshot integrity for the crawl archive
+    (chunkstore.merkle_tree): the full Merkle tree over 300 planted
+    chunk hashes — two archives (or a primary and its object-store
+    replica) verify equality by ONE root and locate divergence with
+    O(log n) hash exchanges. 300 is deliberately not a power of two:
+    odd tails at levels 75/19/5/3 exercise the lone-node promotion
+    rule. Level 0 is the only corpus-scale pass; each higher level is
+    one geometrically-shrinking combinable groupBy(idx div 2). The
+    oracle unrolls all 9 levels."""
+    from cola_spark.operators.chunkstore import merkle_tree
+
+    leaves = spark.range(300).select(
+        F.col("id").alias("idx"),
+        F.md5(
+            F.concat(F.lit("leaf:"), F.col("id").cast("string")).cast(
+                "binary"
+            )
+        ).alias("h"),
+    )
+    return merkle_tree(leaves, levels=9)
+
+
+def _sql_merkle(levels: int = 9, n: int = 300) -> str:
+    pair = (
+        "CASE WHEN MAX(CASE WHEN idx % 2 = 1 THEN h END) IS NULL"
+        " THEN MAX(CASE WHEN idx % 2 = 0 THEN h END)"
+        " ELSE md5(MAX(CASE WHEN idx % 2 = 0 THEN h END)"
+        " || MAX(CASE WHEN idx % 2 = 1 THEN h END)) END"
+    )
+    ctes = [
+        f"l0 AS (SELECT CAST(i AS BIGINT) AS idx,"
+        f" md5('leaf:' || CAST(i AS VARCHAR)) AS h"
+        f" FROM UNNEST(generate_series(0, {n - 1})) AS t(i))"
+    ]
+    for lv in range(1, levels + 1):
+        ctes.append(
+            f"l{lv} AS (SELECT idx // 2 AS idx, {pair} AS h"
+            f" FROM l{lv-1} GROUP BY idx // 2)"
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({lv} AS BIGINT) AS level, idx, h FROM l{lv}"
+        for lv in range(0, levels + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+SQL_MERKLE_SNAPSHOT_TREE = _sql_merkle()
+
+PAIRS.update(
+    {"merkle_snapshot_tree": (q_merkle_snapshot_tree, SQL_MERKLE_SNAPSHOT_TREE)}
+)

@@ -160,3 +160,52 @@ def test_compact_all_live_is_lossless(spark, tmp_path):
     assert after["packs"] == 1
     _check_exact(spark, path, "s1", want_a, io)
     _check_exact(spark, path, "s2", want_b, io)
+
+
+def test_merkle_tree_sequential_replay_and_divergence(spark):
+    """Root replayed in Python (incl. odd-tail promotion); equal leaf
+    sets agree on the root; one flipped leaf changes it and the
+    divergence is locatable down a single path."""
+    import hashlib
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from cola_spark.operators.chunkstore import merkle_tree
+
+    def py_levels(hs):
+        levels = [list(hs)]
+        while len(levels[-1]) > 1:
+            prev, nxt = levels[-1], []
+            for i in range(0, len(prev), 2):
+                if i + 1 < len(prev):
+                    nxt.append(
+                        hashlib.md5(
+                            (prev[i] + prev[i + 1]).encode()
+                        ).hexdigest()
+                    )
+                else:
+                    nxt.append(prev[i])  # lone-node promotion
+            levels.append(nxt)
+        return levels
+
+    hs = [hashlib.md5(f"leaf:{i}".encode()).hexdigest() for i in range(13)]
+    df = spark.createDataFrame(list(enumerate(hs)), "idx long, h string")
+    got = merkle_tree(df, levels=4).collect()
+    exp = py_levels(hs)
+    for r in got:
+        assert exp[r.level][r.idx] == r.h
+    root = [r.h for r in got if r.level == 4]
+    assert root == exp[4]
+
+    # flip one leaf: root changes, and exactly one node per level does
+    hs2 = list(hs)
+    hs2[5] = hashlib.md5(b"tampered").hexdigest()
+    df2 = spark.createDataFrame(list(enumerate(hs2)), "idx long, h string")
+    got2 = {(r.level, r.idx): r.h for r in merkle_tree(df2, levels=4).collect()}
+    got1 = {(r.level, r.idx): r.h for r in got}
+    diffs = [k for k in got1 if got1[k] != got2[k]]
+    assert (0, 5) in diffs and (4, 0) in diffs
+    per_level = {}
+    for lv, _ in diffs:
+        per_level[lv] = per_level.get(lv, 0) + 1
+    assert all(c == 1 for c in per_level.values())  # a single audit path
