@@ -6212,3 +6212,111 @@ SQL_MERKLE_SNAPSHOT_TREE = _sql_merkle()
 PAIRS.update(
     {"merkle_snapshot_tree": (q_merkle_snapshot_tree, SQL_MERKLE_SNAPSHOT_TREE)}
 )
+
+
+# ----------------------------- sitemap lastmod refetch (round 5)
+
+
+def q_sitemap_lastmod_refetch(spark, sf):
+    """Freshness-driven re-crawl via the sitemap protocol's <lastmod>
+    (the discovery half is sitemap_seed_expand; this is the RE-crawl
+    half): per-host sitemap XML carries (loc, lastmod) PAIRS — parsed
+    with two regexp_extract_all + positional zip (the BPE
+    generate-series indexing pattern, no Python) — joined against the
+    seen store's per-page fetch day; refetch iff lastmod is newer.
+    Complements adaptive_recrawl (which infers change rates when the
+    site publishes nothing): when the site DOES publish lastmod, the
+    scheduler should believe it. One parse explode + one page-keyed
+    join."""
+    hosts = spark.range(40)
+    h = F.col("id")
+    hs = h.cast("string")
+
+    def ent(j: int):
+        day = (
+            F.pmod(
+                _md5_col(F.concat(F.lit("lm:"), hs, F.lit(f"_{j}"))),
+                F.lit(28),
+            )
+            + 1
+        ).cast("string")
+        return F.concat(
+            F.lit("<url><loc>http://h"), hs, F.lit(".example.com/p"),
+            F.lit(str(j)), F.lit("</loc><lastmod>2024-01-"), day,
+            F.lit("</lastmod></url>"),
+        )
+
+    sm = hosts.select(
+        "id",
+        F.concat(
+            F.lit("<urlset>"), ent(0), ent(1), ent(2), ent(3),
+            F.lit("</urlset>"),
+        ).alias("xml"),
+    )
+    parsed = sm.select(
+        "id",
+        F.regexp_extract_all(
+            "xml", F.lit(r"<loc>([^<]+)</loc>"), F.lit(1)
+        ).alias("locs"),
+        F.regexp_extract_all(
+            "xml", F.lit(r"<lastmod>2024-01-([0-9]+)</lastmod>"), F.lit(1)
+        ).alias("days"),
+    )
+    pairs = parsed.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("locs"))
+        ).alias("i"),
+        "locs",
+        "days",
+    ).select(
+        F.element_at("locs", F.col("i")).alias("url"),
+        F.element_at("days", F.col("i")).cast("long").alias("lastmod_day"),
+    )
+    # seen store: every page was fetched on a planted day
+    fetched = pairs.select(
+        "url",
+        (
+            F.pmod(_md5_col(F.concat(F.lit("fd:"), F.col("url"))), F.lit(28))
+            + 1
+        ).cast("long").alias("fetched_day"),
+    )
+    return (
+        pairs.join(fetched.hint("shuffle_hash"), "url")
+        .select(
+            "url",
+            "lastmod_day",
+            "fetched_day",
+            (F.col("lastmod_day") > F.col("fetched_day")).alias("refetch"),
+        )
+    )
+
+
+SQL_SITEMAP_LASTMOD = """
+WITH hosts AS (SELECT CAST(i AS BIGINT) AS h
+               FROM UNNEST(generate_series(0, 39)) AS t(i)),
+pg AS (SELECT h, CAST(j AS BIGINT) AS j,
+        'http://h' || CAST(h AS VARCHAR) || '.example.com/p'
+          || CAST(j AS VARCHAR) AS url,
+        CAST(('0x' || substr(md5('lm:' || CAST(h AS VARCHAR) || '_'
+          || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 28 + 1
+          AS lastmod_day
+       FROM hosts, UNNEST(generate_series(0, 3)) AS t(j)),
+fd AS (SELECT url, lastmod_day,
+        CAST(('0x' || substr(md5('fd:' || url), 1, 15)) AS BIGINT) % 28 + 1
+          AS fetched_day
+       FROM pg)
+SELECT url, CAST(lastmod_day AS BIGINT) AS lastmod_day,
+       CAST(fetched_day AS BIGINT) AS fetched_day,
+       lastmod_day > fetched_day AS refetch
+FROM fd
+"""
+
+PAIRS.update(
+    {
+        "sitemap_lastmod_refetch": (
+            q_sitemap_lastmod_refetch,
+            SQL_SITEMAP_LASTMOD,
+        )
+    }
+)

@@ -75,3 +75,25 @@ def test_sitemap_seed_expand_semantics(spark):
         key = (m.group(1), m.group(2))
         assert key not in seen_pairs          # distinct admitted set
         seen_pairs.add(key)
+
+
+def test_sitemap_lastmod_refetch_pairs_zip_positionally(spark):
+    """The (loc, lastmod) zip must pair each URL with ITS OWN date:
+    replay the md5 recipe per row and pin both branches of the
+    decision."""
+    import hashlib
+
+    from cola_spark.queries import q_sitemap_lastmod_refetch
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = q_sitemap_lastmod_refetch(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 160
+    for r in rows:
+        h = r.url.split("//h", 1)[1].split(".", 1)[0]
+        j = r.url.rsplit("/p", 1)[1]
+        assert r.lastmod_day == md5i(f"lm:{h}_{j}") % 28 + 1
+        assert r.fetched_day == md5i(f"fd:{r.url}") % 28 + 1
+        assert r.refetch == (r.lastmod_day > r.fetched_day)
+    assert any(r.refetch for r in rows) and any(not r.refetch for r in rows)
