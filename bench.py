@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     # path vs exact brute ranking, both CTE chains nested in the oracle
     "merkle_snapshot_tree",  # archive integrity: one corpus-scale leaf
     # pass + log n shrinking pair-hash groupBys, O(log n) divergence audit
+    "sitemap_lastmod_refetch",  # freshness re-crawl: (loc, lastmod)
+    # zip-parse + page-keyed join against the seen store's fetch day
 ]
 
 
