@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     # pass + log n shrinking pair-hash groupBys, O(log n) divergence audit
     "sitemap_lastmod_refetch",  # freshness re-crawl: (loc, lastmod)
     # zip-parse + page-keyed join against the seen store's fetch day
+    "registrable_budget_cut",  # budget re-keyed on eTLD+1: subdomain
+    # families share ONE politeness allocation (the PSL payoff)
 ]
 
 

@@ -6320,3 +6320,121 @@ PAIRS.update(
         )
     }
 )
+
+
+# ------------------------- registrable-domain budget cut (round 5)
+
+
+def q_registrable_budget_cut(spark, sf):
+    """The composition registrable_domain exists FOR: the per-host
+    budget cut re-keyed on the REGISTRABLE domain, so a registrant's
+    subdomain family (www./a.b./bare) shares ONE politeness budget —
+    k subdomain queues can no longer multiply a site's fetch rate.
+    Reuses the registrable universe (5-suffix mix incl. the private
+    registry and the `*`-default TLD); FIFO top-3 per registrable by
+    canonical URL order. Oracle nests the full PSL longest-match
+    chain."""
+    from cola_spark.operators.domains import registrable_domain
+
+    li = _t(spark, sf, "lineitem")
+    site = F.pmod(F.col("l_orderkey"), F.lit(200))
+    sub_i = F.pmod(
+        _md5_col(
+            F.concat(
+                F.lit("sub:"),
+                F.col("l_orderkey").cast("string"),
+                F.lit("_"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        F.lit(3),
+    )
+    sfx_i = F.pmod(
+        _md5_col(F.concat(F.lit("sfx:"), site.cast("string"))), F.lit(5)
+    )
+    host = F.concat(
+        F.element_at(F.array(F.lit(""), F.lit("www."), F.lit("a.b.")),
+                     (sub_i + 1).cast("int")),
+        F.lit("site"),
+        site.cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("co.uk"), F.lit("github.io"),
+                    F.lit("ac.uk"), F.lit("zz")),
+            (sfx_i + 1).cast("int"),
+        ),
+    )
+    urls = li.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("http://"), host, F.lit("/o"),
+            F.col("l_orderkey").cast("string"), F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("url"),
+    )
+    rd = registrable_domain(urls).select("host", "registrable")
+    w = Window.partitionBy("registrable").orderBy("url")
+    return (
+        urls.join(rd.hint("shuffle_hash"), "host")
+        .select("registrable", "url", F.row_number().over(w).alias("slot"))
+        .filter(F.col("slot") <= 3)
+        .select("registrable", "url", F.col("slot").cast("long").alias("slot"))
+    )
+
+
+SQL_REGISTRABLE_BUDGET_CUT = """
+WITH raw AS (
+  SELECT l_orderkey AS o, l_linenumber AS ln, l_orderkey % 200 AS site,
+         CAST(('0x' || substr(md5('sub:' || CAST(l_orderkey AS VARCHAR)
+              || '_' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 3 AS sub_i
+  FROM lineitem),
+h AS (
+  SELECT o, ln,
+         CASE sub_i WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'a.b.' END
+         || 'site' || CAST(site AS VARCHAR) || '.'
+         || CASE CAST(('0x' || substr(md5('sfx:' || CAST(site AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 5
+              WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'github.io'
+              WHEN 3 THEN 'ac.uk' ELSE 'zz' END AS host
+  FROM raw),
+u AS (SELECT host, 'http://' || host || '/o' || CAST(o AS VARCHAR) || '_'
+             || CAST(ln AS VARCHAR) AS url
+      FROM h),
+hs AS (SELECT DISTINCT host FROM u),
+lb AS (SELECT host, string_split(host, '.') AS l,
+              len(string_split(host, '.')) AS n
+       FROM hs),
+sufs(suffix) AS (VALUES ('com'), ('org'), ('net'), ('io'), ('uk'),
+                        ('co.uk'), ('ac.uk'), ('github.io')),
+cand AS (
+  SELECT host, k, array_to_string(list_slice(l, n - k + 1, n), '.') AS cand
+  FROM lb, UNNEST(generate_series(1, 3)) AS t(k)
+  WHERE n >= k),
+m AS (SELECT c.host, MAX(c.k) AS mk
+      FROM cand c JOIN sufs s ON c.cand = s.suffix
+      GROUP BY c.host),
+reg AS (
+  SELECT lb.host,
+         lb.l[lb.n - COALESCE(m.mk, 1)] || '.' ||
+         CASE WHEN m.mk IS NOT NULL
+              THEN array_to_string(list_slice(lb.l, lb.n - m.mk + 1, lb.n),
+                                   '.')
+              ELSE lb.l[lb.n] END AS registrable
+  FROM lb LEFT JOIN m ON lb.host = m.host),
+rk AS (
+  SELECT r.registrable, u.url,
+         CAST(ROW_NUMBER() OVER (PARTITION BY r.registrable
+                                 ORDER BY u.url) AS BIGINT) AS slot
+  FROM u JOIN reg r ON u.host = r.host)
+SELECT registrable, url, slot FROM rk WHERE slot <= 3
+"""
+
+PAIRS.update(
+    {
+        "registrable_budget_cut": (
+            q_registrable_budget_cut,
+            SQL_REGISTRABLE_BUDGET_CUT,
+        )
+    }
+)

@@ -53,3 +53,21 @@ def test_custom_suffix_table(spark):
     got = _run(spark, ["x.internal", "a.x.internal"], suffixes=["internal"])
     assert got["x.internal"] == ("internal", "x.internal")
     assert got["a.x.internal"] == ("internal", "x.internal")
+
+
+def test_registrable_budget_cut_collapses_subdomain_families(spark):
+    """The budget key is the registrant, not the host: exactly 3 slots
+    per registrable, and families whose subdomains differ still share
+    one allocation (some winner sets span multiple hosts)."""
+    from cola_spark.queries import q_registrable_budget_cut
+
+    rows = q_registrable_budget_cut(spark, "/root/testdata/sf0.001").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.registrable, []).append(r)
+    assert all(sorted(x.slot for x in v) == [1, 2, 3] for v in per.values())
+    hosts_per_reg = {
+        k: {x.url.split("//", 1)[1].split("/", 1)[0] for x in v}
+        for k, v in per.items()
+    }
+    assert any(len(h) > 1 for h in hosts_per_reg.values())
