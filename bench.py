@@ -150,6 +150,10 @@ BENCH_QUERIES = [
     # zip-parse + page-keyed join against the seen store's fetch day
     "registrable_budget_cut",  # budget re-keyed on eTLD+1: subdomain
     # families share ONE politeness allocation (the PSL payoff)
+    "dedup_rate_report",  # dedup telemetry per stratum: docs vs
+    # distinct fingerprints, integer dup permille
+    "vocab_drift_report",  # corpus-drift monitor: cross-multiplied
+    # integer unigram rate deltas between snapshots, zero floats
 ]
 
 

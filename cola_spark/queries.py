@@ -6438,3 +6438,99 @@ PAIRS.update(
         )
     }
 )
+
+
+# ------------------------------- dedup telemetry + drift (round 5)
+
+
+def q_dedup_rate_report(spark, sf):
+    """Dedup telemetry per source stratum — the monitoring row every
+    corpus build ships beside the dedup itself: per lang, docs vs
+    distinct fingerprints, duplicates, and the integer dup rate. One
+    two-level aggregation (fingerprint census inside lang), no joins."""
+    d = _t(spark, sf, "documents").select(
+        "lang", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("fp").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_dups"),
+            F.expr("(n_docs - n_distinct) * 1000 div n_docs")
+            .cast("long")
+            .alias("dup_permille"),
+        )
+    )
+
+
+SQL_DEDUP_RATE_REPORT = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups,
+       CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000 // COUNT(*)
+         AS BIGINT) AS dup_permille
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_vocab_drift_report(spark, sf):
+    """Corpus-drift monitoring: unigram distributions of two crawl
+    snapshots (even vs odd doc_ids) compared token-by-token with the
+    cross-multiplied integer rate difference |ca·Nb − cb·Na| — zero
+    floats, so rank-stable cross-engine. The detector a continuous
+    corpus pipeline runs between rounds to catch a scraper regression
+    or a source-mix shift before it trains. One token explode + two
+    combinable aggs."""
+    d = _t(spark, sf, "documents").select(
+        (F.pmod("doc_id", F.lit(2)) == 0).alias("in_a"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    )
+    per = d.groupBy("token").agg(
+        F.sum(F.col("in_a").cast("int")).cast("long").alias("ca"),
+        F.sum((~F.col("in_a")).cast("int")).cast("long").alias("cb"),
+    )
+    tot = d.agg(
+        F.sum(F.col("in_a").cast("int")).cast("long").alias("na"),
+        F.sum((~F.col("in_a")).cast("int")).cast("long").alias("nb"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "ca",
+        "cb",
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+        .cast("long")
+        .alias("drift"),
+    )
+
+
+SQL_VOCAB_DRIFT_REPORT = r"""
+WITH t AS (
+  SELECT (doc_id % 2 = 0) AS in_a,
+         UNNEST(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents),
+per AS (SELECT token,
+         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM t GROUP BY token),
+tot AS (SELECT CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM t)
+SELECT token, ca, cb,
+       CAST(abs(ca * nb - cb * na) AS BIGINT) AS drift
+FROM per, tot
+"""
+
+PAIRS.update(
+    {
+        "dedup_rate_report": (q_dedup_rate_report, SQL_DEDUP_RATE_REPORT),
+        "vocab_drift_report": (q_vocab_drift_report, SQL_VOCAB_DRIFT_REPORT),
+    }
+)

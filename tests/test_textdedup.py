@@ -532,3 +532,43 @@ def test_line_dedup_vs_span_dedup_first_occurrence_semantics(spark):
     assert all(not t.startswith("b1") for t in ld.values())  # all carriers cleaned
     assert sd[0].startswith("b1 b2 b3 b4 b5")                # span keeps first
     assert all(not sd[i].startswith("b1") for i in (1, 2, 3))
+
+
+def test_dedup_rate_and_vocab_drift_replay(spark):
+    """Both telemetry rows recomputed sequentially from the raw docs."""
+    import duckdb
+
+    from cola_spark.queries import q_dedup_rate_report, q_vocab_drift_report
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, lang, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    # dedup rate
+    per = {}
+    for _, lang, text in docs:
+        per.setdefault(lang, []).append(text)
+    got = {r.lang: r for r in q_dedup_rate_report(spark, sf).collect()}
+    for lang, texts in per.items():
+        r = got[lang]
+        assert r.n_docs == len(texts)
+        assert r.n_distinct == len(set(texts))
+        assert r.dup_permille == (r.n_docs - r.n_distinct) * 1000 // r.n_docs
+    # vocab drift
+    ca, cb = {}, {}
+    na = nb = 0
+    for doc_id, _, text in docs:
+        side = ca if doc_id % 2 == 0 else cb
+        for tok in text.strip().split():
+            side[tok] = side.get(tok, 0) + 1
+            if doc_id % 2 == 0:
+                na += 1
+            else:
+                nb += 1
+    rows = q_vocab_drift_report(spark, sf).collect()
+    assert {r.token for r in rows} == set(ca) | set(cb)
+    for r in rows:
+        a, b = ca.get(r.token, 0), cb.get(r.token, 0)
+        assert (r.ca, r.cb) == (a, b)
+        assert r.drift == abs(a * nb - b * na)
