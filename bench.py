@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     # distinct fingerprints, integer dup permille
     "vocab_drift_report",  # corpus-drift monitor: cross-multiplied
     # integer unigram rate deltas between snapshots, zero floats
+    "robots_sitemap_discovery",  # Sitemap: directives (GLOBAL per RFC
+    # 9309, no group selection) -> the sitemap-expansion entry point
 ]
 
 

@@ -59,7 +59,7 @@ def _robots_lines(robots: DataFrame, host_col: str, txt_col: str) -> DataFrame:
     run of consecutive UA lines opens a new block; its rules follow)."""
     ln = F.posexplode(F.split(F.col(txt_col), "\n"))
     clean = F.trim(F.regexp_replace("line", "#.*$", ""))
-    pat = r"(?i)^(user-agent|disallow|allow|crawl-delay)\s*:\s*(.*)$"
+    pat = r"(?i)^(user-agent|disallow|allow|crawl-delay|sitemap)\s*:\s*(.*)$"
     base = (
         robots.select(F.col(host_col).alias("host"), ln.alias("line_no", "line"))
         .select(
@@ -173,4 +173,20 @@ def robots_decide(
         path_col,
         F.coalesce(F.col("_best.l"), F.lit(0)).cast("long").alias("matched_len"),
         F.coalesce(F.col("_best.a") == 1, F.lit(True)).alias("allowed"),
+    )
+
+
+def parse_robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", txt_col: str = "txt"
+) -> DataFrame:
+    """(host, sitemap_url) — Sitemap: directives. Per RFC 9309 §2.3
+    the directive is GLOBAL (valid anywhere in the file, outside any
+    user-agent group), so no group selection applies — in deliberate
+    contrast to rules/crawl-delay. Batch-distinct per host."""
+    lines = _robots_lines(robots, host_col, txt_col)
+    return (
+        lines.filter(F.col("dir") == "sitemap")
+        .filter(F.col("val") != "")
+        .select("host", F.col("val").alias("sitemap_url"))
+        .distinct()
     )

@@ -6534,3 +6534,59 @@ PAIRS.update(
         "vocab_drift_report": (q_vocab_drift_report, SQL_VOCAB_DRIFT_REPORT),
     }
 )
+
+
+# ------------------------------ robots sitemap discovery (round 5)
+
+
+def q_robots_sitemap_discovery(spark, sf):
+    """Sitemap discovery via robots.txt (robots.parse_robots_sitemaps)
+    — the standard entry point that chains into sitemap_seed_expand /
+    sitemap_lastmod_refetch. Per RFC 9309 the Sitemap: directive is
+    GLOBAL: the planted universe puts one directive BEFORE any
+    user-agent group and (on even hosts) one INSIDE a group, and both
+    must surface — the globality contrast with rules/crawl-delay is
+    the semantics under test."""
+    from cola_spark.operators.robots import parse_robots_sitemaps
+
+    h = F.col("id")
+    hs = h.cast("string")
+    txt = F.concat(
+        F.lit("Sitemap: http://h"), hs, F.lit(".example.com/sitemap.xml"),
+        F.lit("\nUser-agent: *\nDisallow: /x"),
+        F.when(
+            F.pmod(h, F.lit(2)) == 0,
+            F.concat(
+                F.lit("\nSitemap: https://h"), hs,
+                F.lit(".example.com/sm2.xml"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    rb = spark.range(30).select(
+        F.concat(F.lit("h"), hs, F.lit(".example.com")).alias("host"),
+        txt.alias("txt"),
+    )
+    return parse_robots_sitemaps(rb)
+
+
+SQL_ROBOTS_SITEMAP_DISCOVERY = """
+WITH hosts AS (SELECT CAST(i AS BIGINT) AS h
+               FROM UNNEST(generate_series(0, 29)) AS t(i))
+SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+       'http://h' || CAST(h AS VARCHAR) || '.example.com/sitemap.xml'
+         AS sitemap_url
+FROM hosts
+UNION ALL
+SELECT 'h' || CAST(h AS VARCHAR) || '.example.com',
+       'https://h' || CAST(h AS VARCHAR) || '.example.com/sm2.xml'
+FROM hosts WHERE h % 2 = 0
+"""
+
+PAIRS.update(
+    {
+        "robots_sitemap_discovery": (
+            q_robots_sitemap_discovery,
+            SQL_ROBOTS_SITEMAP_DISCOVERY,
+        )
+    }
+)

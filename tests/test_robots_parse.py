@@ -127,3 +127,29 @@ def test_crawl_policy_plan_composition(spark):
         assert all(
             r.offset_ms == (r.slot - 1) * delay * 1000 for r in rs
         )
+
+
+def test_sitemap_directive_is_global(spark):
+    """Sitemap: directives surface from BEFORE any group and from
+    INSIDE a group alike (RFC 9309 globality), deduped per host; and
+    their presence does not perturb rule/delay parsing."""
+    from cola_spark.operators.robots import (
+        parse_robots_delay,
+        parse_robots_rules,
+        parse_robots_sitemaps,
+    )
+
+    txt = (
+        "Sitemap: http://a.com/sm1.xml\n"
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "Sitemap: http://a.com/sm2.xml\n"
+        "Crawl-delay: 2\n"
+        "Sitemap: http://a.com/sm1.xml"   # duplicate -> one row
+    )
+    rb = spark.createDataFrame([("a.com", txt)], "host string, txt string")
+    sm = sorted(r.sitemap_url for r in parse_robots_sitemaps(rb).collect())
+    assert sm == ["http://a.com/sm1.xml", "http://a.com/sm2.xml"]
+    assert [(r.prefix, r.is_allow) for r in parse_robots_rules(rb).collect()] \
+        == [("/x", False)]
+    assert parse_robots_delay(rb).collect()[0].delay_s == 2
