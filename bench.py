@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     # integer unigram rate deltas between snapshots, zero floats
     "robots_sitemap_discovery",  # Sitemap: directives (GLOBAL per RFC
     # 9309, no group selection) -> the sitemap-expansion entry point
+    "waterfill_budget",  # max-min fair capacity division: monotone
+    # grant predicate + integer water level + host-order remainder
 ]
 
 

@@ -14,7 +14,7 @@ size table (one row per host config, not per URL).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: adaptive-rate window: the backoff is ceil(mean(errors)) over the
@@ -181,3 +181,96 @@ def aimd_rates(
     for f in outs[1:]:
         u = u.unionByName(f)
     return u
+
+
+# ---------------------------------------------------------------------
+# Max-min fair (water-filling) capacity division (round 5): cola's
+# budget applies a FIXED per-unit allotment; a production scheduler
+# divides a global fetch capacity C across hosts with heterogeneous
+# demands max-min fairly — small demands fully granted, the rest capped
+# at a common water level L, so no host can starve the pool.
+#
+# Exact integer construction (deterministic cross-engine):
+#   * rank hosts by (demand, host); prefix[r] = running demand sum;
+#   * rank r is FULLY granted iff d_r·(n−r+1) ≤ C − prefix[r−1] — the
+#     predicate is monotone in r, so the grant set is ranks 1..k;
+#   * capped hosts share R = C − prefix[k]: L = R div (n−k), and the
+#     first (R mod (n−k)) capped hosts IN HOST ORDER get L+1 (the
+#     deterministic remainder rule — floats would dither here);
+#   * maximality of k guarantees L < d_{k+1} ≤ d_i for every capped
+#     host, so capped allocations never exceed demand.
+#
+# Scale note: the demand table is HOST-scale (the budget ledger's own
+# cardinality). The rank/cumsum below uses the two-phase global_rank +
+# an ordered window over it; beyond ledger scale the segmented-cumsum
+# form (sampling.token_budget_mix's _hash_layout offsets) drops in.
+
+
+def waterfill_alloc(
+    demands: DataFrame,
+    capacity: int,
+    host_col: str = "host",
+    demand_col: str = "demand",
+) -> DataFrame:
+    """(host, demand, alloc, capped) — max-min fair integer division
+    of `capacity` across hosts. sum(alloc) = min(capacity, sum(demand))
+    and no capped host receives less than any other capped host ±1."""
+    from cola_spark.operators.ranking import global_rank
+
+    d = demands.select(
+        F.col(host_col).alias("host"),
+        F.col(demand_col).cast("long").alias("demand"),
+    )
+    ranked = global_rank(d, ["demand", "host"], out_col="r",
+                         eager_release=True)
+    w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    pre = ranked.select(
+        "host", "demand", "r", F.sum("demand").over(w).alias("prefix")
+    )
+    n1 = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("demand").cast("long").alias("total"),
+    )
+    j = pre.crossJoin(F.broadcast(n1)).select(
+        "*",
+        (
+            F.col("demand") * (F.col("n") - F.col("r") + 1)
+            <= F.lit(capacity) - (F.col("prefix") - F.col("demand"))
+        ).alias("full"),
+    )
+    ks = j.agg(
+        F.sum(F.col("full").cast("int")).cast("long").alias("k"),
+        F.max(F.when(F.col("full"), F.col("prefix")))
+        .alias("pk"),
+    ).select("k", F.coalesce("pk", F.lit(0)).alias("prefix_k"))
+    jj = j.crossJoin(F.broadcast(ks))
+    lvl = F.expr(
+        f"CASE WHEN n > k THEN ({capacity} - prefix_k) div (n - k)"
+        f" ELSE 0 END"
+    )
+    rem = F.expr(
+        f"CASE WHEN n > k THEN ({capacity} - prefix_k) % (n - k)"
+        f" ELSE 0 END"
+    )
+    # remainder rule: capped hosts in HOST order, the first `rem` get +1
+    wcap = Window.partitionBy("full").orderBy("host")
+    out = jj.select(
+        "host",
+        "demand",
+        "full",
+        lvl.alias("_l"),
+        rem.alias("_rem"),
+        F.row_number().over(wcap).alias("_ci"),
+    )
+    return out.select(
+        "host",
+        "demand",
+        F.when(F.col("full"), F.col("demand"))
+        .otherwise(
+            F.col("_l")
+            + (F.col("_ci") <= F.col("_rem")).cast("long")
+        )
+        .cast("long")
+        .alias("alloc"),
+        (~F.col("full")).alias("capped"),
+    )

@@ -6590,3 +6590,68 @@ PAIRS.update(
         )
     }
 )
+
+
+# ------------------------------- water-filling budget (round 5)
+
+
+def q_waterfill_budget(spark, sf):
+    """Max-min fair division of a global fetch capacity across hosts
+    (budget.waterfill_alloc): small demands fully granted, the rest
+    capped at a common integer water level with a deterministic
+    host-order remainder rule — cola's fixed per-unit allotment
+    upgraded to the allocation a shared-capacity cluster actually
+    needs (no host can starve the pool). 60 hosts, md5 demands in
+    [0,50), capacity 600 — the grant set, the level, and the +1
+    remainder hosts are all live. The oracle replays rank → prefix →
+    monotone grant predicate → level/remainder arithmetic exactly."""
+    from cola_spark.operators.budget import waterfill_alloc
+
+    d = spark.range(60).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.pmod(
+            _md5_col(F.concat(F.lit("dm:"), F.col("id").cast("string"))),
+            F.lit(50),
+        ).alias("demand"),
+    )
+    return waterfill_alloc(d, capacity=600)
+
+
+SQL_WATERFILL_BUDGET = """
+WITH d AS (
+  SELECT 'h' || CAST(i AS VARCHAR) AS host,
+         CAST(('0x' || substr(md5('dm:' || CAST(i AS VARCHAR)), 1, 15))
+           AS BIGINT) % 50 AS demand
+  FROM UNNEST(generate_series(0, 59)) AS t(i)),
+r AS (SELECT host, demand,
+             CAST(ROW_NUMBER() OVER (ORDER BY demand, host) AS BIGINT) AS r
+      FROM d),
+p AS (SELECT host, demand, r,
+             CAST(SUM(demand) OVER (ORDER BY r
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS prefix,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n
+      FROM r),
+f AS (SELECT *, demand * (n - r + 1) <= 600 - (prefix - demand) AS enough
+      FROM p),
+ks AS (SELECT CAST(SUM(CASE WHEN enough THEN 1 ELSE 0 END) AS BIGINT) AS k,
+              CAST(COALESCE(MAX(CASE WHEN enough THEN prefix END), 0)
+                AS BIGINT) AS prefix_k
+       FROM f),
+o AS (SELECT f.host, f.demand, f.enough, f.n, ks.k, ks.prefix_k,
+             CASE WHEN f.n > ks.k
+                  THEN (600 - ks.prefix_k) // (f.n - ks.k) ELSE 0 END AS l,
+             CASE WHEN f.n > ks.k
+                  THEN (600 - ks.prefix_k) % (f.n - ks.k) ELSE 0 END AS rem,
+             ROW_NUMBER() OVER (PARTITION BY f.enough ORDER BY f.host)
+               AS ci
+      FROM f, ks)
+SELECT host, CAST(demand AS BIGINT) AS demand,
+       CAST(CASE WHEN enough THEN demand
+            ELSE l + CASE WHEN ci <= rem THEN 1 ELSE 0 END END AS BIGINT)
+         AS alloc,
+       NOT enough AS capped
+FROM o
+"""
+
+PAIRS.update({"waterfill_budget": (q_waterfill_budget, SQL_WATERFILL_BUDGET)})

@@ -81,3 +81,35 @@ def test_aimd_hand_replay_and_bounds(spark):
     assert got == exp
     assert got[("h_up", 8)] == 8      # cap reached and held
     assert got[("h_down", 8)] == 1    # floor reached and held
+
+
+def test_waterfill_hand_cases_and_properties(spark):
+    """Known allocations on a hand case, plus the defining properties:
+    exact conservation, demand cap, and max-min fairness (capped
+    allocations within +-1 of each other, all >= any full grant that
+    is below the level)."""
+    from cola_spark.operators.budget import waterfill_alloc
+
+    df = spark.createDataFrame(
+        [("a", 2), ("b", 50), ("c", 7), ("d", 50), ("e", 1)],
+        "host string, demand long",
+    )
+    got = {r.host: r for r in waterfill_alloc(df, 60).collect()}
+    assert {h: r.alloc for h, r in got.items()} == {
+        "a": 2, "b": 25, "c": 7, "d": 25, "e": 1
+    }
+    # C=10: level 2, remainder 1 -> first capped host in host order (+1)
+    got10 = {r.host: r for r in waterfill_alloc(df, 10).collect()}
+    assert {h: r.alloc for h, r in got10.items()} == {
+        "a": 2, "b": 3, "c": 2, "d": 2, "e": 1
+    }
+    for C in (0, 10, 60, 200):
+        rows = waterfill_alloc(df, C).collect()
+        total_d = sum(r.demand for r in rows)
+        assert sum(r.alloc for r in rows) == min(C, total_d)
+        assert all(r.alloc <= r.demand for r in rows)
+        capped = [r.alloc for r in rows if r.capped]
+        if capped:
+            assert max(capped) - min(capped) <= 1
+            full = [r.alloc for r in rows if not r.capped]
+            assert all(f <= max(capped) for f in full) or not full
