@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     # 9309, no group selection) -> the sitemap-expansion entry point
     "waterfill_budget",  # max-min fair capacity division: monotone
     # grant predicate + integer water level + host-order remainder
+    "phrase_search_positions",  # positional phrase retrieval: doc-keyed
+    # adjacency windows + a vocab-scale argmax phrase pick
 ]
 
 

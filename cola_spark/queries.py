@@ -6655,3 +6655,63 @@ FROM o
 """
 
 PAIRS.update({"waterfill_budget": (q_waterfill_budget, SQL_WATERFILL_BUDGET)})
+
+
+# ------------------------------------ phrase search (round 5)
+
+
+def q_phrase_search_positions(spark, sf):
+    """Positional phrase retrieval — the search-side consumer of a
+    crawled corpus: token positions from one posexplode (the
+    positional inverted-index long form), adjacency by lead() over the
+    doc-keyed window (the relational-shingle pattern at n=2), the
+    target phrase chosen data-derivedly as the corpus's most frequent
+    bigram (1-row broadcast argmax, BPE round-1's rule incl. the
+    lexical tie-break), then every occurrence listed. Output:
+    (doc_id, pos, w1, w2). All windows doc-keyed; the argmax is
+    vocab-scale."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        "doc_id",
+        "pos",
+        F.col("w").alias("w1"),
+        F.lead("w").over(w).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    top = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(1)
+    )
+    return (
+        bi.join(F.broadcast(top.select("w1", "w2")), ["w1", "w2"])
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "w1", "w2")
+    )
+
+
+SQL_PHRASE_SEARCH = r"""
+WITH toks AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+       UNNEST(generate_series(1, len(ws))) AS t(i)),
+bi AS (
+  SELECT doc_id, pos, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks),
+bi2 AS (SELECT * FROM bi WHERE w2 IS NOT NULL),
+top AS (SELECT w1, w2 FROM (
+          SELECT w1, w2, COUNT(*) AS cnt FROM bi2 GROUP BY w1, w2)
+        ORDER BY cnt DESC, w1, w2 LIMIT 1)
+SELECT b.doc_id, b.pos, b.w1, b.w2
+FROM bi2 b JOIN top t ON b.w1 = t.w1 AND b.w2 = t.w2
+"""
+
+PAIRS.update(
+    {"phrase_search_positions": (q_phrase_search_positions, SQL_PHRASE_SEARCH)}
+)

@@ -572,3 +572,28 @@ def test_dedup_rate_and_vocab_drift_replay(spark):
         a, b = ca.get(r.token, 0), cb.get(r.token, 0)
         assert (r.ca, r.cb) == (a, b)
         assert r.drift == abs(a * nb - b * na)
+
+
+def test_phrase_search_positions_sequential_replay(spark):
+    """Phrase choice (max count, lexical tie-break) and every
+    occurrence replayed sequentially."""
+    import duckdb
+
+    from cola_spark.queries import q_phrase_search_positions
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    counts, occ = {}, {}
+    for doc_id, text in docs:
+        ws = text.strip().split()
+        for i in range(len(ws) - 1):
+            key = (ws[i], ws[i + 1])
+            counts[key] = counts.get(key, 0) + 1
+            occ.setdefault(key, []).append((doc_id, i))
+    best = min(counts, key=lambda k: (-counts[k], k))
+    rows = q_phrase_search_positions(spark, sf).collect()
+    assert {(r.w1, r.w2) for r in rows} == {best}
+    assert sorted((r.doc_id, r.pos) for r in rows) == sorted(occ[best])
