@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     # grant predicate + integer water level + host-order remainder
     "phrase_search_positions",  # positional phrase retrieval: doc-keyed
     # adjacency windows + a vocab-scale argmax phrase pick
+    "crawl_rounds_oracled",  # THE loop, multi-round cross-engine:
+    # 3 unrolled rounds of dedup/robots/cut + discovery + pending
 ]
 
 

@@ -6715,3 +6715,158 @@ FROM bi2 b JOIN top t ON b.w1 = t.w1 AND b.w2 = t.w2
 PAIRS.update(
     {"phrase_search_positions": (q_phrase_search_positions, SQL_PHRASE_SEARCH)}
 )
+
+
+# ---------------------------- multi-round crawl oracle (round 5)
+
+
+def q_crawl_rounds_oracled(spark, sf):
+    """THE core loop, driver-oracled across MULTIPLE rounds:
+    flagship_oneround extended to 3 unrolled scheduler rounds with the
+    full round semantics — batch dedup (first seq per page), seen-set
+    admission (anti-join against every previously ADMITTED page, the
+    over-cap-rows-stay-schedulable rule), robots gate, per-host
+    priority-FIFO budget cut (3/host/round — small on purpose so
+    pending carry-over is live every round), deterministic child
+    DISCOVERY from each scheduled page (page*7+k mod 30, inherited
+    rotated priority, seq*10+k). Mirrors plans/scheduler.run_crawl /
+    ForeachBatchCrawler semantics (those are separately pinned by
+    tests/oracle.py's sequential replay and the streaming tests); the
+    oracle unrolls all three rounds as CTEs, so a wrong admission,
+    a lost pending row, or a budget off-by-one anywhere hash-fails.
+    Orders are totally keyed (priority, seq, page) — seed seqs and
+    synthesized child seqs may collide, pages cannot."""
+    o = _t(spark, sf, "orders")
+    fr = o.select(
+        F.format_string("c%03d", F.pmod(F.col("o_custkey"), F.lit(40))).alias(
+            "host"
+        ),
+        F.pmod("o_orderkey", F.lit(30)).alias("page"),
+        (
+            (F.substring("o_orderpriority", 1, 1).cast("int") - 1) % 3
+        ).alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    w_dup = Window.partitionBy("host", "page").orderBy("seq")
+    seeds = (
+        fr.filter(F.col("page") < 6)
+        .withColumn("_rn", F.row_number().over(w_dup))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    blocked = F.col("host").rlike("^c0[0-9]7") & F.col("page").cast(
+        "string"
+    ).startswith("1")
+    w_cut = Window.partitionBy("host").orderBy("priority", "seq", "page")
+    seen = None
+    pend = None
+    out = []
+    adm = seeds
+    for rnd in (1, 2, 3):
+        ok = adm.filter(~blocked)
+        pool = ok if pend is None else pend.unionByName(ok)
+        ranked = pool.withColumn(
+            "host_rank", F.row_number().over(w_cut).cast("long")
+        )
+        sched = ranked.filter(F.col("host_rank") <= 3).localCheckpoint()
+        pend = ranked.filter(F.col("host_rank") > 3).drop("host_rank")
+        out.append(
+            sched.select(
+                F.lit(rnd).cast("long").alias("round"),
+                "host", "page", "priority", "seq", "host_rank",
+            )
+        )
+        seen_new = adm.select("host", "page")
+        seen = seen_new if seen is None else seen.unionByName(seen_new)
+        if rnd < 3:
+            ch = (
+                sched.select(
+                    "host",
+                    F.explode(F.sequence(F.lit(1), F.lit(2))).alias("k"),
+                    "page", "priority", "seq",
+                )
+                .select(
+                    "host",
+                    F.pmod(F.col("page") * 7 + F.col("k"), F.lit(30)).alias(
+                        "page"
+                    ),
+                    F.pmod(F.col("priority") + 1, F.lit(3)).alias("priority"),
+                    (F.col("seq") * 10 + F.col("k")).alias("seq"),
+                )
+                .withColumn("_rn", F.row_number().over(w_dup))
+                .filter("_rn = 1")
+                .drop("_rn")
+            )
+            adm = ch.join(seen.hint("shuffle_hash"), ["host", "page"],
+                          "left_anti")
+    u = out[0]
+    for f in out[1:]:
+        u = u.unionByName(f)
+    return u
+
+
+def _sql_crawl_rounds(rounds: int = 3, cap: int = 3) -> str:
+    blocked = (
+        "(regexp_matches(host, '^c0[0-9]7')"
+        " AND CAST(page AS VARCHAR) LIKE '1%')"
+    )
+    ctes = [
+        """fr AS (
+  SELECT printf('c%03d', o_custkey % 40) AS host,
+         o_orderkey % 30 AS page,
+         (CAST(substr(o_orderpriority, 1, 1) AS INT) - 1) % 3 AS priority,
+         o_orderkey AS seq
+  FROM orders)""",
+        """adm1 AS (
+  SELECT host, page, priority, seq FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY host, page ORDER BY seq) AS rn
+    FROM fr WHERE page < 6) WHERE rn = 1)""",
+        "seen1 AS (SELECT host, page FROM adm1)",
+        f"pool1 AS (SELECT * FROM adm1 WHERE NOT {blocked})",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""rk{r} AS (
+  SELECT host, page, priority, seq,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host
+              ORDER BY priority, seq, page) AS BIGINT) AS host_rank
+  FROM pool{r})"""
+        )
+        ctes.append(
+            f"sch{r} AS (SELECT * FROM rk{r} WHERE host_rank <= {cap})"
+        )
+        if r < rounds:
+            ctes += [
+                f"""pend{r} AS (SELECT host, page, priority, seq
+  FROM rk{r} WHERE host_rank > {cap})""",
+                f"""ch{r + 1} AS (
+  SELECT host, page, priority, seq FROM (
+    SELECT host, (page * 7 + k) % 30 AS page,
+           (priority + 1) % 3 AS priority, seq * 10 + k AS seq,
+           ROW_NUMBER() OVER (PARTITION BY host, (page * 7 + k) % 30
+                              ORDER BY seq * 10 + k) AS rn
+    FROM sch{r}, UNNEST(generate_series(1, 2)) AS t(k)) WHERE rn = 1)""",
+                f"""adm{r + 1} AS (
+  SELECT c.host, c.page, c.priority, c.seq FROM ch{r + 1} c
+  WHERE NOT EXISTS (SELECT 1 FROM seen{r} s
+                    WHERE s.host = c.host AND s.page = c.page))""",
+                f"""seen{r + 1} AS (SELECT host, page FROM seen{r}
+  UNION ALL SELECT host, page FROM adm{r + 1})""",
+                f"""pool{r + 1} AS (
+  SELECT * FROM pend{r}
+  UNION ALL
+  SELECT host, page, priority, seq FROM adm{r + 1} WHERE NOT {blocked})""",
+            ]
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, host, page, priority, seq,"
+        f" host_rank FROM sch{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+SQL_CRAWL_ROUNDS = _sql_crawl_rounds()
+
+PAIRS.update(
+    {"crawl_rounds_oracled": (q_crawl_rounds_oracled, SQL_CRAWL_ROUNDS)}
+)
