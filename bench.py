@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     # adjacency windows + a vocab-scale argmax phrase pick
     "crawl_rounds_oracled",  # THE loop, multi-round cross-engine:
     # 3 unrolled rounds of dedup/robots/cut + discovery + pending
+    "phash_keep_best_resolution",  # LAION keep rule: max-pixel member
+    # per near-dup cluster via one combinable max(struct), no window
 ]
 
 

@@ -6870,3 +6870,84 @@ SQL_CRAWL_ROUNDS = _sql_crawl_rounds()
 PAIRS.update(
     {"crawl_rounds_oracled": (q_crawl_rounds_oracled, SQL_CRAWL_ROUNDS)}
 )
+
+
+# --------------------------- keep-best-resolution dedup (round 5)
+
+
+def q_phash_keep_best_resolution(spark, sf):
+    """The LAION keep rule for image near-dup clusters: retain the
+    HIGHEST-RESOLUTION copy (max w·h, ties to the smaller doc_id) —
+    the third consolidation strategy beside the min-id representative
+    and the longest caption. Same planted pHash clusters + md5 w/h
+    metadata; the winner is one cluster-keyed combinable
+    max(struct(px, -id)) — no per-cluster window. Output: the full
+    decision table (doc_id, cluster_id, px, keep)."""
+    from cola_spark.operators.clusters import dedup_keep_set
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    h = _md5_col
+    px = (
+        (F.lit(64) + F.pmod(h(F.concat(F.lit("w:"), F.col("doc_id"))),
+                            F.lit(1986)))
+        * (F.lit(64) + F.pmod(h(F.concat(F.lit("h:"), F.col("doc_id"))),
+                              F.lit(1986)))
+    ).cast("long")
+    pairs = _planted_phash_pairs(spark, sf)
+    ks = dedup_keep_set(pairs, "img_a", "img_b").select(
+        "doc_id", "cluster_id"
+    )
+    allc = docs.join(ks.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        px.alias("px"),
+    )
+    best = allc.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("px"), (-F.col("doc_id")).alias("nid"))).alias(
+            "_b"
+        )
+    ).select("cluster_id", (-F.col("_b.nid")).alias("_best_id"))
+    return allc.join(best.hint("shuffle_hash"), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "px",
+        (F.col("doc_id") == F.col("_best_id")).alias("keep"),
+    )
+
+
+SQL_PHASH_KEEP_BEST_RES = f"""
+WITH RECURSIVE {_SQL_PH_CTES},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM ppairs
+          UNION SELECT doc_b, doc_a FROM ppairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+cl AS (SELECT src AS doc_id, LEAST(MIN(dst), src) AS cluster_id
+       FROM reach GROUP BY src),
+m AS (
+  SELECT doc_id,
+         CAST(({_sql_meta_dim('w')}) * ({_sql_meta_dim('h')}) AS BIGINT)
+           AS px
+  FROM documents),
+allc AS (
+  SELECT m.doc_id, COALESCE(cl.cluster_id, m.doc_id) AS cluster_id, m.px
+  FROM m LEFT JOIN cl ON m.doc_id = cl.doc_id),
+best AS (
+  SELECT cluster_id, doc_id AS best_id FROM (
+    SELECT cluster_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY px DESC, doc_id) AS rn
+    FROM allc) WHERE rn = 1)
+SELECT a.doc_id, a.cluster_id, a.px, a.doc_id = b.best_id AS keep
+FROM allc a JOIN best b ON a.cluster_id = b.cluster_id
+"""
+
+PAIRS.update(
+    {
+        "phash_keep_best_resolution": (
+            q_phash_keep_best_resolution,
+            SQL_PHASH_KEEP_BEST_RES,
+        )
+    }
+)

@@ -237,3 +237,25 @@ def test_sniff_format_magics_and_lies(spark):
     assert all(
         (r.declared_fmt != r.sniffed_fmt) == r.mismatch for r in rows
     )
+
+
+def test_phash_keep_best_resolution_rule(spark):
+    """Exactly one keep per cluster; the kept member has the max pixel
+    count, ties to the smaller doc_id; singletons keep themselves."""
+    from cola_spark.queries import q_phash_keep_best_resolution
+
+    rows = q_phash_keep_best_resolution(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.cluster_id, []).append(r)
+    multi = 0
+    for cid, members in per.items():
+        kept = [m for m in members if m.keep]
+        assert len(kept) == 1
+        best = min(members, key=lambda m: (-m.px, m.doc_id))
+        assert kept[0].doc_id == best.doc_id
+        if len(members) > 1:
+            multi += 1
+    assert multi > 0  # planted clusters exist
