@@ -116,7 +116,14 @@ class StreamingCardinality:
     decisions are not a semilattice; a cardinality sketch is).
 
     compact() folds all deltas into delta=0 (same merge), bounding the
-    read fan-in the way the crawler's seen compaction does."""
+    read fan-in the way the crawler's seen compaction does.
+
+    State layout note: delta discovery uses local-FS listing here (the
+    sandbox form, same as ForeachBatchCrawler's workdir); on an object
+    store the existing StateIO seam (stateio.py — prefix listing,
+    manifest-as-commit) is the drop-in, exactly as ann_index.py and
+    chunkstore.py demonstrate. The merge semantics are storage-
+    independent."""
 
     def __init__(self, spark, workdir: str, key_col: str = "url",
                  hash_kind: str = "md5"):
