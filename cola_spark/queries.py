@@ -5332,7 +5332,10 @@ def q_clip_percentile_filter(spark, sf):
     ranked = global_rank(
         scored, ["_neg", "doc_id"], out_col="rank", eager_release=True
     )
-    n1 = ali.agg(F.count("*").cast("long").alias("_n"))
+    # count from the MATERIALIZED ranked frame (global_rank eager-
+    # checkpoints it) — ali.agg() here would re-run the whole
+    # alignment pipeline a second time (closing-bench lesson)
+    n1 = ranked.agg(F.count("*").cast("long").alias("_n"))
     return ranked.crossJoin(F.broadcast(n1)).select(
         "doc_id",
         "dot",
