@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     # 3 unrolled rounds of dedup/robots/cut + discovery + pending
     "phash_keep_best_resolution",  # LAION keep rule: max-pixel member
     # per near-dup cluster via one combinable max(struct), no window
+    "lsh_recall_report",  # driver-verified dedup quality: LSH verified
+    # pairs vs exact prefix-join truth, precision/recall permille
 ]
 
 

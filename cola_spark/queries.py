@@ -6954,3 +6954,63 @@ PAIRS.update(
         )
     }
 )
+
+
+# ------------------------------- LSH recall report (round 5)
+
+
+def q_lsh_recall_report(spark, sf):
+    """The dedup twin of ann_recall_report: MinHash+LSH's verified
+    pair list measured against the exact prefix-join Jaccard truth —
+    DRIVER-VERIFIED precision (1000 by construction: every emitted
+    candidate is exactly verified; the report CONFIRMS it instead of
+    asserting it) and recall (what the 16-perm/4-band banding misses).
+    One summary row; the oracle nests BOTH full pipelines, so a
+    banding or verify drift moves a count and hash-fails. Empty truth
+    degenerates to 1000/1000 (documented guard)."""
+    exact = q_jaccard_prefix_pairs(spark, sf).select("doc_a", "doc_b")
+    lsh = q_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b")
+    common = exact.join(lsh.hint("shuffle_hash"), ["doc_a", "doc_b"])
+    ne = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    nl = lsh.agg(F.count("*").cast("long").alias("n_lsh"))
+    nc = common.agg(F.count("*").cast("long").alias("n_common"))
+    return (
+        ne.crossJoin(nl)
+        .crossJoin(nc)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            F.expr(
+                "CASE WHEN n_exact = 0 THEN 1000"
+                " ELSE n_common * 1000 div n_exact END"
+            ).cast("long").alias("recall_permille"),
+            F.expr(
+                "CASE WHEN n_lsh = 0 THEN 1000"
+                " ELSE n_common * 1000 div n_lsh END"
+            ).cast("long").alias("precision_permille"),
+        )
+    )
+
+
+SQL_LSH_RECALL_REPORT = f"""
+WITH ex AS ({SQL_JACCARD}),
+ls AS ({SQL_MINHASH}),
+co AS (SELECT e.doc_a, e.doc_b FROM ex e
+       JOIN ls l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b),
+n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ls) AS n_lsh,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM co) AS n_common)
+SELECT n_exact, n_lsh, n_common,
+       CAST(CASE WHEN n_exact = 0 THEN 1000
+            ELSE n_common * 1000 // n_exact END AS BIGINT)
+         AS recall_permille,
+       CAST(CASE WHEN n_lsh = 0 THEN 1000
+            ELSE n_common * 1000 // n_lsh END AS BIGINT)
+         AS precision_permille
+FROM n
+"""
+
+PAIRS.update(
+    {"lsh_recall_report": (q_lsh_recall_report, SQL_LSH_RECALL_REPORT)}
+)

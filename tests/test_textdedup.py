@@ -597,3 +597,26 @@ def test_phrase_search_positions_sequential_replay(spark):
     rows = q_phrase_search_positions(spark, sf).collect()
     assert {(r.w1, r.w2) for r in rows} == {best}
     assert sorted((r.doc_id, r.pos) for r in rows) == sorted(occ[best])
+
+
+def test_lsh_recall_report_replays_from_members(spark):
+    """Counts recomputed from the two member pair lists; precision is
+    1000 by construction (every LSH candidate exactly verified)."""
+    from cola_spark.queries import (
+        q_jaccard_prefix_pairs,
+        q_lsh_recall_report,
+        q_minhash_lsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.doc_a, r.doc_b) for r in
+             q_jaccard_prefix_pairs(spark, sf).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in
+           q_minhash_lsh_pairs(spark, sf).collect()}
+    row = q_lsh_recall_report(spark, sf).collect()[0]
+    assert (row.n_exact, row.n_lsh, row.n_common) == (
+        len(exact), len(lsh), len(exact & lsh)
+    )
+    assert lsh <= exact  # verified candidates are true pairs
+    assert row.precision_permille == 1000
+    assert row.recall_permille == len(exact & lsh) * 1000 // len(exact)
