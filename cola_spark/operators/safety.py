@@ -92,3 +92,47 @@ def safety_gate(
         (~F.col("blocked"))
         & (F.col("unsafe_permille") <= int(max_unsafe_permille)),
     )
+
+
+# Stand-in soft-blocklist for the synthetic part-name vocabulary —
+# production passes the real (term, weight) list (UT1 / RefinedWeb-style
+# word-score URL filtering). "old" is deliberately a substring of
+# "cold": the scorer counts SUBSTRING occurrences, the published
+# soft-blocklist semantics.
+DEFAULT_URL_TERMS: list[tuple[str, int]] = [
+    ("hot", 5), ("red", 3), ("gizmo", 2), ("old", 1),
+]
+
+
+def url_blocklist_score(
+    urls: DataFrame,
+    terms: list[tuple[str, int]] | None = None,
+    url_col: str = "url",
+    threshold: int = 6,
+) -> DataFrame:
+    """RefinedWeb-style soft URL blocklist: block_score = Σ weight ×
+    substring-occurrences(term, url); url_blocked = score ≥ threshold.
+
+    The URL twin of safety_gate's lexicon branch, applied BEFORE fetch
+    (cola gates post-parse; a frontier at 10^10 URLs cannot afford to
+    fetch spam first). Scale shape: the term list is static at plan
+    time, so each term compiles to a pure length/replace projection —
+    zero joins, zero shuffle, whole-stage codegen end-to-end; the plan
+    is a scan + project no matter the corpus size. Occurrence count is
+    (len(url) - len(replace(url, term))) DIV len(term) — integer-exact,
+    identical arithmetic in the DuckDB oracle."""
+    terms = DEFAULT_URL_TERMS if terms is None else terms
+    score = F.lit(0).cast("long")
+    for t, wt in terms:
+        if "'" in t:
+            raise ValueError(f"term may not contain a quote: {t!r}")
+        occ = F.expr(
+            f"(length({url_col}) - length(replace({url_col}, '{t}', '')))"
+            f" DIV {len(t)}"
+        )
+        score = score + F.lit(int(wt)).cast("long") * occ
+    return urls.select(
+        *urls.columns,
+        score.cast("long").alias("block_score"),
+        (score >= int(threshold)).alias("url_blocked"),
+    )

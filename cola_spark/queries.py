@@ -7014,3 +7014,159 @@ FROM n
 PAIRS.update(
     {"lsh_recall_report": (q_lsh_recall_report, SQL_LSH_RECALL_REPORT)}
 )
+
+
+# ----------------------- training-data selection batch (round 5 late)
+
+
+def q_dsir_importance_mix(spark, sf):
+    """DSIR-style importance resampling (selection.dsir_select): hashed
+    word-bigram importance weights against the source='src3' target
+    domain, top-quarter kept. Integer-exact scaled-ratio bucket scores
+    (selection.py docstring) so the WHOLE pipeline — gram fan-out →
+    64-bucket histogram → broadcast re-score → two-phase global rank →
+    ceil-division cut — is DuckDB-oracled."""
+    from cola_spark.operators.selection import dsir_select
+
+    return dsir_select(
+        _t(spark, sf, "documents"), F.col("source") == "src3"
+    )
+
+
+SQL_DSIR = r"""
+WITH w AS (SELECT doc_id, source,
+                  string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, source, array_to_string(ws[i:i+1], ' ') AS gram
+      FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2),
+b AS (SELECT doc_id, source,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 64 AS bucket
+      FROM g),
+hist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS raw_cnt,
+                CAST(SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS tgt_cnt
+         FROM b GROUP BY bucket),
+sc AS (SELECT bucket, 1000000 * (tgt_cnt + 1) // (raw_cnt + 1) AS score
+       FROM hist),
+dw AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+              CAST(SUM(sc.score) AS BIGINT) AS s
+       FROM b JOIN sc USING (bucket) GROUP BY b.doc_id),
+r AS (SELECT doc_id, n_grams, s // n_grams AS dsir_weight FROM dw),
+rk AS (SELECT doc_id, n_grams, dsir_weight,
+              ROW_NUMBER() OVER (ORDER BY dsir_weight DESC, doc_id)
+                AS sel_rank,
+              COUNT(*) OVER () AS tot
+       FROM r)
+SELECT doc_id, n_grams, dsir_weight, sel_rank,
+       sel_rank <= (tot + 3) // 4 AS selected
+FROM rk
+"""
+
+
+def q_ccnet_quality_tiers(spark, sf):
+    """CCNet-style head/middle/tail trichotomy (selection.quality_tiers)
+    over the corpus-statistics quality score (textstats.unigram_quality
+    — already oracled standalone as docs_unigram_quality): rank by
+    (mean_millilog DESC, doc_id), tier = even-division bucket of the
+    rank. Composes two oracled operators; the cut arithmetic is a
+    closed form of (rank, total) so both engines agree bit-for-bit."""
+    from cola_spark.operators.selection import quality_tiers
+    from cola_spark.operators.textstats import unigram_quality
+
+    return quality_tiers(unigram_quality(_t(spark, sf, "documents")))
+
+
+SQL_CCNET_TIERS = r"""
+WITH toks AS (SELECT doc_id,
+                     UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents),
+vocab AS (SELECT tok, CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS bucket
+          FROM toks GROUP BY tok),
+scored AS (SELECT t.doc_id, v.bucket FROM toks t JOIN vocab v USING (tok)),
+uq AS (SELECT doc_id,
+              CAST((1000 * CAST(SUM(bucket) AS BIGINT)) // COUNT(*)
+                   AS BIGINT) AS mean_millilog
+       FROM scored GROUP BY doc_id),
+rk AS (SELECT doc_id, mean_millilog,
+              ROW_NUMBER() OVER (ORDER BY mean_millilog DESC, doc_id)
+                AS q_rank,
+              COUNT(*) OVER () AS tot
+       FROM uq)
+SELECT doc_id, mean_millilog, q_rank,
+       ((q_rank - 1) * 3) // tot + 1 AS tier,
+       CASE WHEN ((q_rank - 1) * 3) // tot + 1 = 1 THEN 'head'
+            WHEN ((q_rank - 1) * 3) // tot + 1 = 3 THEN 'tail'
+            ELSE 'middle' END AS tier_label
+FROM rk
+"""
+
+
+def q_docs_simpson_concentration(spark, sf):
+    """Gini–Simpson unigram concentration (selection.
+    unigram_concentration): ppm probability that two tokens drawn
+    without replacement from the doc are equal — the single-token-spam
+    signal docs_repetition's 3-gram score under-weights."""
+    from cola_spark.operators.selection import unigram_concentration
+
+    return unigram_concentration(_t(spark, sf, "documents"))
+
+
+SQL_SIMPSON = r"""
+WITH toks AS (SELECT doc_id,
+                     UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents),
+c AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, tok),
+p AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
+      FROM c GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_distinct,
+       1000000 * coll // (n_tokens * (n_tokens - 1)) AS simpson_ppm
+FROM p WHERE n_tokens >= 2
+"""
+
+
+def q_url_blocklist_score(spark, sf):
+    """Soft URL blocklist (safety.url_blocklist_score) over a frontier
+    synthesized from part names — weighted substring-occurrence scores,
+    pre-fetch gate. The plan is scan+project only (terms compile to
+    length/replace expressions at plan time)."""
+    from cola_spark.operators.safety import url_blocklist_score
+
+    urls = _t(spark, sf, "part").select(
+        "p_partkey",
+        F.format_string(
+            "http://h%02d.parts.shop/%s",
+            F.pmod(F.col("p_partkey"), F.lit(50)),
+            F.lower(F.regexp_replace(F.col("p_name"), " ", "-")),
+        ).alias("url"),
+    )
+    return url_blocklist_score(urls)
+
+
+SQL_URL_BLOCKLIST = r"""
+WITH u AS (SELECT p_partkey,
+                  'http://h' || lpad(CAST(p_partkey % 50 AS VARCHAR), 2, '0')
+                  || '.parts.shop/' || lower(replace(p_name, ' ', '-')) AS url
+           FROM part),
+s AS (SELECT p_partkey, url,
+             5 * ((length(url) - length(replace(url, 'hot', ''))) // 3)
+           + 3 * ((length(url) - length(replace(url, 'red', ''))) // 3)
+           + 2 * ((length(url) - length(replace(url, 'gizmo', ''))) // 5)
+           + 1 * ((length(url) - length(replace(url, 'old', ''))) // 3)
+             AS block_score
+      FROM u)
+SELECT p_partkey, url, CAST(block_score AS BIGINT) AS block_score,
+       block_score >= 6 AS url_blocked
+FROM s
+"""
+
+
+PAIRS.update({
+    "dsir_importance_mix": (q_dsir_importance_mix, SQL_DSIR),
+    "ccnet_quality_tiers": (q_ccnet_quality_tiers, SQL_CCNET_TIERS),
+    "docs_simpson_concentration": (q_docs_simpson_concentration, SQL_SIMPSON),
+    "url_blocklist_score": (q_url_blocklist_score, SQL_URL_BLOCKLIST),
+})

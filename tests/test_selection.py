@@ -1,0 +1,119 @@
+"""Semantic pins for the training-data selection operators
+(operators/selection.py, operators/safety.py::url_blocklist_score).
+The DuckDB oracle equivalence of the full pipelines is covered by
+test_oracle_pairs (dsir_importance_mix / ccnet_quality_tiers /
+docs_simpson_concentration / url_blocklist_score); these tests pin the
+operator-level semantics on planted inputs where the right answer is
+computable by hand."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from cola_spark.operators.safety import url_blocklist_score
+from cola_spark.operators.selection import (
+    dsir_select,
+    dsir_weights,
+    quality_tiers,
+    raw_grams,
+    unigram_concentration,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_raw_grams_multiplicity_and_short_doc_exclusion(spark):
+    d = _docs(spark, [(1, "a b a b", "s"), (2, "only", "s")])
+    got = sorted(
+        (r.doc_id, r.gram) for r in raw_grams(d, n=2).collect()
+    )
+    # doc 1: bigrams with multiplicity — "a b" TWICE (no per-doc
+    # distinct), "b a" once; doc 2 has < 2 words → excluded.
+    assert got == [(1, "a b"), (1, "a b"), (1, "b a")]
+
+
+def test_dsir_weights_prefer_target_vocabulary(spark):
+    # target doc (src3) uses vocabulary X; two raw docs, one sharing X,
+    # one disjoint — the sharer must out-weigh the stranger.
+    d = _docs(
+        spark,
+        [
+            (1, "alpha beta alpha beta alpha beta", "src3"),
+            (2, "alpha beta alpha beta", "web"),
+            (3, "zig zag zig zag", "web"),
+        ],
+    )
+    w = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_weights(d, F.col("source") == "src3").collect()
+    }
+    assert w[2] > w[3]
+    assert w[1] >= w[2]
+
+
+def test_dsir_select_cut_is_ceil_quarter_and_ranks_total_order(spark):
+    rows = [(i, f"tok{i} tok{i + 1} tok{i + 2}", "src3" if i < 2 else "web")
+            for i in range(10)]
+    out = dsir_select(_docs(spark, rows), F.col("source") == "src3").collect()
+    assert sorted(r.sel_rank for r in out) == list(range(1, 11))
+    assert sum(r.selected for r in out) == 3  # ceil(10/4)
+    by_rank = sorted(out, key=lambda r: r.sel_rank)
+    # selected is exactly the rank prefix
+    assert [r.selected for r in by_rank] == [True] * 3 + [False] * 7
+    # rank respects (weight DESC, doc_id ASC)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert (a.dsir_weight, -a.doc_id) >= (b.dsir_weight, -b.doc_id)
+
+
+def test_quality_tiers_even_division(spark):
+    scored = spark.createDataFrame(
+        [(i, 100 - i) for i in range(7)], "doc_id long, mean_millilog long"
+    )
+    out = {r.doc_id: (r.q_rank, r.tier, r.tier_label)
+           for r in quality_tiers(scored).collect()}
+    # 7 docs, 3 tiers, tier = ((rank-1)*3) DIV 7 + 1 → sizes 3/2/2
+    assert [out[i][0] for i in range(7)] == [1, 2, 3, 4, 5, 6, 7]
+    assert [out[i][1] for i in range(7)] == [1, 1, 1, 2, 2, 3, 3]
+    assert out[0][2] == "head" and out[3][2] == "middle" and out[6][2] == "tail"
+
+
+def test_unigram_concentration_hand_computed(spark):
+    d = _docs(spark, [(1, "a a a b", "s"), (2, "x y z", "s"), (3, "solo", "s")])
+    got = {r.doc_id: r for r in unigram_concentration(d).collect()}
+    # doc 1: N=4, counts {a:3, b:1}, coll = 3*2 = 6 → 1e6*6/12 = 500000
+    assert (got[1].n_tokens, got[1].n_distinct, got[1].simpson_ppm) == (4, 2, 500000)
+    # doc 2: all distinct → 0
+    assert got[2].simpson_ppm == 0
+    # doc 3: N=1 → excluded (index undefined)
+    assert 3 not in got
+
+
+def test_url_blocklist_substring_scoring(spark):
+    urls = spark.createDataFrame(
+        [(1, "http://h00.parts.shop/hot-red-hot"),
+         (2, "http://h01.parts.shop/new-plate"),
+         (3, "http://h02.parts.shop/cold-bolt")],
+        "k long, url string",
+    )
+    got = {r.k: (r.block_score, r.url_blocked)
+           for r in url_blocklist_score(urls).collect()}
+    assert got[1] == (2 * 5 + 3, True)   # hot×2, red×1
+    assert got[2] == (0, False)
+    assert got[3] == (1, False)          # 'old' inside 'cold' — substring semantics
+
+
+def test_url_blocklist_plan_is_scan_project_only(spark):
+    urls = spark.range(8).select(
+        F.format_string("http://h/%d-hot", F.col("id")).alias("url")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        url_blocklist_score(urls).explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
