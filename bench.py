@@ -166,6 +166,18 @@ BENCH_QUERIES = [
     # per near-dup cluster via one combinable max(struct), no window
     "lsh_recall_report",  # driver-verified dedup quality: LSH verified
     # pairs vs exact prefix-join truth, precision/recall permille
+    "dsir_importance_mix",  # DSIR selection: one bigram fan-out ->
+    # 64-bucket histogram -> broadcast re-score -> two-phase rank cut
+    "ccnet_quality_tiers",  # head/middle/tail trichotomy over the
+    # corpus-stats score, closed-form even-division tiers
+    "docs_simpson_concentration",  # Gini-Simpson unigram concentration
+    # ppm: two key-local aggs over one explode
+    "url_blocklist_score",  # soft URL blocklist: terms compiled to
+    # length/replace projections, scan+project-only plan
+    "yield_budget_realloc",  # crawl economics: largest-remainder
+    # yield-proportional budget division, SUM(granted)==capacity exact
+    "route_skew_report",  # salted-vs-naive partition skew audit:
+    # quantifies ON the data what the salt removes
 ]
 
 

@@ -274,3 +274,60 @@ def waterfill_alloc(
         .alias("alloc"),
         (~F.col("full")).alias("capped"),
     )
+
+
+def yield_alloc(
+    stats: DataFrame,
+    capacity: int,
+    host_col: str = "host",
+    fetched_col: str = "fetched",
+    discovered_col: str = "discovered",
+) -> DataFrame:
+    """(host, fetched, discovered, yield_weight, granted) — next-round
+    budget proportional to observed discovery YIELD (new URLs per
+    fetch), the crawl-economics reallocation cola's static speed units
+    lack: productive hosts earn capacity, exhausted ones shrink toward
+    the +1 smoothing floor (no host starves to zero — it must keep
+    probing to detect recovery).
+
+    Integer largest-remainder division, exact: yield_weight =
+    1 + (1000·discovered) DIV fetched; base grant = (C·w) DIV Σw; the
+    C − Σbase leftover goes +1 each to the largest (remainder DESC,
+    host ASC) — so SUM(granted) == capacity ALWAYS, the invariant the
+    round loop's global cap depends on. Scale shape: host-scale frame
+    throughout (the corpus never enters), one two-phase global rank,
+    totals via broadcast 1-row aggregates — no driver action, no
+    corpus-scale window."""
+    from cola_spark.operators.ranking import global_rank
+
+    w = stats.select(
+        F.col(host_col).alias("host"),
+        F.col(fetched_col).cast("long").alias("fetched"),
+        F.col(discovered_col).cast("long").alias("discovered"),
+    ).withColumn(
+        "yield_weight", F.expr("1 + (1000 * discovered) DIV fetched")
+    )
+    tot = w.agg(F.sum("yield_weight").cast("long").alias("_yw"))
+    g = w.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.expr(f"({capacity} * yield_weight) DIV _yw").alias("_base"),
+        F.expr(f"({capacity} * yield_weight) % _yw").alias("_rem"),
+    )
+    ranked = global_rank(
+        g.withColumn("_negrem", -F.col("_rem")),
+        ["_negrem", "host"],
+        out_col="_rk",
+        eager_release=True,
+    )
+    left = ranked.agg(
+        (F.lit(capacity) - F.sum("_base")).cast("long").alias("_left")
+    )
+    return ranked.crossJoin(F.broadcast(left)).select(
+        "host",
+        "fetched",
+        "discovered",
+        "yield_weight",
+        (F.col("_base") + (F.col("_rk") <= F.col("_left")).cast("long"))
+        .cast("long")
+        .alias("granted"),
+    )

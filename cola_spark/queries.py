@@ -7170,3 +7170,90 @@ PAIRS.update({
     "docs_simpson_concentration": (q_docs_simpson_concentration, SQL_SIMPSON),
     "url_blocklist_score": (q_url_blocklist_score, SQL_URL_BLOCKLIST),
 })
+
+
+def q_yield_budget_realloc(spark, sf):
+    """Yield-proportional budget reallocation (budget.yield_alloc):
+    next-round capacity (1000 units) divided across hosts in exact
+    integer largest-remainder proportion to observed discovery yield.
+    SUM(granted) == 1000 invariant pinned in tests; host stats
+    synthesized from orders (fetched = orders per host, discovered =
+    Σ o_orderkey%7 — deterministic, skewed)."""
+    from cola_spark.operators.budget import yield_alloc
+
+    stats = (
+        _t(spark, sf, "orders")
+        .groupBy(F.pmod(F.col("o_custkey"), F.lit(40)).alias("host"))
+        .agg(
+            F.count("*").alias("fetched"),
+            F.sum(F.pmod(F.col("o_orderkey"), F.lit(7))).alias("discovered"),
+        )
+    )
+    return yield_alloc(stats, 1000)
+
+
+SQL_YIELD_ALLOC = """
+WITH s AS (SELECT o_custkey % 40 AS host, CAST(COUNT(*) AS BIGINT) AS fetched,
+                  CAST(SUM(o_orderkey % 7) AS BIGINT) AS discovered
+           FROM orders GROUP BY 1),
+wgt AS (SELECT *, 1 + (1000 * discovered) // fetched AS yield_weight FROM s),
+tot AS (SELECT CAST(SUM(yield_weight) AS BIGINT) AS yw FROM wgt),
+g AS (SELECT w.*, (1000 * yield_weight) // t.yw AS base,
+             (1000 * yield_weight) % t.yw AS rem
+      FROM wgt w, tot t),
+l AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS leftover FROM g),
+r AS (SELECT g.*, ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk FROM g)
+SELECT host, fetched, discovered, yield_weight,
+       CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+                        THEN 1 ELSE 0 END AS BIGINT) AS granted
+FROM r
+"""
+
+
+def q_route_skew_report(spark, sf):
+    """Salted-vs-naive routing skew audit (routing.route_load_report)
+    on a deliberately Zipf-headed synthetic frontier (host =
+    (k%100)² DIV 100 concentrates density at the low hosts): two rows,
+    (strategy, parts_used, max_load, total, skew_permille). The driver
+    VERIFIES the imbalance measurement itself; the salted row's lower
+    skew is the quantified payoff of the salted repartition the
+    scheduler uses."""
+    from cola_spark.operators.routing import route_load_report
+
+    host = F.expr("'h' || CAST(((o_orderkey % 100) * (o_orderkey % 100)) DIV 100 AS STRING)")
+    frontier = _t(spark, sf, "orders").select(
+        host.alias("host"), F.col("o_orderkey").alias("seq")
+    )
+    return route_load_report(frontier)
+
+
+SQL_ROUTE_SKEW = """
+WITH f AS (SELECT 'h' || CAST(((o_orderkey % 100) * (o_orderkey % 100)) // 100
+                             AS VARCHAR) AS host,
+                  o_orderkey AS seq
+           FROM orders),
+n AS (SELECT CAST(('0x' || substr(md5('r:' || host), 1, 15)) AS BIGINT) % 32
+             AS p FROM f),
+s AS (SELECT CAST(('0x' || substr(md5('r:' || host || ':' ||
+                  CAST(seq % 8 AS VARCHAR)), 1, 15)) AS BIGINT) % 32
+             AS p FROM f),
+ln AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS ld FROM n GROUP BY p),
+ls AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS ld FROM s GROUP BY p),
+u AS (
+  SELECT 'naive' AS strategy, CAST(COUNT(*) AS BIGINT) AS parts_used,
+         CAST(MAX(ld) AS BIGINT) AS max_load, CAST(SUM(ld) AS BIGINT) AS total
+  FROM ln
+  UNION ALL
+  SELECT 'salted', CAST(COUNT(*) AS BIGINT), CAST(MAX(ld) AS BIGINT),
+         CAST(SUM(ld) AS BIGINT)
+  FROM ls)
+SELECT strategy, parts_used, max_load, total,
+       (1000 * max_load * 32) // total AS skew_permille
+FROM u
+"""
+
+
+PAIRS.update({
+    "yield_budget_realloc": (q_yield_budget_realloc, SQL_YIELD_ALLOC),
+    "route_skew_report": (q_route_skew_report, SQL_ROUTE_SKEW),
+})

@@ -117,3 +117,46 @@ def test_url_blocklist_plan_is_scan_project_only(spark):
     p = buf.getvalue()
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_yield_alloc_sums_to_capacity_and_prefers_yield(spark):
+    from cola_spark.operators.budget import yield_alloc
+
+    stats = spark.createDataFrame(
+        [("a", 10, 50), ("b", 10, 5), ("c", 10, 0), ("d", 3, 17)],
+        "host string, fetched long, discovered long",
+    )
+    out = {r.host: r for r in yield_alloc(stats, 100).collect()}
+    assert sum(r.granted for r in out.values()) == 100
+    # weights: a=1+5000, b=1+500, c=1 (smoothing floor), d=1+5666
+    assert out["d"].granted > out["a"].granted > out["b"].granted
+    assert out["c"].granted >= 0
+    assert out["c"].yield_weight == 1
+
+
+def test_yield_alloc_largest_remainder_hand_case(spark):
+    from cola_spark.operators.budget import yield_alloc
+
+    # weights 1+1000 each (discovered == fetched): 3 equal hosts, C=10
+    # → base 3 each, leftover 1 goes to the smallest host name.
+    stats = spark.createDataFrame(
+        [("x", 5, 5), ("y", 5, 5), ("z", 5, 5)],
+        "host string, fetched long, discovered long",
+    )
+    out = {r.host: r.granted for r in yield_alloc(stats, 10).collect()}
+    assert out == {"x": 4, "y": 3, "z": 3}
+
+
+def test_route_load_report_salting_levels_skew(spark):
+    from cola_spark.operators.routing import route_load_report
+
+    # one pathological host carrying 90% of the frontier
+    rows = [("hot", i) for i in range(900)] + [(f"h{i}", i) for i in range(100)]
+    f = spark.createDataFrame(rows, "host string, seq long")
+    got = {r.strategy: r for r in route_load_report(f).collect()}
+    assert got["naive"].total == got["salted"].total == 1000
+    # naive: the hot host's 900 rows land on ONE partition
+    assert got["naive"].max_load >= 900
+    # salted: spread over 8 buckets
+    assert got["salted"].max_load < 300
+    assert got["salted"].skew_permille < got["naive"].skew_permille
