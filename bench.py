@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     # yield-proportional budget division, SUM(granted)==capacity exact
     "route_skew_report",  # salted-vs-naive partition skew audit:
     # quantifies ON the data what the salt removes
+    "priority_aging",  # starvation-avoidance aging composed into the
+    # salted two-phase cut (pure projection, zero extra exchanges)
 ]
 
 

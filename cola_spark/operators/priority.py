@@ -79,3 +79,40 @@ def apply_global_cap(scheduled: DataFrame, global_cap: int | None) -> DataFrame:
 
     ranked = global_rank(scheduled, ["priority", "seq"], out_col="_grank")
     return ranked.filter(F.col("_grank") <= global_cap).drop("_grank")
+
+
+def age_priorities(
+    pending: DataFrame,
+    current_round: int,
+    boost_every: int = 3,
+    round_col: str = "enqueue_round",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Starvation-avoidance priority aging: effective_priority =
+    max(0, priority − waited_rounds DIV boost_every), waited_rounds =
+    current_round − enqueue_round. A low-priority URL parked behind a
+    hot host's high-priority stream climbs one level every
+    ``boost_every`` rounds it waits, so every enqueued URL is
+    eventually served — the bounded-bypass guarantee cola's strict
+    priority stores lack (a saturated level-0 store starves level 2
+    forever; SURVEY §2 row 24 semantics preserved WITHIN a level:
+    ties in effective_priority still serve FIFO by seq).
+
+    Pure projection (two integer columns added, priority semantics
+    stay a total order with seq) — composes in front of schedule_cut
+    with zero extra exchanges; the cut then orders on
+    (effective_priority, seq) instead of (priority, seq)."""
+    waited = F.lit(int(current_round)) - F.col(round_col)
+    # integer form, engine-exact: priority - waited DIV boost_every
+    eff = F.greatest(
+        F.lit(0).cast("int"),
+        (
+            F.col(priority_col).cast("int")
+            - F.expr(f"CAST(({current_round} - {round_col}) DIV {boost_every} AS INT)")
+        ),
+    )
+    return pending.select(
+        "*",
+        waited.cast("long").alias("waited_rounds"),
+        eff.cast("int").alias("effective_priority"),
+    )

@@ -7257,3 +7257,64 @@ PAIRS.update({
     "yield_budget_realloc": (q_yield_budget_realloc, SQL_YIELD_ALLOC),
     "route_skew_report": (q_route_skew_report, SQL_ROUTE_SKEW),
 })
+
+
+def q_priority_aging(spark, sf):
+    """Starvation-avoidance aging (priority.age_priorities) composed
+    into the salted two-phase budget cut: waiting URLs climb one
+    priority level per 3 rounds parked, then the same (effective
+    priority, seq) FIFO cut serves them — the bounded-bypass guarantee
+    strict priority stores lack. The oracle replays aging + a plain
+    per-host window cut (two-phase ≡ single-window is separately
+    test-pinned)."""
+    from cola_spark.operators.priority import age_priorities, schedule_cut
+
+    pending = _t(spark, sf, "orders").select(
+        F.pmod(F.col("o_custkey"), F.lit(30)).alias("host"),
+        ((F.substring(F.col("o_orderpriority"), 1, 1).cast("int") - 1) % 3)
+        .alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderkey").alias("url_hash"),
+        F.pmod(F.col("o_orderkey"), F.lit(10)).alias("enqueue_round"),
+    )
+    aged = age_priorities(pending, current_round=12, boost_every=3)
+    caps = (
+        pending.select("host").distinct()
+        .withColumn("cap", F.lit(5).cast("long"))
+    )
+    cut = schedule_cut(
+        aged.drop("priority").withColumnRenamed(
+            "effective_priority", "priority"
+        ),
+        caps,
+    )
+    return cut.select(
+        "host",
+        "seq",
+        F.col("waited_rounds").cast("long").alias("waited_rounds"),
+        F.col("priority").cast("int").alias("effective_priority"),
+        F.col("host_rank").cast("long").alias("host_rank"),
+    )
+
+
+SQL_PRIORITY_AGING = """
+WITH p AS (SELECT o_custkey % 30 AS host,
+                  (CAST(substr(o_orderpriority, 1, 1) AS INT) - 1) % 3 AS prio,
+                  o_orderkey AS seq,
+                  o_orderkey % 10 AS enq
+           FROM orders),
+a AS (SELECT host, seq, 12 - enq AS waited_rounds,
+             GREATEST(0, prio - (12 - enq) // 3) AS effective_priority
+      FROM p),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                                   ORDER BY effective_priority, seq)
+               AS host_rank
+      FROM a)
+SELECT host, seq, CAST(waited_rounds AS BIGINT) AS waited_rounds,
+       CAST(effective_priority AS INT) AS effective_priority,
+       host_rank
+FROM r WHERE host_rank <= 5
+"""
+
+
+PAIRS.update({"priority_aging": (q_priority_aging, SQL_PRIORITY_AGING)})

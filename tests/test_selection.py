@@ -160,3 +160,26 @@ def test_route_load_report_salting_levels_skew(spark):
     # salted: spread over 8 buckets
     assert got["salted"].max_load < 300
     assert got["salted"].skew_permille < got["naive"].skew_permille
+
+
+def test_age_priorities_starved_url_overtakes(spark):
+    from cola_spark.operators.priority import age_priorities
+
+    pending = spark.createDataFrame(
+        # seq 1: priority 2 (worst), enqueued round 0 → waited 12 → eff 0
+        # seq 2: priority 0 (best), enqueued round 11 → waited 1 → eff 0
+        # seq 3: priority 2, enqueued round 10 → waited 2 → eff 2
+        [("h", 2, 1, 0), ("h", 0, 2, 11), ("h", 2, 3, 10)],
+        "host string, priority int, seq long, enqueue_round long",
+    )
+    out = {r.seq: r for r in age_priorities(pending, current_round=12).collect()}
+    assert (out[1].effective_priority, out[1].waited_rounds) == (0, 12)
+    assert out[2].effective_priority == 0
+    assert out[3].effective_priority == 2
+    # the starved URL now ties the fresh high-priority one and wins
+    # FIFO within the level (seq 1 < seq 2); the fresh low-prio waits.
+    order = sorted(out.values(), key=lambda r: (r.effective_priority, r.seq))
+    assert [r.seq for r in order] == [1, 2, 3]
+    # floor: effective priority never goes negative
+    deep = age_priorities(pending, current_round=99).collect()
+    assert all(r.effective_priority >= 0 for r in deep)
