@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     # quantifies ON the data what the salt removes
     "priority_aging",  # starvation-avoidance aging composed into the
     # salted two-phase cut (pure projection, zero extra exchanges)
+    "politeness_effective_delay",  # max(robots Crawl-Delay, 2x p95
+    # latency bound) from the keyed log2-histogram sketch
 ]
 
 

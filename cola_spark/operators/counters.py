@@ -160,3 +160,47 @@ def histogram_quantiles(
             "shiftleft(CAST(1 AS BIGINT), CAST(bucket + 1 AS INT)) - 1"
         ).alias("ub"),
     )
+
+
+def log2_histogram_by(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """(key, bucket, cnt) — the keyed twin of log2_histogram (e.g. a
+    per-HOST latency sketch instead of the cluster-wide one). Same
+    mergeable state, one map-side-combinable groupBy; the key fan-out
+    is bounded by keys × ≤64 buckets."""
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            floor_log2(F.col(value_col)).alias("bucket"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantile_by(hist: DataFrame, permille: int = 950) -> DataFrame:
+    """(key, bucket, ub) — per-key quantile bucket upper bound from a
+    keyed log2 histogram: the smallest bucket whose cumulative count
+    reaches ceil(permille·n/1000). The cumulative window partitions by
+    key over ≤64 bucket rows — key-scale work, never corpus-scale."""
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "key", "bucket", F.sum("cnt").over(w).cast("long").alias("cum")
+    )
+    tot = hist.groupBy("key").agg(F.sum("cnt").cast("long").alias("n"))
+    sel = (
+        cum.join(tot, "key")
+        .filter(F.col("cum") >= F.expr(f"({permille} * n + 999) div 1000"))
+        .groupBy("key")
+        .agg(F.min("bucket").cast("long").alias("bucket"))
+    )
+    return sel.select(
+        "key",
+        "bucket",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(bucket + 1 AS INT)) - 1"
+        ).alias("ub"),
+    )

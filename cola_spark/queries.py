@@ -7318,3 +7318,112 @@ FROM r WHERE host_rank <= 5
 
 
 PAIRS.update({"priority_aging": (q_priority_aging, SQL_PRIORITY_AGING)})
+
+
+def q_politeness_effective_delay(spark, sf):
+    """Effective per-host politeness delay: the MAX of what the site
+    ASKS (governing-group robots Crawl-Delay, default 1 s) and what it
+    CAN SERVE (2× the observed p95 fetch-latency bound from the
+    per-host log2-histogram sketch) — the production rule real
+    schedulers apply on top of robots compliance (a host whose p95 is
+    8 s cannot be hit every 2 s just because robots allows it).
+    Composes two oracled pipelines: robots_crawl_delay's parse chain +
+    a keyed variant of fetch_latency_quantiles' sketch (same planted
+    heavy-tailed latencies, keyed by event_id%50 → the robots host
+    universe). Host-scale joins only after the one corpus-scale
+    map-side histogram pass."""
+    from cola_spark.operators.counters import (
+        histogram_quantile_by,
+        log2_histogram_by,
+    )
+    from cola_spark.operators.robots import parse_robots_delay
+
+    rb, _ = _robots_universe(spark)
+    delays = parse_robots_delay(rb, agent="colabot")
+
+    ev = _t(spark, sf, "events")
+    lat = ev.select(
+        F.format_string(
+            "h%d.example.com", F.pmod(F.col("event_id"), F.lit(50))
+        ).alias("host"),
+        F.expr(
+            "1 + CAST(conv(substring(md5(concat('lat:',"
+            " CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            " % shiftleft(CAST(1 AS BIGINT), CAST(1 +"
+            " CAST(conv(substring(md5(concat('spread:',"
+            " CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            " % 12 AS INT))"
+        ).alias("lat_ms"),
+    )
+    p95 = histogram_quantile_by(
+        log2_histogram_by(lat, "host", "lat_ms"), permille=950
+    ).withColumnRenamed("key", "host")
+    eff = F.greatest(
+        F.coalesce(F.col("delay_s"), F.lit(1).cast("long")) * 1000,
+        F.col("ub") * 2,
+    )
+    return p95.join(F.broadcast(delays), "host", "left").select(
+        "host",
+        F.coalesce(F.col("delay_s"), F.lit(1).cast("long"))
+        .alias("robots_delay_s"),
+        F.col("ub").alias("p95_ub_ms"),
+        eff.cast("long").alias("effective_delay_ms"),
+    )
+
+
+SQL_POLITENESS_EFFECTIVE = (
+    "WITH "
+    + _SQL_ROBOTS_PARSE_CTES
+    + r""",
+dly AS (SELECT b.host, MIN(CAST(b.val AS BIGINT)) AS delay_s
+        FROM bl b JOIN ch ON b.host = ch.host AND b.block = ch.block
+        WHERE b.dir = 'crawl-delay' AND regexp_matches(b.val, '^[0-9]+$')
+        GROUP BY b.host),
+ev AS (SELECT 'h' || CAST(event_id % 50 AS VARCHAR) || '.example.com'
+         AS ehost,
+       CAST(('0x' || substr(md5('lat:' || CAST(event_id AS VARCHAR)),
+             1, 15)) AS BIGINT) AS h1,
+       CAST(('0x' || substr(md5('spread:' || CAST(event_id AS VARCHAR)),
+             1, 15)) AS BIGINT) AS h2
+       FROM events),
+lv AS (SELECT ehost,
+              1 + h1 % (CAST(1 AS BIGINT) << CAST(1 + h2 % 12 AS INTEGER))
+                AS v
+       FROM ev),
+m1 AS (SELECT ehost, v | (v >> 1) AS m FROM lv),
+m2 AS (SELECT ehost, m | (m >> 2) AS m FROM m1),
+m3 AS (SELECT ehost, m | (m >> 4) AS m FROM m2),
+m4 AS (SELECT ehost, m | (m >> 8) AS m FROM m3),
+m5 AS (SELECT ehost, m | (m >> 16) AS m FROM m4),
+m6 AS (SELECT ehost, m | (m >> 32) AS m FROM m5),
+hi AS (SELECT ehost, CAST(bit_count(m) - 1 AS BIGINT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM m6 GROUP BY 1, 2),
+cc AS (SELECT ehost, bucket,
+              CAST(SUM(cnt) OVER (PARTITION BY ehost ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cum
+       FROM hi),
+tt AS (SELECT ehost, CAST(SUM(cnt) AS BIGINT) AS n FROM hi GROUP BY ehost),
+sel AS (SELECT cc.ehost, CAST(MIN(cc.bucket) AS BIGINT) AS bucket
+        FROM cc JOIN tt ON cc.ehost = tt.ehost
+                       AND cc.cum >= (950 * tt.n + 999) // 1000
+        GROUP BY cc.ehost),
+ubv AS (SELECT ehost,
+               (CAST(1 AS BIGINT) << CAST(bucket + 1 AS INTEGER)) - 1 AS ub
+        FROM sel)
+SELECT u.ehost AS host,
+       COALESCE(d.delay_s, 1) AS robots_delay_s,
+       u.ub AS p95_ub_ms,
+       GREATEST(COALESCE(d.delay_s, 1) * 1000, u.ub * 2)
+         AS effective_delay_ms
+FROM ubv u LEFT JOIN dly d ON u.ehost = d.host
+"""
+)
+
+PAIRS.update({
+    "politeness_effective_delay": (
+        q_politeness_effective_delay,
+        SQL_POLITENESS_EFFECTIVE,
+    )
+})

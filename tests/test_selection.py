@@ -183,3 +183,25 @@ def test_age_priorities_starved_url_overtakes(spark):
     # floor: effective priority never goes negative
     deep = age_priorities(pending, current_round=99).collect()
     assert all(r.effective_priority >= 0 for r in deep)
+
+
+def test_keyed_histogram_quantile(spark):
+    from cola_spark.operators.counters import (
+        histogram_quantile_by,
+        log2_histogram_by,
+    )
+
+    # host a: 99 fast (1 ms, bucket 0) + 1 slow (1000 ms, bucket 9)
+    #   → p95 needs rank 95 ≤ cum(bucket 0)=99 → bucket 0, ub 1
+    # host b: 10 at 1 ms + 90 at 100 ms (bucket 6)
+    #   → p95 rank 95 > 10 → bucket 6, ub 127
+    rows = [("a", 1)] * 99 + [("a", 1000)] + [("b", 1)] * 10 + [("b", 100)] * 90
+    df = spark.createDataFrame(rows, "host string, lat long")
+    out = {
+        r.key: (r.bucket, r.ub)
+        for r in histogram_quantile_by(
+            log2_histogram_by(df, "host", "lat"), permille=950
+        ).collect()
+    }
+    assert out["a"] == (0, 1)
+    assert out["b"] == (6, 127)
