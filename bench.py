@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     # salted two-phase cut (pure projection, zero extra exchanges)
     "politeness_effective_delay",  # max(robots Crawl-Delay, 2x p95
     # latency bound) from the keyed log2-histogram sketch
+    "zipf_fit_report",  # rank-octave Zipf-law corpus-health table
 ]
 
 

@@ -7427,3 +7427,64 @@ PAIRS.update({
         SQL_POLITENESS_EFFECTIVE,
     )
 })
+
+
+def q_zipf_fit_report(spark, sf):
+    """Corpus-health telemetry: the Zipf rank-frequency fit, integer
+    octaves — per rank octave (floor(log2(vocab rank))), the type count
+    and the mean floor(log2(frequency)) in milli-units. A healthy
+    natural-language corpus walks mean_millilog2f down ~1000/octave
+    (Zipf slope −1); generator loops / boilerplate floods flatten the
+    head, tokenizer damage fattens the tail — the drift signal
+    vocab_drift_report can't see because it compares two snapshots
+    while this checks ONE corpus against the law itself. Vocab-scale
+    work after one token fan-out; the rank is the two-phase global
+    rank over (freq DESC, tok)."""
+    from cola_spark.operators.counters import floor_log2
+    from cola_spark.operators.ranking import global_rank
+    from cola_spark.operators.textdedup import spread_small_scan
+
+    toks = spread_small_scan(_t(spark, sf, "documents")).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    ranked = global_rank(
+        vocab.withColumn("_negc", -F.col("cnt")),
+        ["_negc", "tok"],
+        out_col="r",
+        eager_release=True,
+    )
+    b = ranked.select(
+        floor_log2(F.col("r")).alias("rank_octave"),
+        floor_log2(F.col("cnt")).alias("log2f"),
+    )
+    return (
+        b.groupBy("rank_octave")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("log2f").alias("_s"),
+        )
+        .select(
+            "rank_octave",
+            "n_types",
+            F.expr("(1000 * _s) DIV n_types").alias("mean_millilog2f"),
+        )
+    )
+
+
+SQL_ZIPF_FIT = r"""
+WITH toks AS (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents),
+vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+rk AS (SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS r
+       FROM vocab),
+b AS (SELECT CAST(length(bin(r)) - 1 AS BIGINT) AS rank_octave,
+             CAST(length(bin(cnt)) - 1 AS BIGINT) AS log2f
+      FROM rk)
+SELECT rank_octave, CAST(COUNT(*) AS BIGINT) AS n_types,
+       (1000 * CAST(SUM(log2f) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         AS mean_millilog2f
+FROM b GROUP BY rank_octave
+"""
+
+PAIRS.update({"zipf_fit_report": (q_zipf_fit_report, SQL_ZIPF_FIT)})
