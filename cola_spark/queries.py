@@ -7488,3 +7488,39 @@ FROM b GROUP BY rank_octave
 """
 
 PAIRS.update({"zipf_fit_report": (q_zipf_fit_report, SQL_ZIPF_FIT)})
+
+
+def q_frontier_drain_report(spark, sf):
+    """Scheduler capacity telemetry: per-host pending queue depth vs
+    the per-round grant, and the drain horizon ceil(depth/cap) — the
+    number the operator watches to size the next capacity change (a
+    host with drain_rounds ≫ the re-crawl interval never catches up;
+    the global p95 of this column is the fleet's backlog health).
+    Host-scale aggregate over one frontier pass; composes the same
+    synthetic frontier as the budget cut (cap = 9 rows/round from
+    budget_topk_cut's universe)."""
+    pending = _t(spark, sf, "orders").select(
+        F.pmod(F.col("o_custkey"), F.lit(60)).alias("host")
+    )
+    depth = pending.groupBy("host").agg(
+        F.count("*").cast("long").alias("depth")
+    )
+    return depth.select(
+        "host",
+        "depth",
+        F.lit(9).cast("long").alias("cap"),
+        F.expr("(depth + 8) DIV 9").alias("drain_rounds"),
+        (F.expr("(depth + 8) DIV 9") > 4).alias("backlogged"),
+    )
+
+
+SQL_FRONTIER_DRAIN = """
+WITH d AS (SELECT o_custkey % 60 AS host, CAST(COUNT(*) AS BIGINT) AS depth
+           FROM orders GROUP BY 1)
+SELECT host, depth, CAST(9 AS BIGINT) AS cap,
+       (depth + 8) // 9 AS drain_rounds,
+       (depth + 8) // 9 > 4 AS backlogged
+FROM d
+"""
+
+PAIRS.update({"frontier_drain_report": (q_frontier_drain_report, SQL_FRONTIER_DRAIN)})
