@@ -294,7 +294,10 @@ def yield_alloc(
     1 + (1000·discovered) DIV fetched; base grant = (C·w) DIV Σw; the
     C − Σbase leftover goes +1 each to the largest (remainder DESC,
     host ASC) — so SUM(granted) == capacity ALWAYS, the invariant the
-    round loop's global cap depends on. Scale shape: host-scale frame
+    round loop's global cap depends on. Contract: fetched >= 1 per row
+    (stats come from a crawl-log groupBy, so every present host was
+    fetched at least once; ANSI mode makes DIV by zero a runtime
+    error, deliberately loud rather than a silent weight). Scale shape: host-scale frame
     throughout (the corpus never enters), one two-phase global rank,
     totals via broadcast 1-row aggregates — no driver action, no
     corpus-scale window."""

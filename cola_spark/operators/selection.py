@@ -238,11 +238,16 @@ def unigram_concentration(
         F.count("*").alias("n_distinct"),
         F.sum(F.col("c") * (F.col("c") - 1)).alias("_coll"),
     )
+    # greatest(...,1) denominator: rows with n_tokens < 2 are filtered
+    # out, but ANSI mode turns x DIV 0 into a runtime error and the
+    # optimizer may evaluate a collapsed projection before the filter —
+    # the guard keeps the expression total without changing any
+    # surviving row (n>=2 → n(n-1)>=2).
     return per.filter(F.col("n_tokens") >= 2).select(
         "doc_id",
         "n_tokens",
         "n_distinct",
-        F.expr("1000000 * _coll DIV (n_tokens * (n_tokens - 1))").alias(
-            "simpson_ppm"
-        ),
+        F.expr(
+            "1000000 * _coll DIV greatest(n_tokens * (n_tokens - 1), 1)"
+        ).alias("simpson_ppm"),
     )
