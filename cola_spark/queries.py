@@ -7524,3 +7524,130 @@ FROM d
 """
 
 PAIRS.update({"frontier_drain_report": (q_frontier_drain_report, SQL_FRONTIER_DRAIN)})
+
+
+def q_dns_batch_resolve(spark, sf):
+    """Batched DNS resolution with a host-keyed TTL cache
+    (operators/dnscache.py): the frontier's 60 distinct hosts against
+    a cache covering the even hosts with staggered resolution times
+    (ttl 30 s, now = 40 s), sharded over 4 resolvers in batches of 8.
+    Hits serve the cached ip_key with shard/batch -1; misses and
+    expirations get a balanced hash-mod shard (hosts are distinct —
+    no salting needed) and a bounded per-shard batch index. md5 hash
+    family so DuckDB replays the shard assignment exactly."""
+    from cola_spark.operators.dnscache import dns_cache_plan, resolve_ip_key
+
+    o = _t(spark, sf, "orders")
+    frontier = o.select(
+        F.concat(
+            F.lit("h"), F.pmod(F.col("o_custkey"), F.lit(60)).cast("string")
+        ).alias("host")
+    )
+    hids = (
+        o.select(F.pmod(F.col("o_custkey"), F.lit(60)).alias("hid"))
+        .distinct()
+        .filter(F.col("hid") % 2 == 0)
+    )
+    cache = hids.select(
+        F.concat(F.lit("h"), F.col("hid").cast("string")).alias("host"),
+        ((F.col("hid") * 7) % 50).cast("long").alias("resolved_at"),
+        F.lit(30).cast("long").alias("ttl_s"),
+    ).withColumn("ip_key", resolve_ip_key(F.col("host")))
+    return dns_cache_plan(
+        frontier, cache, now_s=40, n_resolvers=4, batch_size=8,
+        hash_kind="md5",
+    )
+
+
+SQL_DNS_BATCH_RESOLVE = f"""
+WITH hosts AS (SELECT DISTINCT o_custkey % 60 AS hid,
+                      'h' || CAST(o_custkey % 60 AS VARCHAR) AS host
+               FROM orders),
+cache AS (SELECT host,
+                 substr(md5('ip0:' || host), 1, 8) AS ip_key,
+                 CAST((hid * 7) % 50 AS BIGINT) AS resolved_at,
+                 CAST(30 AS BIGINT) AS ttl_s
+          FROM hosts WHERE hid % 2 = 0),
+cls AS (SELECT h.host,
+               CASE WHEN c.ip_key IS NULL THEN 'miss'
+                    WHEN c.resolved_at + c.ttl_s > 40 THEN 'hit'
+                    ELSE 'expired' END AS status,
+               c.ip_key AS cached_ip
+        FROM hosts h LEFT JOIN cache c ON h.host = c.host),
+hit AS (SELECT host, status, CAST(-1 AS BIGINT) AS shard,
+               CAST(-1 AS BIGINT) AS batch_idx, cached_ip AS ip_key
+        FROM cls WHERE status = 'hit'),
+res AS (SELECT host, status,
+               CAST({_md5i('host', 71)} % 4 AS BIGINT) AS shard
+        FROM cls WHERE status <> 'hit'),
+resb AS (SELECT host, status, shard,
+                CAST((ROW_NUMBER() OVER (PARTITION BY shard ORDER BY host)
+                      - 1) // 8 AS BIGINT) AS batch_idx,
+                substr(md5('ip0:' || host), 1, 8) AS ip_key
+         FROM res)
+SELECT * FROM hit UNION ALL SELECT * FROM resb
+"""
+
+PAIRS.update({"dns_batch_resolve": (q_dns_batch_resolve, SQL_DNS_BATCH_RESOLVE)})
+
+
+def q_revalidate_plan(spark, sf):
+    """Conditional-GET revalidation plan (operators/revalidate.py):
+    re-crawl candidates = every order key; the previous crawl covered
+    3/4 of them (okey % 4 <> 3) and sent an ETag for 2/3 of those
+    (okey % 3 <> 0); ~1/5 of validated pages actually changed (md5
+    parity). Validator present -> 'revalidate' (304 unless changed,
+    bytes_saved = prior body size); absent -> 'fetch_full'. URL-keyed
+    left join — the same key class the dedup seen-gate shuffles on."""
+    from cola_spark.operators.revalidate import revalidate_plan
+
+    o = _t(spark, sf, "orders")
+    candidates = o.select(F.col("o_orderkey").cast("long").alias("url_id"))
+    prior = (
+        o.filter(F.col("o_orderkey") % 4 != 3)
+        .select(
+            F.col("o_orderkey").cast("long").alias("url_id"),
+            F.when(
+                F.col("o_orderkey") % 3 != 0,
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("etag:"), F.col("o_orderkey").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+            ).alias("etag"),
+            ((F.col("o_orderkey") * 37) % 100000)
+            .cast("long")
+            .alias("content_len"),
+        )
+    )
+    return revalidate_plan(
+        candidates, prior, key_col="url_id", change_mod=5, hash_kind="md5"
+    )
+
+
+SQL_REVALIDATE_PLAN = f"""
+WITH cand AS (SELECT CAST(o_orderkey AS BIGINT) AS url_id FROM orders),
+prior AS (SELECT CAST(o_orderkey AS BIGINT) AS url_id,
+                 CASE WHEN o_orderkey % 3 <> 0
+                      THEN substr(md5('etag:' ||
+                                      CAST(o_orderkey AS VARCHAR)), 1, 8)
+                 END AS etag,
+                 CAST((o_orderkey * 37) % 100000 AS BIGINT) AS content_len
+          FROM orders WHERE o_orderkey % 4 <> 3),
+j AS (SELECT c.url_id, p.etag, p.content_len,
+             (p.etag IS NOT NULL) AS has_v,
+             ({_md5i('CAST(c.url_id AS VARCHAR)', 101)} % 5 = 0) AS changed
+      FROM cand c LEFT JOIN prior p ON c.url_id = p.url_id)
+SELECT url_id,
+       CASE WHEN has_v THEN 'revalidate' ELSE 'fetch_full' END AS action,
+       (has_v AND NOT changed) AS not_modified,
+       CAST(CASE WHEN has_v AND NOT changed THEN content_len
+                 ELSE 0 END AS BIGINT) AS bytes_saved
+FROM j
+"""
+
+PAIRS.update({"revalidate_plan": (q_revalidate_plan, SQL_REVALIDATE_PLAN)})

@@ -1,0 +1,136 @@
+"""Batched DNS cache plan + conditional-GET revalidation plan.
+
+Semantics pinned here (beyond the DuckDB oracle pair):
+  * TTL boundary is strict: resolved_at + ttl_s == now is EXPIRED
+    (a cache entry dies at its deadline, not after it);
+  * hits do zero resolver work (shard/batch -1, cached ip served);
+  * resolver batches are bounded by batch_size and per-shard batch
+    indices are contiguous from 0;
+  * re-resolution is stable: an expired host gets the same ip_key the
+    cache held (the deterministic resolver is a pure function of host);
+  * revalidation requires a validator: prior row with NULL etag is a
+    full fetch even though the URL was crawled before;
+  * bytes_saved sums exactly the 304 rows' prior content lengths.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cola_spark.operators.dnscache import dns_cache_plan, resolve_ip_key
+from cola_spark.operators.revalidate import revalidate_plan
+
+
+@pytest.fixture(scope="module")
+def plan(spark):
+    frontier = spark.createDataFrame(
+        [(f"h{i}",) for i in range(20) for _ in range(3)], "host string"
+    )
+    # cache covers hosts 0..9: resolved_at = i, ttl = 10, now = 10
+    #   -> i + 10 > 10 iff i >= 1: h0 expired exactly at its deadline
+    cache = spark.createDataFrame(
+        [(f"h{i}", f"ip{i}", i, 10) for i in range(10)],
+        "host string, ip_key string, resolved_at long, ttl_s long",
+    )
+    return dns_cache_plan(
+        frontier, cache, now_s=10, n_resolvers=3, batch_size=2
+    ).collect()
+
+
+def test_dns_status_partition(plan):
+    by = {r["host"]: r for r in plan}
+    assert len(by) == 20  # distinct hosts, one decision each
+    assert by["h0"]["status"] == "expired"  # deadline is strict
+    for i in range(1, 10):
+        assert by[f"h{i}"]["status"] == "hit"
+    for i in range(10, 20):
+        assert by[f"h{i}"]["status"] == "miss"
+
+
+def test_dns_hits_serve_cache_without_resolver(plan):
+    hits = [r for r in plan if r["status"] == "hit"]
+    assert all(r["shard"] == -1 and r["batch_idx"] == -1 for r in hits)
+    assert all(r["ip_key"] == "ip" + r["host"][1:] for r in hits)
+
+
+def test_dns_batches_bounded_and_contiguous(plan):
+    work = [r for r in plan if r["status"] != "hit"]
+    assert all(0 <= r["shard"] < 3 for r in work)
+    from collections import Counter
+
+    per_batch = Counter((r["shard"], r["batch_idx"]) for r in work)
+    assert all(n <= 2 for n in per_batch.values())  # batch_size bound
+    for s in {r["shard"] for r in work}:
+        idxs = sorted({b for (sh, b) in per_batch if sh == s})
+        assert idxs == list(range(len(idxs)))  # contiguous from 0
+
+
+def test_dns_re_resolution_is_stable(spark, plan):
+    # expired h0's new ip_key equals what the resolver would have
+    # produced at first resolution — the cache entry is refreshable
+    # in place without invalidating downstream connection state
+    expired = next(r for r in plan if r["host"] == "h0")
+    fresh = (
+        spark.range(1)
+        .select(resolve_ip_key(F.lit("h0")).alias("k"))
+        .first()["k"]
+    )
+    assert expired["ip_key"] == fresh
+
+
+@pytest.fixture(scope="module")
+def reval(spark):
+    candidates = spark.range(12).select(F.col("id").alias("url_id"))
+    # prior: urls 0..7 crawled; even ones sent an ETag, odd ones none
+    prior = spark.createDataFrame(
+        [(i, f"e{i}" if i % 2 == 0 else None, 100 + i) for i in range(8)],
+        "url_id long, etag string, content_len long",
+    )
+    # change_mod=5: the seeded parity marks validated keys 0,2 changed
+    # and 4,6 unchanged — both conditional-GET outcomes are present
+    # (mod 3 happens to mark ALL four changed; a valid plan, but it
+    # leaves the 304 branch untested)
+    return (
+        revalidate_plan(candidates, prior, change_mod=5),
+        candidates,
+        prior,
+    )
+
+
+def test_reval_actions(reval):
+    plan, _, _ = reval
+    rows = {r["url_id"]: r for r in plan.collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        if i < 8 and i % 2 == 0:
+            assert rows[i]["action"] == "revalidate"
+        else:  # never crawled, or crawled but validator-less
+            assert rows[i]["action"] == "fetch_full"
+            assert not rows[i]["not_modified"]
+            assert rows[i]["bytes_saved"] == 0
+
+
+def test_reval_bytes_saved_accounting(reval):
+    plan, _, prior = reval
+    rows = plan.collect()
+    saved = sum(r["bytes_saved"] for r in rows)
+    by_len = {r["url_id"]: r["content_len"] for r in prior.collect()}
+    expect = sum(
+        by_len[r["url_id"]] for r in rows if r["not_modified"]
+    )
+    assert saved == expect > 0
+    # every 304 is a revalidate; no fetch_full row claims savings
+    assert all(
+        r["action"] == "revalidate" for r in rows if r["not_modified"]
+    )
+
+
+def test_reval_change_rate_floor(reval):
+    # with change_mod=5 the deterministic parity must mark SOME
+    # validated pages changed (200) and some unchanged (304) — both
+    # branches of the conditional-GET outcome are exercised
+    plan, _, _ = reval
+    rev = [r for r in plan.collect() if r["action"] == "revalidate"]
+    assert any(r["not_modified"] for r in rev)
+    assert any(not r["not_modified"] for r in rev)
