@@ -334,3 +334,44 @@ def yield_alloc(
         .cast("long")
         .alias("granted"),
     )
+
+
+def bytes_budget_cut(
+    frontier: DataFrame,
+    byte_budget: int,
+    default_len: int,
+    host_col: str = "host",
+    len_col: str = "expected_len",
+    order_cols: tuple = ("prio", "seq"),
+) -> DataFrame:
+    """Egress-budget rationing: per host, grant the maximal FIFO prefix
+    whose cumulative expected body size fits `byte_budget`.
+
+    cola's budget unit is a URL count (its budget apply/finish
+    protocol); at image-crawl scale the binding resource is usually
+    BYTES — one host serving 20 MB originals exhausts real egress 100×
+    faster than a thumbnail host at the same URL count. Expected size
+    comes from the previous crawl's content_len (the same column the
+    conditional-GET planner keeps, operators/revalidate.py); URLs never
+    fetched carry NULL and are costed at `default_len`.
+
+    Strict-prefix semantics on purpose: a too-large row BLOCKS the rest
+    of its host's queue (no skip-ahead) — skipping would reorder the
+    politeness FIFO and break the crawl-order contract the scheduler
+    verifies. The cut is one host-partitioned running-sum window —
+    embarrassingly host-parallel, the same exchange class as every
+    politeness operator here; cumulative cost is monotone (costs are
+    positive), so `cum <= budget` selects exactly the FIFO prefix.
+    """
+    oc = [F.col(c) for c in order_cols]
+    w = (
+        Window.partitionBy(host_col)
+        .orderBy(*oc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cost = F.coalesce(F.col(len_col), F.lit(default_len)).cast("long")
+    return (
+        frontier.withColumn("cost", cost)
+        .withColumn("cum_bytes", F.sum("cost").over(w).cast("long"))
+        .filter(F.col("cum_bytes") <= byte_budget)
+    )

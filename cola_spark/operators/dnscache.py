@@ -119,3 +119,51 @@ def dns_cache_plan(
         resolve_ip_key(F.col("host")).alias("ip_key"),
     )
     return hits.unionByName(resolved)
+
+
+def ip_politeness_cut(
+    frontier: DataFrame,
+    resolution: DataFrame,
+    host_cap: int,
+    ip_cap: int,
+    host_col: str = "host",
+    order_cols: tuple = ("prio", "seq"),
+) -> DataFrame:
+    """Two-level politeness cut: per-HOST cap, then per-IP cap over the
+    survivors.
+
+    Per-host politeness alone under-throttles shared infrastructure: k
+    hosts behind one CDN edge or shared-hosting IP each get their full
+    host budget, so the IP receives k× the intended connection load.
+    The web convention is to cap both. `resolution` is the host→ip_key
+    table the DNS cache plan maintains (dns_cache_plan output or the
+    cache itself).
+
+    Shape: phase 1 is the host-partitioned FIFO window every politeness
+    operator here already uses (embarrassingly host-parallel). Phase 2
+    re-keys the SURVIVORS by ip_key: its window width is bounded by
+    construction — an IP fronting k hosts sees at most k * host_cap
+    rows, never raw frontier scale — so the second window is safe even
+    for pathological CDN fan-in (k = 10^4 hosts at host_cap 100 is 10^6
+    rows, one partition of work, vs the 10^10-row frontier). Ordering
+    inside both windows is (priority, seq[, host]) — deterministic,
+    seq is unique.
+    """
+    oc = [F.col(c) for c in order_cols]
+    w_host = Window.partitionBy(host_col).orderBy(*oc)
+    per_host = (
+        frontier.withColumn(
+            "host_rank", F.row_number().over(w_host).cast("long")
+        )
+        .filter(F.col("host_rank") <= host_cap)
+    )
+    joined = per_host.join(
+        resolution.select(host_col, "ip_key"), host_col
+    )
+    w_ip = Window.partitionBy("ip_key").orderBy(*oc, F.col(host_col))
+    return (
+        joined.withColumn(
+            "ip_rank", F.row_number().over(w_ip).cast("long")
+        )
+        .filter(F.col("ip_rank") <= ip_cap)
+    )

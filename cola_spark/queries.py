@@ -7651,3 +7651,114 @@ FROM j
 """
 
 PAIRS.update({"revalidate_plan": (q_revalidate_plan, SQL_REVALIDATE_PLAN)})
+
+
+def q_ip_politeness_cut(spark, sf):
+    """Two-level politeness (operators/dnscache.py ip_politeness_cut):
+    per-host cap 20 then per-IP cap 50 over the survivors, with a
+    7-address IP pool (md5-mod colocation — the CDN / shared-hosting
+    shape where per-host budgets alone overload the shared address).
+    Both caps bind at sf0.001+ (25 rows/host average, ~170 capped rows
+    per IP). The per-IP window sees at most hosts_per_ip * host_cap
+    rows by construction — never frontier scale."""
+    from cola_spark.operators.dnscache import ip_politeness_cut
+    from cola_spark.operators.textdedup import hash_family
+
+    h = hash_family("md5")
+    o = _t(spark, sf, "orders")
+    frontier = o.select(
+        F.concat(
+            F.lit("h"), F.pmod(F.col("o_custkey"), F.lit(60)).cast("string")
+        ).alias("host"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderkey").cast("long").alias("seq"),
+    )
+    resolution = (
+        frontier.select("host")
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("ip"), (h(F.col("host"), 31) % 7).cast("string")
+            ).alias("ip_key"),
+        )
+    )
+    return ip_politeness_cut(
+        frontier, resolution, host_cap=20, ip_cap=50
+    ).select("host", "prio", "seq", "ip_key", "host_rank", "ip_rank")
+
+
+SQL_IP_POLITENESS_CUT = f"""
+WITH f AS (SELECT 'h' || CAST(o_custkey % 60 AS VARCHAR) AS host,
+                  o_orderpriority AS prio,
+                  CAST(o_orderkey AS BIGINT) AS seq
+           FROM orders),
+res AS (SELECT host,
+               'ip' || CAST({_md5i('host', 31)} % 7 AS VARCHAR) AS ip_key
+        FROM (SELECT DISTINCT host FROM f)),
+ph AS (SELECT f.*, CAST(ROW_NUMBER() OVER (PARTITION BY host
+                                           ORDER BY prio, seq)
+                        AS BIGINT) AS host_rank
+       FROM f),
+phc AS (SELECT * FROM ph WHERE host_rank <= 20),
+j AS (SELECT phc.host, phc.prio, phc.seq, phc.host_rank, res.ip_key
+      FROM phc JOIN res ON phc.host = res.host),
+pi AS (SELECT j.*, CAST(ROW_NUMBER() OVER (PARTITION BY ip_key
+                                           ORDER BY prio, seq, host)
+                        AS BIGINT) AS ip_rank
+       FROM j)
+SELECT host, prio, seq, ip_key, host_rank, ip_rank
+FROM pi WHERE ip_rank <= 50
+"""
+
+PAIRS.update({"ip_politeness_cut": (q_ip_politeness_cut, SQL_IP_POLITENESS_CUT)})
+
+
+def q_bytes_budget_cut(spark, sf):
+    """Per-host egress-bytes rationing (operators/budget.py
+    bytes_budget_cut): the frontier priced by the previous crawl's
+    content_len (3/4 of URLs known, the rest costed at the 50 kB
+    default), granted in FIFO (prio, seq) order while the host's
+    running total fits a 500 kB round budget. Strict prefix — a large
+    body blocks its host's queue rather than reordering the politeness
+    FIFO. One host-partitioned running-sum window."""
+    from cola_spark.operators.budget import bytes_budget_cut
+
+    o = _t(spark, sf, "orders")
+    frontier = o.select(
+        F.pmod(F.col("o_custkey"), F.lit(60)).cast("long").alias("host"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderkey").cast("long").alias("seq"),
+        F.when(
+            F.col("o_orderkey") % 4 != 3,
+            ((F.col("o_orderkey") * 37) % 100000),
+        )
+        .cast("long")
+        .alias("expected_len"),
+    )
+    return bytes_budget_cut(
+        frontier, byte_budget=500_000, default_len=50_000
+    ).select("host", "prio", "seq", "cost", "cum_bytes")
+
+
+SQL_BYTES_BUDGET_CUT = """
+WITH f AS (SELECT o_custkey % 60 AS host,
+                  o_orderpriority AS prio,
+                  CAST(o_orderkey AS BIGINT) AS seq,
+                  CASE WHEN o_orderkey % 4 <> 3
+                       THEN CAST((o_orderkey * 37) % 100000 AS BIGINT)
+                  END AS expected_len
+           FROM orders),
+c AS (SELECT host, prio, seq,
+             COALESCE(expected_len, 50000) AS cost
+      FROM f),
+r AS (SELECT host, prio, seq, cost,
+             CAST(SUM(cost) OVER (PARTITION BY host ORDER BY prio, seq
+                                  ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_bytes
+      FROM c)
+SELECT host, prio, seq, CAST(cost AS BIGINT) AS cost, cum_bytes
+FROM r WHERE cum_bytes <= 500000
+"""
+
+PAIRS.update({"bytes_budget_cut": (q_bytes_budget_cut, SQL_BYTES_BUDGET_CUT)})

@@ -134,3 +134,78 @@ def test_reval_change_rate_floor(reval):
     rev = [r for r in plan.collect() if r["action"] == "revalidate"]
     assert any(r["not_modified"] for r in rev)
     assert any(not r["not_modified"] for r in rev)
+
+
+@pytest.fixture(scope="module")
+def ipcut(spark):
+    from cola_spark.operators.dnscache import ip_politeness_cut
+
+    # 6 hosts x 10 urls; hosts a,b,c share ip1; d,e share ip2; f alone
+    frontier = spark.createDataFrame(
+        [(h, 1, i * 6 + ord(h)) for h in "abcdef" for i in range(10)],
+        "host string, prio int, seq long",
+    )
+    resolution = spark.createDataFrame(
+        [("a", "ip1"), ("b", "ip1"), ("c", "ip1"),
+         ("d", "ip2"), ("e", "ip2"), ("f", "ip3")],
+        "host string, ip_key string",
+    )
+    return ip_politeness_cut(
+        frontier, resolution, host_cap=4, ip_cap=7
+    ).collect()
+
+
+def test_ip_cut_host_cap_binds(ipcut):
+    from collections import Counter
+
+    per_host = Counter(r["host"] for r in ipcut)
+    assert all(n <= 4 for n in per_host.values())
+
+
+def test_ip_cut_ip_cap_binds_on_colocated(ipcut):
+    from collections import Counter
+
+    per_ip = Counter(r["ip_key"] for r in ipcut)
+    # ip1 fronts 3 hosts x cap 4 = 12 survivors, cut to the IP cap 7;
+    # ip2 (2 hosts x 4 = 8) likewise; ip3's lone host passes untouched
+    assert per_ip["ip1"] == 7
+    assert per_ip["ip2"] == 7
+    assert per_ip["ip3"] == 4
+
+
+def test_ip_cut_keeps_fifo_order(ipcut):
+    # within an IP, granted rows are the (prio, seq, host)-smallest of
+    # the host-capped survivors — no host starves below its own head
+    ip1 = sorted(
+        (r for r in ipcut if r["ip_key"] == "ip1"),
+        key=lambda r: (r["prio"], r["seq"], r["host"]),
+    )
+    assert [r["ip_rank"] for r in ip1] == list(range(1, 8))
+    assert all(r["host_rank"] <= 4 for r in ip1)
+
+
+def test_bytes_budget_strict_prefix(spark):
+    from cola_spark.operators.budget import bytes_budget_cut
+
+    # one host: costs 100,100,900,50 in FIFO order, budget 300 — the
+    # 900-byte row blocks the queue even though the trailing 50 fits
+    frontier = spark.createDataFrame(
+        [("h", 1, 1, 100), ("h", 1, 2, 100), ("h", 1, 3, 900),
+         ("h", 1, 4, 50)],
+        "host string, prio int, seq long, expected_len long",
+    )
+    got = bytes_budget_cut(frontier, byte_budget=300, default_len=10)
+    rows = sorted(got.collect(), key=lambda r: r["seq"])
+    assert [r["seq"] for r in rows] == [1, 2]
+    assert [r["cum_bytes"] for r in rows] == [100, 200]
+
+
+def test_bytes_budget_null_costed_at_default(spark):
+    from cola_spark.operators.budget import bytes_budget_cut
+
+    frontier = spark.createDataFrame(
+        [("h", 1, 1, None), ("h", 1, 2, None), ("h", 1, 3, None)],
+        "host string, prio int, seq long, expected_len long",
+    )
+    got = bytes_budget_cut(frontier, byte_budget=250, default_len=100)
+    assert sorted(r["seq"] for r in got.collect()) == [1, 2]
