@@ -183,6 +183,13 @@ BENCH_QUERIES = [
     "politeness_effective_delay",  # max(robots Crawl-Delay, 2x p95
     # latency bound) from the keyed log2-histogram sketch
     "zipf_fit_report",  # rank-octave Zipf-law corpus-health table
+    "dns_batch_resolve",  # host-keyed TTL DNS cache + balanced
+    # resolver sharding with bounded batches (host-scale state)
+    "revalidate_plan",  # conditional-GET ETag/304 planning over the
+    # re-crawl pass; bytes_saved egress telemetry
+    "ip_politeness_cut",  # per-host cap then per-IP cap (CDN
+    # colocation) — second window bounded by hosts_per_ip * host_cap
+    "bytes_budget_cut",  # per-host egress-bytes FIFO-prefix rationing
 ]
 
 
