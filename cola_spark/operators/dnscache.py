@@ -167,3 +167,31 @@ def ip_politeness_cut(
         )
         .filter(F.col("ip_rank") <= ip_cap)
     )
+
+
+def connection_wave_plan(
+    granted: DataFrame,
+    max_conns: int,
+    rank_col: str = "host_rank",
+) -> DataFrame:
+    """Keep-alive execution shape for a host's granted URLs: assign
+    each row a persistent-connection slot and a dispatch wave.
+
+    After the politeness cut grants a host k URLs, the fetcher does not
+    open k sockets: it holds `max_conns` persistent connections per
+    host and pipelines waves across them — slot = (rank-1) mod
+    max_conns picks the connection each URL reuses, wave = (rank-1) DIV
+    max_conns orders the rounds, and every slot serves its waves in
+    FIFO rank order (slot s gets ranks s+1, s+1+max_conns, ... — the
+    politeness order is preserved per connection). Pure projection over
+    the rank the cut already computed — zero new exchanges, zero
+    windows; the fetch stage groups by (host, wave) to execute.
+    """
+    r0 = (F.col(rank_col) - 1).cast("long")
+    return granted.select(
+        "*",
+        (r0 % F.lit(max_conns)).cast("long").alias("conn_slot"),
+        F.expr(f"CAST(({rank_col} - 1) DIV {max_conns} AS BIGINT)").alias(
+            "wave"
+        ),
+    )

@@ -7762,3 +7762,70 @@ FROM r WHERE cum_bytes <= 500000
 """
 
 PAIRS.update({"bytes_budget_cut": (q_bytes_budget_cut, SQL_BYTES_BUDGET_CUT)})
+
+
+def q_connection_wave_plan(spark, sf):
+    """Keep-alive fetch execution shape (operators/dnscache.py
+    connection_wave_plan) composed onto the two-level politeness cut:
+    each granted URL gets the persistent connection it reuses
+    (conn_slot, 3 per host) and its dispatch wave. Pure projection on
+    the cut's host_rank — no new exchange; the fetcher executes
+    groupBy(host, wave)."""
+    from cola_spark.operators.dnscache import (
+        connection_wave_plan,
+        ip_politeness_cut,
+    )
+    from cola_spark.operators.textdedup import hash_family
+
+    h = hash_family("md5")
+    o = _t(spark, sf, "orders")
+    frontier = o.select(
+        F.concat(
+            F.lit("h"), F.pmod(F.col("o_custkey"), F.lit(60)).cast("string")
+        ).alias("host"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderkey").cast("long").alias("seq"),
+    )
+    resolution = (
+        frontier.select("host")
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("ip"), (h(F.col("host"), 31) % 7).cast("string")
+            ).alias("ip_key"),
+        )
+    )
+    cut = ip_politeness_cut(frontier, resolution, host_cap=20, ip_cap=50)
+    return connection_wave_plan(cut, max_conns=3).select(
+        "host", "prio", "seq", "ip_key", "host_rank", "ip_rank",
+        "conn_slot", "wave",
+    )
+
+
+SQL_CONNECTION_WAVE_PLAN = f"""
+WITH f AS (SELECT 'h' || CAST(o_custkey % 60 AS VARCHAR) AS host,
+                  o_orderpriority AS prio,
+                  CAST(o_orderkey AS BIGINT) AS seq
+           FROM orders),
+res AS (SELECT host,
+               'ip' || CAST({_md5i('host', 31)} % 7 AS VARCHAR) AS ip_key
+        FROM (SELECT DISTINCT host FROM f)),
+ph AS (SELECT f.*, CAST(ROW_NUMBER() OVER (PARTITION BY host
+                                           ORDER BY prio, seq)
+                        AS BIGINT) AS host_rank
+       FROM f),
+phc AS (SELECT * FROM ph WHERE host_rank <= 20),
+j AS (SELECT phc.host, phc.prio, phc.seq, phc.host_rank, res.ip_key
+      FROM phc JOIN res ON phc.host = res.host),
+pi AS (SELECT j.*, CAST(ROW_NUMBER() OVER (PARTITION BY ip_key
+                                           ORDER BY prio, seq, host)
+                        AS BIGINT) AS ip_rank
+       FROM j)
+SELECT host, prio, seq, ip_key, host_rank, ip_rank,
+       CAST((host_rank - 1) % 3 AS BIGINT) AS conn_slot,
+       CAST((host_rank - 1) // 3 AS BIGINT) AS wave
+FROM pi WHERE ip_rank <= 50
+"""
+
+PAIRS.update({"connection_wave_plan": (q_connection_wave_plan, SQL_CONNECTION_WAVE_PLAN)})

@@ -209,3 +209,23 @@ def test_bytes_budget_null_costed_at_default(spark):
     )
     got = bytes_budget_cut(frontier, byte_budget=250, default_len=100)
     assert sorted(r["seq"] for r in got.collect()) == [1, 2]
+
+
+def test_connection_wave_plan_semantics(spark):
+    from cola_spark.operators.dnscache import connection_wave_plan
+
+    granted = spark.createDataFrame(
+        [("h", r) for r in range(1, 8)], "host string, host_rank long"
+    )
+    rows = sorted(
+        connection_wave_plan(granted, max_conns=3).collect(),
+        key=lambda r: r["host_rank"],
+    )
+    # ranks 1..7 over 3 connections: slots cycle 0,1,2 and each slot's
+    # waves count up — slot s serves ranks s+1, s+4, s+7 in FIFO order
+    assert [r["conn_slot"] for r in rows] == [0, 1, 2, 0, 1, 2, 0]
+    assert [r["wave"] for r in rows] == [0, 0, 0, 1, 1, 1, 2]
+    for s in (0, 1, 2):
+        mine = [r for r in rows if r["conn_slot"] == s]
+        ranks = [r["host_rank"] for r in mine]
+        assert ranks == sorted(ranks)  # per-connection FIFO preserved
