@@ -190,6 +190,16 @@ BENCH_QUERIES = [
     "ip_politeness_cut",  # per-host cap then per-IP cap (CDN
     # colocation) — second window bounded by hosts_per_ip * host_cap
     "bytes_budget_cut",  # per-host egress-bytes FIFO-prefix rationing
+    "warc_segment_plan",  # archive-segment export layout: per-writer
+    # rotate-after-exceed packing as pure plan arithmetic
+    "image_shard_export",  # webdataset tar-shard manifest over planted
+    # image sizes — same segment_pack operator, payload-agnostic
+    "host_health_score",  # integer EWMA error-rate + quarantine flag,
+    # one host-keyed aggregate over bounded round history
+    "retry_backoff_plan",  # truncated-exponential backoff + md5 jitter,
+    # pure projection over the retry split
+    "robots_refetch_plan",  # robots.txt TTL cache planning: serve /
+    # serve-stale / HOLD semantics + balanced fetcher sharding
 ]
 
 

@@ -190,3 +190,84 @@ def parse_robots_sitemaps(
         .select("host", F.col("val").alias("sitemap_url"))
         .distinct()
     )
+
+
+def robots_refetch_plan(
+    frontier: DataFrame,
+    cache: DataFrame,
+    now_s: int,
+    n_fetchers: int = 16,
+    batch_size: int = 32,
+    host_col: str = "host",
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """(host, status, action, shard, batch_idx): robots.txt cache TTL
+    planning — which hosts need a robots fetch BEFORE this round's URLs
+    can be dispatched, and what happens to their URLs meanwhile.
+
+    The robots cache is its own piece of crawl infrastructure (distinct
+    from DNS: different TTL regime — hours-to-a-day per RFC 9309 §2.4
+    vs seconds-to-minutes — and different blocking semantics), and the
+    web rule for staleness is asymmetric:
+
+      * `fresh`  (fetched_at + ttl_s > now): action `serve` — decide
+        URLs from the cached rules, zero fetcher work (shard/batch -1).
+      * `expired` (cached but stale): action `serve_stale` — RFC 9309
+        §2.4 allows serving the stale copy while revalidating (a host
+        that answered once keeps its last-known policy), so this
+        round's URLs PROCEED under the stale rules and the refetch is
+        scheduled.
+      * `missing` (never fetched): action `hold` — a host whose policy
+        was never seen must NOT be fetched (the conservative reading;
+        fetching the page before robots.txt is the compliance bug), so
+        its URLs are held this round and only the robots fetch itself
+        is dispatched.
+
+    Scheduling shape is the dnscache one (hosts are DISTINCT keys →
+    hash-mod over `n_fetchers` is balanced salt-free; per-shard bounded
+    batches via one rank window whose width is hosts/n_fetchers).
+    One distinct over frontier hosts — the exchange the politeness
+    queue already pays — plus a host-keyed left join against the
+    host-scale cache. md5 family replays in DuckDB (queries.py
+    `robots_refetch_plan`)."""
+    from cola_spark.operators.textdedup import hash_family
+
+    h = hash_family(hash_kind)
+    hosts = frontier.select(F.col(host_col).alias("host")).distinct()
+    joined = hosts.join(
+        cache.select("host", "fetched_at", "ttl_s"), "host", "left"
+    )
+    classified = joined.select(
+        "host",
+        F.when(F.col("fetched_at").isNull(), F.lit("missing"))
+        .when(
+            F.col("fetched_at") + F.col("ttl_s") > F.lit(now_s),
+            F.lit("fresh"),
+        )
+        .otherwise(F.lit("expired"))
+        .alias("status"),
+    )
+    fresh = classified.filter(F.col("status") == "fresh").select(
+        "host",
+        "status",
+        F.lit("serve").alias("action"),
+        F.lit(-1).cast("long").alias("shard"),
+        F.lit(-1).cast("long").alias("batch_idx"),
+    )
+    to_fetch = classified.filter(F.col("status") != "fresh").withColumn(
+        "shard",
+        F.pmod(h(F.col("host"), 83), F.lit(n_fetchers)).cast("long"),
+    )
+    w = Window.partitionBy("shard").orderBy("host")
+    planned = to_fetch.select(
+        "host",
+        "status",
+        F.when(F.col("status") == "expired", F.lit("serve_stale"))
+        .otherwise(F.lit("hold"))
+        .alias("action"),
+        "shard",
+        ((F.row_number().over(w) - 1) / F.lit(batch_size))
+        .cast("long")
+        .alias("batch_idx"),
+    )
+    return fresh.unionByName(planned)

@@ -7829,3 +7829,257 @@ FROM pi WHERE ip_rank <= 50
 """
 
 PAIRS.update({"connection_wave_plan": (q_connection_wave_plan, SQL_CONNECTION_WAVE_PLAN)})
+
+
+def q_warc_segment_plan(spark, sf):
+    """Archive-segment export layout (operators/export.py
+    segment_pack): fetched records (planted body sizes, 500-40499
+    bytes) hash-sharded over 4 writers, each writer's shard laid out
+    in key order and cut into 64 KiB-target segments by the
+    rotate-after-exceed policy (segment = start-offset DIV target;
+    records never split, only a segment's last record overflows the
+    target). The layout is a PLAN — pure arithmetic over sizes — so
+    both engines compute the identical table. md5 hash family for the
+    DuckDB twin."""
+    from cola_spark.operators.export import segment_pack
+
+    o = _t(spark, sf, "orders")
+    rec = o.select(
+        F.concat(F.lit("u"), F.col("o_orderkey").cast("string")).alias(
+            "key"
+        ),
+        ((F.col("o_orderkey") * 131) % 40000 + 500)
+        .cast("long")
+        .alias("nbytes"),
+    )
+    return segment_pack(
+        rec, segment_bytes=65536, n_writers=4, hash_kind="md5"
+    )
+
+
+SQL_WARC_SEGMENT_PLAN = f"""
+WITH rec AS (SELECT 'u' || CAST(o_orderkey AS VARCHAR) AS key,
+                    CAST((o_orderkey * 131) % 40000 + 500 AS BIGINT)
+                      AS nbytes
+             FROM orders),
+sh AS (SELECT key, nbytes,
+              CAST({_md5i('key', 'seg')} % 4 AS BIGINT) AS writer
+       FROM rec),
+c AS (SELECT key, nbytes, writer,
+             CAST(SUM(nbytes) OVER (PARTITION BY writer ORDER BY key)
+                  - nbytes AS BIGINT) AS before
+      FROM sh)
+SELECT key, nbytes, writer,
+       CAST(before // 65536 AS BIGINT) AS segment,
+       CAST(before % 65536 AS BIGINT) AS seg_offset
+FROM c
+"""
+
+PAIRS.update({"warc_segment_plan": (q_warc_segment_plan, SQL_WARC_SEGMENT_PLAN)})
+
+
+def q_image_shard_export(spark, sf):
+    """Webdataset-style image tar-shard manifest (operators/export.py
+    segment_pack + segment_manifest) over the PLANTED image universe:
+    per-image compressed sizes (2-252 KB, md5-planted), packed into
+    1 MiB-target shards per writer; the query returns the per-(writer,
+    segment) manifest — record count, payload bytes, first/last key —
+    the sidecar a dataloader reads before opening a shard. Same
+    operator as the WARC plan: the layout math is payload-agnostic."""
+    from cola_spark.operators.export import segment_manifest, segment_pack
+
+    docs = _t(spark, sf, "documents")
+    nb = (
+        F.lit(2048)
+        + F.pmod(
+            _md5_col(F.concat(F.lit("ib:"), F.col("doc_id").cast("string"))),
+            F.lit(250000),
+        )
+    ).cast("long")
+    imgs = docs.select(F.col("doc_id").alias("key"), nb.alias("nbytes"))
+    layout = segment_pack(
+        imgs, segment_bytes=1 << 20, n_writers=4, hash_kind="md5"
+    )
+    return segment_manifest(layout)
+
+
+SQL_IMAGE_SHARD_EXPORT = f"""
+WITH rec AS (SELECT doc_id AS key,
+                    CAST(2048 +
+                         (CAST(('0x' || substr(md5('ib:' ||
+                               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                          % 250000) AS BIGINT) AS nbytes
+             FROM documents),
+sh AS (SELECT key, nbytes,
+              CAST({_md5i('CAST(key AS VARCHAR)', 'seg')} % 4 AS BIGINT)
+                AS writer
+       FROM rec),
+c AS (SELECT key, nbytes, writer,
+             CAST(SUM(nbytes) OVER (PARTITION BY writer ORDER BY key)
+                  - nbytes AS BIGINT) AS before
+      FROM sh),
+lay AS (SELECT key, nbytes, writer,
+               CAST(before // 1048576 AS BIGINT) AS segment
+        FROM c)
+SELECT writer, segment, CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(nbytes) AS BIGINT) AS seg_bytes,
+       MIN(key) AS first_key, MAX(key) AS last_key
+FROM lay GROUP BY writer, segment
+"""
+
+PAIRS.update({"image_shard_export": (q_image_shard_export, SQL_IMAGE_SHARD_EXPORT)})
+
+
+def q_host_health_score(spark, sf):
+    """Host health EWMA + quarantine (operators/health.py): per-(host,
+    round) fetch/error stats (40 hosts x 6 rounds, every 5th fetch an
+    error) folded into the exact integer EWMA with decay 1/2 per round
+    (weight 1 << round — the most recent round counts double its
+    predecessor), quarantining hosts whose weighted milli-error-rate
+    reaches 200. All shift/div integer arithmetic — DuckDB replays the
+    whole chain bit-exactly."""
+    from cola_spark.operators.health import host_health_ewma
+
+    o = _t(spark, sf, "orders")
+    ev = o.select(
+        F.concat(
+            F.lit("h"), F.pmod(F.col("o_custkey"), F.lit(40)).cast("string")
+        ).alias("host"),
+        F.pmod(F.col("o_orderkey"), F.lit(6)).cast("long").alias("round"),
+        (F.col("o_orderkey") % 5 == 0).cast("long").alias("is_err"),
+    )
+    stats = ev.groupBy("host", "round").agg(
+        F.count("*").cast("long").alias("fetches"),
+        F.sum("is_err").cast("long").alias("errs"),
+    )
+    return host_health_ewma(stats, quarantine_milli=200)
+
+
+SQL_HOST_HEALTH_SCORE = """
+WITH ev AS (SELECT 'h' || CAST(o_custkey % 40 AS VARCHAR) AS host,
+                   CAST(o_orderkey % 6 AS BIGINT) AS round,
+                   CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS is_err
+            FROM orders),
+st AS (SELECT host, round, CAST(COUNT(*) AS BIGINT) AS fetches,
+              CAST(SUM(is_err) AS BIGINT) AS errs
+       FROM ev GROUP BY host, round),
+sc AS (SELECT host, round,
+              ((1000 * errs) // fetches) * (CAST(1 AS BIGINT) << round)
+                AS num,
+              (CAST(1 AS BIGINT) << round) AS den
+       FROM st),
+ag AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS rounds_seen,
+              MAX(round) AS last_round,
+              SUM(num) AS n, SUM(den) AS d
+       FROM sc GROUP BY host)
+SELECT host, rounds_seen, last_round,
+       CAST(n // d AS BIGINT) AS ewma_milli,
+       (n // d) >= 200 AS quarantined
+FROM ag
+"""
+
+PAIRS.update({"host_health_score": (q_host_health_score, SQL_HOST_HEALTH_SCORE)})
+
+
+def q_retry_backoff_plan(spark, sf):
+    """Truncated-exponential retry backoff with deterministic per-URL
+    jitter (operators/health.py retry_backoff_plan): the retry split's
+    requeue set (every 11th order key, attempt = key mod 9) gets
+    delay = 4 << min(attempt, 6) + md5(url) mod 16 — doubling spaces
+    retries out, the cap bounds the wait at 256 s, and hash jitter
+    de-synchronizes the herd with zero randomness (rerun-stable,
+    engine-replayable). Pure projection — zero exchanges."""
+    from cola_spark.operators.health import retry_backoff_plan
+
+    o = _t(spark, sf, "orders")
+    failed = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").cast("long").alias("url_id"),
+        F.pmod(F.col("o_orderkey"), F.lit(9)).cast("long").alias("attempt"),
+    )
+    return retry_backoff_plan(
+        failed, now_s=1000, base_s=4, attempt_cap=6, jitter_s=16,
+        hash_kind="md5",
+    )
+
+
+SQL_RETRY_BACKOFF_PLAN = f"""
+WITH f AS (SELECT CAST(o_orderkey AS BIGINT) AS url_id,
+                  CAST(o_orderkey % 9 AS BIGINT) AS attempt
+           FROM orders WHERE o_orderkey % 11 = 0),
+d AS (SELECT url_id, attempt,
+             (CAST(4 AS BIGINT) << CAST(LEAST(attempt, 6) AS INT))
+               + ({_md5i('CAST(url_id AS VARCHAR)', 'boff')} % 16)
+               AS delay_s
+      FROM f)
+SELECT url_id, attempt, CAST(delay_s AS BIGINT) AS delay_s,
+       CAST(1000 + delay_s AS BIGINT) AS next_due_s
+FROM d
+"""
+
+PAIRS.update({"retry_backoff_plan": (q_retry_backoff_plan, SQL_RETRY_BACKOFF_PLAN)})
+
+
+def q_robots_refetch_plan(spark, sf):
+    """robots.txt cache TTL planning (operators/robots.py
+    robots_refetch_plan): 60 frontier hosts against a robots cache
+    covering hosts hid%3!=1 with staggered fetch times (ttl 40 s,
+    now 90 s). Fresh hosts serve cached rules (shard/batch -1);
+    expired hosts serve-stale-while-revalidating (RFC 9309 §2.4);
+    never-fetched hosts HOLD their URLs (fetching before robots.txt
+    is the compliance bug) — both scheduled over 4 fetchers in
+    bounded batches of 8 (hash-mod over distinct hosts, salt-free by
+    construction). md5 family so DuckDB replays the shards."""
+    from cola_spark.operators.robots import robots_refetch_plan
+
+    o = _t(spark, sf, "orders")
+    frontier = o.select(
+        F.concat(
+            F.lit("h"), F.pmod(F.col("o_custkey"), F.lit(60)).cast("string")
+        ).alias("host")
+    )
+    hids = (
+        o.select(F.pmod(F.col("o_custkey"), F.lit(60)).alias("hid"))
+        .distinct()
+        .filter(F.col("hid") % 3 != 1)
+    )
+    cache = hids.select(
+        F.concat(F.lit("h"), F.col("hid").cast("string")).alias("host"),
+        ((F.col("hid") * 13) % 80).cast("long").alias("fetched_at"),
+        F.lit(40).cast("long").alias("ttl_s"),
+    )
+    return robots_refetch_plan(
+        frontier, cache, now_s=90, n_fetchers=4, batch_size=8,
+        hash_kind="md5",
+    )
+
+
+SQL_ROBOTS_REFETCH_PLAN = f"""
+WITH hosts AS (SELECT DISTINCT o_custkey % 60 AS hid,
+                      'h' || CAST(o_custkey % 60 AS VARCHAR) AS host
+               FROM orders),
+cache AS (SELECT host,
+                 CAST((hid * 13) % 80 AS BIGINT) AS fetched_at,
+                 CAST(40 AS BIGINT) AS ttl_s
+          FROM hosts WHERE hid % 3 <> 1),
+cls AS (SELECT h.host,
+               CASE WHEN c.fetched_at IS NULL THEN 'missing'
+                    WHEN c.fetched_at + c.ttl_s > 90 THEN 'fresh'
+                    ELSE 'expired' END AS status
+        FROM hosts h LEFT JOIN cache c ON h.host = c.host),
+fr AS (SELECT host, status, 'serve' AS action,
+              CAST(-1 AS BIGINT) AS shard, CAST(-1 AS BIGINT) AS batch_idx
+       FROM cls WHERE status = 'fresh'),
+tf AS (SELECT host, status,
+              CAST({_md5i('host', 83)} % 4 AS BIGINT) AS shard
+       FROM cls WHERE status <> 'fresh'),
+pl AS (SELECT host, status,
+              CASE WHEN status = 'expired' THEN 'serve_stale'
+                   ELSE 'hold' END AS action,
+              shard,
+              CAST((ROW_NUMBER() OVER (PARTITION BY shard ORDER BY host)
+                    - 1) // 8 AS BIGINT) AS batch_idx
+       FROM tf)
+SELECT * FROM fr UNION ALL SELECT * FROM pl
+"""
+
+PAIRS.update({"robots_refetch_plan": (q_robots_refetch_plan, SQL_ROBOTS_REFETCH_PLAN)})
