@@ -200,6 +200,16 @@ BENCH_QUERIES = [
     # pure projection over the retry split
     "robots_refetch_plan",  # robots.txt TTL cache planning: serve /
     # serve-stale / HOLD semantics + balanced fetcher sharding
+    "audit_sample",  # fixed-k-per-stratum QA sample; WindowGroupLimit
+    # pushes the k-cut map-side before the stratum exchange
+    "curriculum_phase_plan",  # quality-curriculum step table: tier
+    # phases sequential, md5-mixed inside (two-phase global ranks)
+    "multimodal_consensus_dedup",  # pHash pairs + caption-fingerprint
+    # agreement: two-signal auto-drop vs keep-best routing
+    "content_length_audit",  # fetch integrity: truncated/overrun
+    # rollup + wasted egress bytes per host
+    "fetch_dispatch_plan",  # CAPSTONE: robots TTL hold/serve-stale ->
+    # host+IP politeness -> bytes rationing -> keep-alive waves
 ]
 
 

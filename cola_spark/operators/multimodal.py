@@ -619,3 +619,57 @@ def sniff_format(df: DataFrame, bytes_col: str = "bytes"):
     for name, hexs, pos in reversed(MAGIC_RULES):
         out = F.when(is_magic(hexs, pos), F.lit(name)).otherwise(out)
     return out
+
+
+def consensus_dedup_pairs(
+    pairs: DataFrame,
+    captions: DataFrame,
+    a_col: str = "img_a",
+    b_col: str = "img_b",
+    id_col: str = "image_id",
+    cap_col: str = "caption",
+) -> DataFrame:
+    """Two-signal image dedup: pHash near-dup pairs annotated with the
+    caption agreement of their endpoints — (a, b, hamming,
+    caption_match, consensus).
+
+    A single perceptual signal over-merges at web scale: pHash at
+    Hamming <= r collapses crops/re-encodes of the SAME image but also
+    borderline distinct images (solid-color banners, templated product
+    shots). LAION-style pipelines raise precision by requiring a
+    SECOND independent modality to agree; here that is caption
+    fingerprint equality (md5 of the lowercased, whitespace-trimmed
+    caption — exact after normalization; swap in a shingle fingerprint
+    for fuzzier text without touching the shape). `consensus` pairs
+    are safe auto-drops; pHash-only pairs stay flagged for the
+    keep-best-resolution path instead of silent deletion.
+
+    Shape: the pair list is already the banded near-dup output
+    (pair-scale, not corpus² — multimodal.phash_near_dup_pairs); the
+    caption signal is TWO id-keyed joins against the caption table
+    (the same key class every image join here uses). No new exchange
+    class, no window, no Python."""
+    fp = F.md5(F.lower(F.trim(F.col(cap_col))).cast("binary"))
+    caps = captions.select(
+        F.col(id_col).alias("_cid"), fp.alias("_fp")
+    )
+    a = pairs.join(
+        caps.withColumnRenamed("_cid", a_col).withColumnRenamed(
+            "_fp", "_fp_a"
+        ),
+        a_col,
+    )
+    ab = a.join(
+        caps.withColumnRenamed("_cid", b_col).withColumnRenamed(
+            "_fp", "_fp_b"
+        ),
+        b_col,
+    )
+    match = F.col("_fp_a") == F.col("_fp_b")
+    return ab.select(
+        a_col,
+        b_col,
+        F.col("hamming").cast("long").alias("hamming"),
+        match.alias("caption_match"),
+        match.alias("consensus"),
+    )

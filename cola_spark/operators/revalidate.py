@@ -84,3 +84,61 @@ def revalidate_plan(
         .cast("long")
         .alias("bytes_saved"),
     )
+
+
+def content_length_audit(
+    fetches: DataFrame,
+    host_col: str = "host",
+    claimed_col: str = "claimed_len",
+    body_col: str = "body_len",
+) -> DataFrame:
+    """Per-host fetch integrity report over one round's fetch results:
+    (host, fetches, truncated, overrun, exact, truncated_permille,
+    wasted_bytes).
+
+    A body shorter than the Content-Length header is a truncated
+    transfer (mid-stream disconnect — the page must be refetched, and
+    a host doing it chronically is a health signal for the EWMA
+    quarantine, operators/health.py); longer means a lying header
+    (common with dynamic pages), which only invalidates size-based
+    byte budgeting, not the payload. `wasted_bytes` counts the bytes
+    moved for truncated transfers — egress spent with nothing to show,
+    the number the bytes-budget planner (budget.bytes_budget_cut)
+    should see subtracted from a host's next-round allowance.
+
+    One host-keyed aggregate over the round's fetch log (the exchange
+    class the crawl log already pays); NULL claimed_len rows (no
+    header) are counted as exact — unverifiable, not evidence of
+    damage. Integer permille — engine-exact."""
+    truncated = (
+        F.col(claimed_col).isNotNull()
+        & (F.col(body_col) < F.col(claimed_col))
+    ).cast("long")
+    overrun = (
+        F.col(claimed_col).isNotNull()
+        & (F.col(body_col) > F.col(claimed_col))
+    ).cast("long")
+    return (
+        fetches.groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.count("*").cast("long").alias("fetches"),
+            F.sum(truncated).cast("long").alias("truncated"),
+            F.sum(overrun).cast("long").alias("overrun"),
+            F.sum(
+                truncated * F.col(body_col).cast("long")
+            ).cast("long").alias("wasted_bytes"),
+        )
+        .select(
+            "host",
+            "fetches",
+            "truncated",
+            "overrun",
+            (F.col("fetches") - F.col("truncated") - F.col("overrun"))
+            .cast("long")
+            .alias("exact"),
+            F.expr("(1000 * truncated) div fetches")
+            .cast("long")
+            .alias("truncated_permille"),
+            "wasted_bytes",
+        )
+    )

@@ -253,3 +253,40 @@ def epoch_repeat_mix(
         .cast("long")
         .alias("n_epochs"),
     )
+
+
+def audit_sample(
+    docs: DataFrame,
+    k: int,
+    stratum_col: str,
+    key_col: str = "doc_id",
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Fixed-k-per-stratum deterministic QA sample: each stratum's k
+    members with the smallest (hash(key), key) — the 'pull 5 docs per
+    domain for human review' operation every curation pipeline runs.
+
+    Rate sampling (permille_bucket / stratified_sample above) scales
+    output with stratum mass, which is exactly wrong for audits: the
+    Zipf-head domain would contribute thousands of rows and the tail
+    none. Hashing the key and keeping the k smallest is a
+    deterministic k-sample per stratum — membership is a pure function
+    of (corpus, k), rerun- and engine-stable, and unbiased w.r.t. any
+    content property (the hash is independent of the columns under
+    audit).
+
+    Scale shape: rank <= k over a stratum-partitioned window. Spark's
+    WindowGroupLimit rewrite (the rank-limit pushdown) applies the k
+    cut map-side BEFORE the stratum exchange, so a Zipf-hot stratum
+    ships at most k rows per input partition instead of its full mass;
+    the post-shuffle work is k * n_partitions per stratum, never
+    corpus-scale. md5 family for the DuckDB twin (queries.py
+    `audit_sample`)."""
+    h = hash_family(hash_kind)(F.col(key_col).cast("string"), "audit")
+    w = Window.partitionBy(stratum_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

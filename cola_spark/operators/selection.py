@@ -251,3 +251,45 @@ def unigram_concentration(
             "1000000 * _coll DIV greatest(n_tokens * (n_tokens - 1), 1)"
         ).alias("simpson_ppm"),
     )
+
+
+def curriculum_plan(
+    scored: DataFrame,
+    order_col: str = "mean_millilog",
+    id_col: str = "doc_id",
+    tiers: int = 3,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, score, tier, tier_label, curriculum_step): quality-
+    curriculum ordering of the training corpus — highest-quality tier
+    first, but INTERNALLY shuffled.
+
+    Curriculum training feeds clean data early and noisier data late
+    (the quality_tiers trichotomy gives the phases), yet within a phase
+    the steps must NOT be quality-sorted — a monotone quality gradient
+    inside a phase correlates batch statistics with step index, which
+    destabilizes training. The step order here is (tier, hash(doc),
+    doc): phases are strictly sequential, and inside a phase the hash
+    de-correlates step index from every content property while staying
+    deterministic (same corpus -> same step table, any engine).
+
+    Scale: one quality_tiers pass (two-phase global rank — no
+    single-partition window) + one more global_rank over the
+    (tier, hash) order. Both are the exact 1/P-bounded rank machinery;
+    nothing corpus-scale lands in one task. md5 family for the DuckDB
+    twin (queries.py `curriculum_phase_plan`)."""
+    from cola_spark.operators.textdedup import hash_family
+
+    tiered = quality_tiers(
+        scored, order_col=order_col, id_col=id_col, tiers=tiers
+    )
+    mix = hash_family(hash_kind)(F.col(id_col).cast("string"), "cur")
+    return global_rank(
+        tiered.withColumn("_mix", mix),
+        ["tier", "_mix", id_col],
+        out_col="curriculum_step",
+        eager_release=True,
+    ).select(
+        id_col, order_col, "q_rank", "tier", "tier_label",
+        "curriculum_step",
+    )

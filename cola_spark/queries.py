@@ -8083,3 +8083,358 @@ SELECT * FROM fr UNION ALL SELECT * FROM pl
 """
 
 PAIRS.update({"robots_refetch_plan": (q_robots_refetch_plan, SQL_ROBOTS_REFETCH_PLAN)})
+
+
+def q_audit_sample(spark, sf):
+    """Fixed-k-per-stratum QA sample (operators/sampling.py
+    audit_sample): 5 docs per source stratum (12 md-planted sources),
+    membership = the 5 smallest (md5(doc_id), doc_id) per stratum —
+    deterministic, engine-stable, unbiased w.r.t. content. The
+    rank<=k window compiles to Spark's WindowGroupLimit pushdown: the
+    k-cut runs map-side BEFORE the stratum exchange, so a Zipf-hot
+    stratum never ships its full mass."""
+    from cola_spark.operators.sampling import audit_sample
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("src"), F.pmod(F.col("doc_id"), F.lit(12)).cast("string")
+        ).alias("source"),
+    )
+    return audit_sample(docs, k=5, stratum_col="source", hash_kind="md5")
+
+
+SQL_AUDIT_SAMPLE = f"""
+WITH d AS (SELECT doc_id,
+                  'src' || CAST(doc_id % 12 AS VARCHAR) AS source
+           FROM documents),
+r AS (SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+                    PARTITION BY source
+                    ORDER BY {_md5i('CAST(doc_id AS VARCHAR)', 'audit')},
+                             doc_id) AS BIGINT) AS sample_rank
+      FROM d)
+SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 5
+"""
+
+PAIRS.update({"audit_sample": (q_audit_sample, SQL_AUDIT_SAMPLE)})
+
+
+def q_curriculum_phase_plan(spark, sf):
+    """Quality-curriculum step table (operators/selection.py
+    curriculum_plan): the CCNet trichotomy gives the phases (head
+    first), and inside each phase the step order is md5-mixed so batch
+    statistics never correlate with step index — (tier, hash, doc) via
+    the two-phase global rank, no single-partition window anywhere.
+    The oracle replays corpus stats, tiering AND the mixed step
+    numbering end-to-end."""
+    from cola_spark.operators.selection import curriculum_plan
+    from cola_spark.operators.textstats import unigram_quality
+
+    return curriculum_plan(
+        unigram_quality(_t(spark, sf, "documents")), hash_kind="md5"
+    )
+
+
+SQL_CURRICULUM_PLAN = rf"""
+WITH toks AS (SELECT doc_id,
+                     UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents),
+vocab AS (SELECT tok, CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS bucket
+          FROM toks GROUP BY tok),
+scored AS (SELECT t.doc_id, v.bucket FROM toks t JOIN vocab v USING (tok)),
+uq AS (SELECT doc_id,
+              CAST((1000 * CAST(SUM(bucket) AS BIGINT)) // COUNT(*)
+                   AS BIGINT) AS mean_millilog
+       FROM scored GROUP BY doc_id),
+rk AS (SELECT doc_id, mean_millilog,
+              ROW_NUMBER() OVER (ORDER BY mean_millilog DESC, doc_id)
+                AS q_rank,
+              COUNT(*) OVER () AS tot
+       FROM uq),
+t AS (SELECT doc_id, mean_millilog, CAST(q_rank AS BIGINT) AS q_rank,
+             ((q_rank - 1) * 3) // tot + 1 AS tier,
+             CASE WHEN ((q_rank - 1) * 3) // tot + 1 = 1 THEN 'head'
+                  WHEN ((q_rank - 1) * 3) // tot + 1 = 3 THEN 'tail'
+                  ELSE 'middle' END AS tier_label
+      FROM rk)
+SELECT doc_id, mean_millilog, q_rank, tier, tier_label,
+       CAST(ROW_NUMBER() OVER (
+              ORDER BY tier,
+                       {_md5i('CAST(doc_id AS VARCHAR)', 'cur')},
+                       doc_id) AS BIGINT) AS curriculum_step
+FROM t
+"""
+
+PAIRS.update({"curriculum_phase_plan": (q_curriculum_phase_plan, SQL_CURRICULUM_PLAN)})
+
+
+def q_multimodal_consensus_dedup(spark, sf):
+    """Two-signal image dedup (operators/multimodal.py
+    consensus_dedup_pairs): the planted pHash near-dup pairs annotated
+    with caption-fingerprint agreement — within each planted 4-group,
+    members 0 and 1 share a caption (member 0 SHOUTS it uppercase,
+    member 1 appends stray whitespace — the fingerprint normalizes
+    both), members 2 and 3 have their own. consensus=true pairs are
+    the safe auto-drops; pHash-only pairs route to keep-best instead.
+    Oracle replays planting, banding, Hamming verify and both caption
+    joins."""
+    from cola_spark.operators.multimodal import consensus_dedup_pairs
+
+    docs = _t(spark, sf, "documents")
+    grp = F.floor(F.col("doc_id") / 4).cast("long").cast("string")
+    base_cap = F.concat(F.lit("shared scene "), grp)
+    own_cap = F.concat(
+        F.lit("unique scene "), F.col("doc_id").cast("string")
+    )
+    m = F.col("doc_id") % 4
+    cap = (
+        F.when(m == 0, F.upper(base_cap))
+        .when(m == 1, F.concat(base_cap, F.lit("  ")))
+        .otherwise(own_cap)
+    )
+    caps = docs.select(
+        F.col("doc_id").alias("image_id"), cap.alias("caption")
+    )
+    pairs = _planted_phash_pairs(spark, sf)
+    return consensus_dedup_pairs(pairs, caps)
+
+
+SQL_CONSENSUS_DEDUP = f"""
+WITH {_SQL_PH_CTES},
+caps AS (SELECT doc_id,
+                md5(lower(trim(
+                  CASE WHEN doc_id % 4 = 0
+                       THEN upper('shared scene ' ||
+                            CAST(CAST(FLOOR(doc_id / 4) AS BIGINT)
+                                 AS VARCHAR))
+                       WHEN doc_id % 4 = 1
+                       THEN 'shared scene ' ||
+                            CAST(CAST(FLOOR(doc_id / 4) AS BIGINT)
+                                 AS VARCHAR) || '  '
+                       ELSE 'unique scene ' || CAST(doc_id AS VARCHAR)
+                  END))) AS fp
+         FROM documents)
+SELECT p.doc_a AS img_a, p.doc_b AS img_b, p.hamming,
+       a.fp = b.fp AS caption_match,
+       a.fp = b.fp AS consensus
+FROM ppairs p
+JOIN caps a ON a.doc_id = p.doc_a
+JOIN caps b ON b.doc_id = p.doc_b
+"""
+
+PAIRS.update({"multimodal_consensus_dedup": (q_multimodal_consensus_dedup, SQL_CONSENSUS_DEDUP)})
+
+
+def q_content_length_audit(spark, sf):
+    """Fetch integrity report (operators/revalidate.py
+    content_length_audit): planted fetch results — 1/6 of pages send
+    no Content-Length (unverifiable -> exact), of the rest 1/7 are
+    truncated transfers (body short, clamped at 0) and a further 1/11
+    overrun their header — rolled up per host into truncated/overrun
+    counts, integer truncation permille, and the wasted egress bytes
+    the bytes-budget planner should claw back."""
+    from cola_spark.operators.revalidate import content_length_audit
+
+    o = _t(spark, sf, "orders")
+    claimed = F.when(
+        F.col("o_orderkey") % 6 != 0,
+        ((F.col("o_orderkey") * 53) % 60000).cast("long"),
+    )
+    body = (
+        F.when(
+            claimed.isNull(),
+            ((F.col("o_orderkey") * 29) % 50000).cast("long"),
+        )
+        .when(
+            F.col("o_orderkey") % 7 == 0,
+            F.greatest(
+                claimed - ((F.col("o_orderkey") % 97) + 1).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .when(F.col("o_orderkey") % 11 == 0, claimed + 17)
+        .otherwise(claimed)
+    )
+    fetches = o.select(
+        F.concat(
+            F.lit("h"), F.pmod(F.col("o_orderkey"), F.lit(30)).cast("string")
+        ).alias("host"),
+        claimed.alias("claimed_len"),
+        body.alias("body_len"),
+    )
+    return content_length_audit(fetches)
+
+
+SQL_CONTENT_LENGTH_AUDIT = """
+WITH f AS (SELECT 'h' || CAST(o_orderkey % 30 AS VARCHAR) AS host,
+                  CASE WHEN o_orderkey % 6 <> 0
+                       THEN CAST((o_orderkey * 53) % 60000 AS BIGINT)
+                  END AS claimed_len,
+                  o_orderkey AS okey
+           FROM orders),
+fb AS (SELECT host, claimed_len,
+              CASE WHEN claimed_len IS NULL
+                   THEN CAST((okey * 29) % 50000 AS BIGINT)
+                   WHEN okey % 7 = 0
+                   THEN GREATEST(claimed_len -
+                                 CAST((okey % 97) + 1 AS BIGINT),
+                                 CAST(0 AS BIGINT))
+                   WHEN okey % 11 = 0 THEN claimed_len + 17
+                   ELSE claimed_len END AS body_len
+       FROM f),
+m AS (SELECT host,
+             CASE WHEN claimed_len IS NOT NULL AND body_len < claimed_len
+                  THEN 1 ELSE 0 END AS tr,
+             CASE WHEN claimed_len IS NOT NULL AND body_len > claimed_len
+                  THEN 1 ELSE 0 END AS ov,
+             body_len
+      FROM fb)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS fetches,
+       CAST(SUM(tr) AS BIGINT) AS truncated,
+       CAST(SUM(ov) AS BIGINT) AS overrun,
+       CAST(COUNT(*) - SUM(tr) - SUM(ov) AS BIGINT) AS exact,
+       CAST((1000 * SUM(tr)) // COUNT(*) AS BIGINT) AS truncated_permille,
+       CAST(SUM(tr * body_len) AS BIGINT) AS wasted_bytes
+FROM m GROUP BY host
+"""
+
+PAIRS.update({"content_length_audit": (q_content_length_audit, SQL_CONTENT_LENGTH_AUDIT)})
+
+
+def q_fetch_dispatch_plan(spark, sf):
+    """FETCH-ECONOMICS CAPSTONE: the full pre-dispatch pipeline a
+    production fetcher runs between 'frontier cut' and 'socket open',
+    composing five individually-oracled operators end-to-end:
+
+      robots TTL plan (hold never-fetched hosts; serve-stale expired,
+      RFC 9309 §2.4) -> per-host then per-IP politeness cut (CDN
+      colocation via the md5 7-address pool) -> per-host egress-bytes
+      FIFO-prefix rationing (expected sizes from the revalidation
+      planner's content_len, NULLs at the 30 KB default) ->
+      keep-alive connection slots + dispatch waves.
+
+    Every stage is host-keyed (the one exchange class the politeness
+    queue already pays) or a bounded second window (per-IP <=
+    hosts_per_ip * host_cap by construction); the wave assignment is a
+    pure projection. The oracle nests all five stages as one CTE
+    chain — a drift anywhere in the composition hash-fails."""
+    from cola_spark.operators.budget import bytes_budget_cut
+    from cola_spark.operators.dnscache import (
+        connection_wave_plan,
+        ip_politeness_cut,
+    )
+    from cola_spark.operators.robots import robots_refetch_plan
+    from cola_spark.operators.textdedup import hash_family
+
+    o = _t(spark, sf, "orders")
+    frontier = o.select(
+        F.concat(
+            F.lit("h"), F.pmod(F.col("o_custkey"), F.lit(60)).cast("string")
+        ).alias("host"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderkey").cast("long").alias("seq"),
+        F.when(
+            F.col("o_orderkey") % 4 != 3,
+            ((F.col("o_orderkey") * 37) % 100000).cast("long"),
+        ).alias("expected_len"),
+    )
+    hids = (
+        o.select(F.pmod(F.col("o_custkey"), F.lit(60)).alias("hid"))
+        .distinct()
+        .filter(F.col("hid") % 3 != 1)
+    )
+    rcache = hids.select(
+        F.concat(F.lit("h"), F.col("hid").cast("string")).alias("host"),
+        ((F.col("hid") * 13) % 80).cast("long").alias("fetched_at"),
+        F.lit(40).cast("long").alias("ttl_s"),
+    )
+    plan = robots_refetch_plan(
+        frontier, rcache, now_s=90, n_fetchers=4, batch_size=8,
+        hash_kind="md5",
+    )
+    allowed = frontier.join(
+        plan.filter(F.col("action") != "hold").select("host"), "host"
+    )
+    h = hash_family("md5")
+    resolution = (
+        allowed.select("host")
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("ip"), (h(F.col("host"), 31) % 7).cast("string")
+            ).alias("ip_key"),
+        )
+    )
+    cut = ip_politeness_cut(allowed, resolution, host_cap=20, ip_cap=50)
+    granted = bytes_budget_cut(
+        cut, byte_budget=400000, default_len=30000
+    )
+    w = Window.partitionBy("host").orderBy("prio", "seq")
+    ranked = granted.withColumn(
+        "dispatch_rank", F.row_number().over(w).cast("long")
+    )
+    waves = connection_wave_plan(ranked, max_conns=3, rank_col="dispatch_rank")
+    return waves.select(
+        "host", "prio", "seq", "ip_key", "cost", "cum_bytes",
+        "dispatch_rank", "conn_slot", "wave",
+    )
+
+
+SQL_FETCH_DISPATCH_PLAN = f"""
+WITH f AS (SELECT 'h' || CAST(o_custkey % 60 AS VARCHAR) AS host,
+                  o_orderpriority AS prio,
+                  CAST(o_orderkey AS BIGINT) AS seq,
+                  CASE WHEN o_orderkey % 4 <> 3
+                       THEN CAST((o_orderkey * 37) % 100000 AS BIGINT)
+                  END AS expected_len
+           FROM orders),
+hosts AS (SELECT DISTINCT o_custkey % 60 AS hid,
+                 'h' || CAST(o_custkey % 60 AS VARCHAR) AS host
+          FROM orders),
+rcache AS (SELECT host,
+                  CAST((hid * 13) % 80 AS BIGINT) AS fetched_at,
+                  CAST(40 AS BIGINT) AS ttl_s
+           FROM hosts WHERE hid % 3 <> 1),
+cls AS (SELECT h.host,
+               CASE WHEN c.fetched_at IS NULL THEN 'missing'
+                    WHEN c.fetched_at + c.ttl_s > 90 THEN 'fresh'
+                    ELSE 'expired' END AS status
+        FROM hosts h LEFT JOIN rcache c ON h.host = c.host),
+fa AS (SELECT f.* FROM f JOIN cls ON f.host = cls.host
+       WHERE cls.status <> 'missing'),
+res AS (SELECT host,
+               'ip' || CAST({_md5i('host', 31)} % 7 AS VARCHAR) AS ip_key
+        FROM (SELECT DISTINCT host FROM fa)),
+ph AS (SELECT fa.*, CAST(ROW_NUMBER() OVER (PARTITION BY host
+                                            ORDER BY prio, seq)
+                         AS BIGINT) AS host_rank
+       FROM fa),
+phc AS (SELECT * FROM ph WHERE host_rank <= 20),
+j AS (SELECT phc.*, res.ip_key
+      FROM phc JOIN res ON phc.host = res.host),
+pi AS (SELECT j.*, CAST(ROW_NUMBER() OVER (PARTITION BY ip_key
+                                           ORDER BY prio, seq, host)
+                        AS BIGINT) AS ip_rank
+       FROM j),
+pic AS (SELECT * FROM pi WHERE ip_rank <= 50),
+bb AS (SELECT *,
+              CAST(COALESCE(expected_len, 30000) AS BIGINT) AS cost,
+              CAST(SUM(COALESCE(expected_len, 30000)) OVER (
+                     PARTITION BY host ORDER BY prio, seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_bytes
+       FROM pic),
+gr AS (SELECT * FROM bb WHERE cum_bytes <= 400000),
+dr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY host
+                                         ORDER BY prio, seq)
+                      AS BIGINT) AS dispatch_rank
+       FROM gr)
+SELECT host, prio, seq, ip_key, cost, cum_bytes, dispatch_rank,
+       CAST((dispatch_rank - 1) % 3 AS BIGINT) AS conn_slot,
+       CAST((dispatch_rank - 1) // 3 AS BIGINT) AS wave
+FROM dr
+"""
+
+PAIRS.update({"fetch_dispatch_plan": (q_fetch_dispatch_plan, SQL_FETCH_DISPATCH_PLAN)})
