@@ -210,6 +210,11 @@ BENCH_QUERIES = [
     # rollup + wasted egress bytes per host
     "fetch_dispatch_plan",  # CAPSTONE: robots TTL hold/serve-stale ->
     # host+IP politeness -> bytes rationing -> keep-alive waves
+    "cms_heavy_hitters",  # Count-Min frequency sketch: 192-cell map-side
+    # pass + broadcast point queries (the per-host load telemetry)
+    "lm_perplexity_gate",  # CCNet bigram-LM perplexity percentile cut
+    # (LM trained in-query on the curated md5 slice)
+    "bm25_search_topk",  # integer BM25 top-20 over the mid-df query band
 ]
 
 

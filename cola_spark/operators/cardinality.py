@@ -144,3 +144,103 @@ def hll_merge(*register_frames: DataFrame) -> DataFrame:
     return u.groupBy("bucket").agg(
         F.max("register").cast("long").alias("register")
     )
+
+
+# ---------------------------------------------------------------- Count-Min
+
+
+def cms_cells(
+    df: DataFrame,
+    key_col: str = "host",
+    depth: int = 3,
+    width: int = 64,
+    hash_kind: str = "md5",
+) -> DataFrame:
+    """Count-Min sketch state (Cormode & Muthukrishnan 2005): the
+    depth x width counter grid as (r, p, cnt) rows, empty cells
+    included at 0 — the third sketch family beside the HLL registers
+    (distinct counts) and the log2 latency histogram (quantiles),
+    covering FREQUENCY: "which hosts dominate the frontier" without
+    ever shuffling the corpus by host.
+
+    Each event maps to one cell per hash row (pos_r = h_r(key) % width,
+    seeded family "cms{r}"); a cell counts every event hashed into it.
+    The whole pass is map-side: the explode emits depth rows per event
+    and the groupBy reduces to depth*width keys (192 here) with
+    map-side partial aggregation — at a 10^10-event frontier the
+    reduce side is still 192 rows. Cell-wise ADD mergeable (test-
+    pinned: sketch(A) + sketch(B) = sketch(A ∪ B)), so per-round /
+    per-partition sketches fold into a running one for free.
+
+    Integer-exact end to end (counts and md5-family positions), so a
+    SQL oracle replays every cell bit-for-bit.
+    """
+    h = hash_family(hash_kind)
+    poss = F.array(
+        *[
+            F.pmod(h(F.col(key_col).cast("string"), f"cms{r}"), F.lit(width))
+            .cast("long")
+            for r in range(depth)
+        ]
+    )
+    occ = (
+        df.select(F.posexplode(poss).alias("r", "p"))
+        .groupBy("r", "p")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    spine = df.sparkSession.range(depth * width).select(
+        F.expr(f"id div {width}").cast("long").alias("r"),
+        F.pmod("id", F.lit(width)).cast("long").alias("p"),
+    )
+    # spine is depth*width rows (config-scale): broadcast IS the rule
+    return (
+        F.broadcast(spine)
+        .join(occ, ["r", "p"], "left")
+        .select("r", "p", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    keys: DataFrame,
+    key_col: str = "host",
+    depth: int = 3,
+    width: int = 64,
+    hash_kind: str = "md5",
+) -> DataFrame:
+    """(key, est): point-query the sketch for each candidate key —
+    est = min over the depth rows of the key's cell counters. The
+    classic one-sided guarantee holds by construction (every cell the
+    key hashes into counted ALL of its occurrences plus any colliding
+    mass): est >= true count, over-estimating by at most the colliding
+    mass of the lightest row (test-pinned >=; expected overshoot
+    ~ N/width per row before the min).
+
+    The candidate side is key-scale (e.g. the distinct hosts a
+    frontier round already maintains); the sketch side is depth*width
+    rows and broadcasts. No corpus-scale work happens here at all —
+    the corpus was spent once in cms_cells' map-side pass.
+    """
+    h = hash_family(hash_kind)
+    poss = F.array(
+        *[
+            F.pmod(h(F.col(key_col).cast("string"), f"cms{r}"), F.lit(width))
+            .cast("long")
+            for r in range(depth)
+        ]
+    )
+    probe = keys.select(key_col, F.posexplode(poss).alias("r", "p"))
+    return (
+        probe.join(F.broadcast(cells), ["r", "p"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+
+
+def cms_merge(*cell_frames: DataFrame) -> DataFrame:
+    """Union of sketches: cell-wise SUM per (r, p) — counts add."""
+    it = iter(cell_frames)
+    u = next(it)
+    for f in it:
+        u = u.unionByName(f)
+    return u.groupBy("r", "p").agg(F.sum("cnt").cast("long").alias("cnt"))

@@ -29,7 +29,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cola_spark.operators.textdedup import spread_small_scan
@@ -185,3 +185,188 @@ def tfidf_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def ngram_lm_perplexity(
+    docs: DataFrame,
+    ref_permille: int = 250,
+    keep_permille: int = 300,
+    hash_kind: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_ref: bool = False,
+) -> DataFrame:
+    """CCNet's actual quality gate: rank documents by PERPLEXITY under
+    a language model trained on a curated reference corpus, keep the
+    low-perplexity head (Wenzek et al. 2020 §4.3 — lm_coverage is the
+    coverage cousin; this is the real thing as a bigram LM).
+
+    The LM is an add-one-smoothed bigram model over the deterministic
+    md5-permille curated slice (same "lmref" seed as lm_coverage, so
+    both gates share THE curated corpus). The per-occurrence cost is
+    the integer-exact bit stand-in for -log2 p(w2|w1):
+
+        bits = fl2(c(w1) + V) - fl2(c(w1,w2) + 1),
+        fl2(x) = length(bin(x)) - 1 = floor(log2 x)
+
+    with V = |ref second-word vocab| + 1 (one OOV slot). bin() renders
+    identical strings in both engines (the unigram_quality idiom), c12
+    <= c1 and V >= 1 keep bits >= 0, and unseen contexts degrade to
+    fl2(V) — every division has a nonnegative numerator so Spark DIV
+    == DuckDB //. ppl_millibits = (1000 * sum_bits) DIV n_bigrams is
+    the scaled mean; the keep set is the bottom `keep_permille`
+    fraction by (ppl_millibits, doc_id) via the two-phase global rank
+    (CCNet cuts on percentile, not on an absolute threshold — and the
+    rank form keeps both branches live at any corpus).
+
+    Scale: the bigram build is the shared relational fan-out
+    (raw_grams — occurrences, CCNet scores every token). The c12/c1
+    joins are keyed by gram/context with one probe row per OCCURRENCE
+    — the same volume every corpus pass pays, no blow-up; the trained
+    side is curated-corpus-sized (wiki-scale: broadcastable via
+    `broadcast_ref=True`; default shuffle_hash is the engine-neutral
+    oracle form — the bloom-gate rule, Catalyst's local size estimate
+    must not pick the 10^10-row plan).
+
+    Returns the complete decision table
+    (doc_id, is_ref, n_bigrams, sum_bits, ppl_millibits, ppl_rank,
+    is_kept) for every doc with >= 2 tokens.
+    """
+    from cola_spark.operators.ranking import global_rank
+    from cola_spark.operators.sampling import permille_bucket
+    from cola_spark.operators.selection import raw_grams
+
+    g = raw_grams(docs, n=2, id_col=id_col, text_col=text_col)
+    bucket = permille_bucket(F.col("doc_id"), hash_kind=hash_kind, seed="lmref")
+    g = g.withColumn("is_ref", bucket < ref_permille)
+    ref = g.filter("is_ref")
+    c12 = ref.groupBy("gram").agg(F.count("*").cast("long").alias("c12"))
+    c1 = (
+        ref.select(F.substring_index("gram", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    vocab = ref.select(
+        F.substring_index("gram", " ", -1).alias("w2")
+    ).agg((F.countDistinct("w2") + 1).cast("long").alias("v"))
+    c12 = F.broadcast(c12) if broadcast_ref else c12.hint("shuffle_hash")
+    c1 = F.broadcast(c1) if broadcast_ref else c1.hint("shuffle_hash")
+    fl2 = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
+    probe = (
+        g.join(c12, "gram", "left")
+        .withColumn("w1", F.substring_index("gram", " ", 1))
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "bits",
+            fl2(F.coalesce("c1", F.lit(0)) + F.col("v"))
+            - fl2(F.coalesce("c12", F.lit(0)) + 1),
+        )
+    )
+    per_doc = (
+        probe.groupBy("doc_id", "is_ref")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+        )
+        .withColumn(
+            "ppl_millibits",
+            F.expr("1000 * sum_bits DIV n_bigrams").cast("long"),
+        )
+    )
+    ranked = global_rank(
+        per_doc, ["ppl_millibits", "doc_id"], out_col="ppl_rank",
+        eager_release=True,
+    )
+    tot = ranked.agg(F.count("*").alias("_tot"))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "is_ref",
+        "n_bigrams",
+        "sum_bits",
+        "ppl_millibits",
+        F.col("ppl_rank").cast("long").alias("ppl_rank"),
+        (F.col("ppl_rank") * 1000 <= F.lit(keep_permille) * F.col("_tot"))
+        .alias("is_kept"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    skip: int = 10,
+    take: int = 5,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval over the corpus — the production ranking function
+    (Robertson & Walker 1994; k1 = 6/5, b = 3/4 as exact rationals)
+    beside tfidf_topk's raw tf-idf. Everything stays on the integer
+    grid so the whole ranking is engine-exact:
+
+        term_permille = (44000*avgdl*tf)
+                        DIV (20*avgdl*tf + 6*avgdl + 18*dl)
+
+    is the saturating tf term — tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+    cross-multiplied by 20*avgdl with avgdl = T DIV N snapped to the
+    integer grid (every factor is per-doc bounded, so the arithmetic
+    never outgrows int64 at ANY corpus size — unlike forms that carry
+    the corpus token total T into the numerator); idf_milli =
+    (1000*N) DIV df is the tfidf house rational (rank-monotone in
+    log(N/df)); score = SUM over query terms of idf_milli *
+    term_permille.
+
+    The query is data-derived and deterministic: document-frequency
+    ranks skip+1 .. skip+take (the mid-df band — skipping the
+    ubiquitous head keeps idf discriminative), selected by TakeOrdered
+    (orderBy + limit — distributed partial top-k, config-scale
+    result) and broadcast to the tf join. Top-k docs by (score DESC,
+    doc_id) via the same TakeOrdered; the final rank window runs on
+    the <= k-row shortlist (config-scale, not the banned global
+    window).
+
+    Returns (doc_id, dl, n_q_terms, score, rnk), the top k docs.
+    """
+    from cola_spark.operators.selection import raw_grams
+
+    toks = raw_grams(docs, n=1, id_col=id_col, text_col=text_col)
+    tf = toks.groupBy("doc_id", "gram").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfq = tf.groupBy("gram").agg(F.count("*").cast("long").alias("df"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("sum(dl) DIV count(*)").cast("long").alias("avgdl"),
+    )
+    qterms = dfq.orderBy(F.desc("df"), "gram").limit(skip + take)
+    wq = Window.orderBy(F.desc("df"), "gram")
+    qterms = (
+        qterms.withColumn("qrnk", F.row_number().over(wq))
+        .filter(F.col("qrnk") > skip)
+        .select("gram", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "gram")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_permille",
+            F.expr(
+                "(44000 * avgdl * tf)"
+                " DIV (20 * avgdl * tf + 6 * avgdl + 18 * dl)"
+            ).cast("long"),
+        )
+        .withColumn(
+            "idf_milli", F.expr("(1000 * n_docs) DIV df").cast("long")
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "dl").agg(
+        F.count("*").cast("long").alias("n_q_terms"),
+        F.sum(F.col("idf_milli") * F.col("term_permille"))
+        .cast("long")
+        .alias("score"),
+    )
+    top = per_doc.orderBy(F.desc("score"), "doc_id").limit(k)
+    wr = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(wr).cast("long"))

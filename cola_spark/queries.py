@@ -8438,3 +8438,192 @@ FROM dr
 """
 
 PAIRS.update({"fetch_dispatch_plan": (q_fetch_dispatch_plan, SQL_FETCH_DISPATCH_PLAN)})
+
+
+# ---------------- sketch/LM/retrieval batch (round 5, continuation session)
+
+
+_CMS_HOST = (
+    "CASE WHEN l_orderkey % 100 < 30 THEN 'hot' || CAST(l_orderkey % 3 AS VARCHAR)"
+    " ELSE 'h' || CAST(l_orderkey % 97 AS VARCHAR) END"
+)
+
+
+def _cms_events(spark, sf):
+    """Synthetic per-fetch host stream with a planted Zipf head: 30% of
+    events concentrate on 3 hot hosts (~10% each), the rest spread over
+    97 cold hosts (~0.7% each) — the skew shape a frontier's per-host
+    load telemetry exists to catch."""
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        F.when(
+            F.pmod("l_orderkey", F.lit(100)) < 30,
+            F.concat(F.lit("hot"), F.pmod("l_orderkey", F.lit(3)).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("h"), F.pmod("l_orderkey", F.lit(97)).cast("string"))
+        )
+        .alias("host")
+    )
+
+
+def q_cms_heavy_hitters(spark, sf):
+    """Count-Min-Sketch heavy hitters (operators/cardinality.py
+    cms_cells/cms_estimate): per-host frontier load answered from a
+    3x64-cell sketch instead of a host-keyed corpus shuffle — the
+    frequency member of the sketch family (HLL = distinct, log2
+    histogram = quantiles, CMS = heavy hitters). The corpus pass is
+    map-side (192-key combinable groupBy); candidates score against
+    the broadcast sketch at host scale. est >= exact one-sided
+    guarantee and cell-wise mergeability are test-pinned; exact_cnt /
+    overcount are SANDBOX audit columns (at 10^10 events the sketch
+    replaces the exact count — that is the point). is_heavy flags
+    hosts whose estimate clears 5% of total traffic; the planted
+    universe keeps both branches live (3 hot hosts over threshold, 97
+    cold below)."""
+    from cola_spark.operators.cardinality import cms_cells, cms_estimate
+
+    ev = _cms_events(spark, sf)
+    cells = cms_cells(ev, "host", depth=3, width=64)
+    cand = ev.select("host").distinct()
+    est = cms_estimate(cells, cand, "host", depth=3, width=64)
+    exact = ev.groupBy("host").agg(F.count("*").cast("long").alias("exact_cnt"))
+    tot = ev.agg(F.count("*").cast("long").alias("total"))
+    return (
+        est.join(exact, "host")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            "est",
+            "exact_cnt",
+            (F.col("est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+            (F.col("est") * 1000 >= F.lit(50) * F.col("total")).alias("is_heavy"),
+        )
+    )
+
+
+SQL_CMS_HEAVY = f"""
+WITH ev AS (SELECT {_CMS_HOST} AS host FROM lineitem),
+cl AS (SELECT i.i AS r,
+              CAST(('0x' || substr(md5('cms' || CAST(i.i AS VARCHAR) || ':'
+                                       || host), 1, 15)) AS BIGINT) % 64 AS p
+       FROM ev, UNNEST(generate_series(0, 2)) AS i(i)),
+occ AS (SELECT r, p, CAST(COUNT(*) AS BIGINT) AS cnt FROM cl GROUP BY 1, 2),
+cand AS (SELECT DISTINCT host FROM ev),
+cc AS (SELECT host, i.i AS r,
+              CAST(('0x' || substr(md5('cms' || CAST(i.i AS VARCHAR) || ':'
+                                       || host), 1, 15)) AS BIGINT) % 64 AS p
+       FROM cand, UNNEST(generate_series(0, 2)) AS i(i)),
+es AS (SELECT host, CAST(MIN(o.cnt) AS BIGINT) AS est
+       FROM cc JOIN occ o USING (r, p) GROUP BY host),
+ex AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+       FROM ev GROUP BY host),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM ev)
+SELECT e.host, e.est, x.exact_cnt,
+       CAST(e.est - x.exact_cnt AS BIGINT) AS overcount,
+       e.est * 1000 >= 50 * t.total AS is_heavy
+FROM es e JOIN ex x USING (host) CROSS JOIN t
+"""
+
+
+def q_lm_perplexity_gate(spark, sf):
+    """CCNet perplexity gate (textstats.ngram_lm_perplexity): add-one
+    bigram LM trained on the 25% curated md5 slice (the same "lmref"
+    slice lm_coverage uses), per-doc mean cost in integer millibits
+    (fl2 = length(bin())-1 both engines), keep the bottom-300-permille
+    perplexity head by two-phase global rank. The oracle replays LM
+    training (c12/c1/V), every occurrence's smoothed cost, and the
+    percentile cut — a wrong count anywhere hash-fails."""
+    from cola_spark.operators.textstats import ngram_lm_perplexity
+
+    return ngram_lm_perplexity(
+        _t(spark, sf, "documents"), ref_permille=250, keep_permille=300,
+        hash_kind="md5",
+    )
+
+
+SQL_LM_PERPLEXITY = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram,
+             CAST(('0x' || substr(md5('lmref:' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 1000 < 250 AS is_ref
+      FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2),
+rg AS (SELECT * FROM g WHERE is_ref),
+c12 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12 FROM rg GROUP BY 1),
+c1 AS (SELECT split_part(gram, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+       FROM rg GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT split_part(gram, ' ', 2)) + 1 AS BIGINT)
+        AS v FROM rg),
+b AS (SELECT g.doc_id, g.is_ref,
+             CAST((length(bin(COALESCE(c1.c1, 0) + v.v)) - 1)
+                  - (length(bin(COALESCE(c12.c12, 0) + 1)) - 1) AS BIGINT)
+               AS bits
+      FROM g LEFT JOIN c12 USING (gram)
+             LEFT JOIN c1 ON split_part(g.gram, ' ', 1) = c1.w1
+             CROSS JOIN v),
+d AS (SELECT doc_id, is_ref, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(bits) AS BIGINT) AS sum_bits,
+             CAST((1000 * SUM(bits)) // COUNT(*) AS BIGINT) AS ppl_millibits
+      FROM b GROUP BY 1, 2),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY ppl_millibits, doc_id)
+                     AS BIGINT) AS ppl_rank
+      FROM d),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM d)
+SELECT doc_id, is_ref, n_bigrams, sum_bits, ppl_millibits, ppl_rank,
+       ppl_rank * 1000 <= 300 * t.tot AS is_kept
+FROM r CROSS JOIN t
+"""
+
+
+def q_bm25_search_topk(spark, sf):
+    """Integer-exact BM25 top-20 (textstats.bm25_topk): the production
+    ranking function over the corpus for the deterministic mid-df query
+    band (df ranks 11..15 — past the ubiquitous head). k1=6/5, b=3/4 as
+    cross-multiplied rationals, avgdl snapped to the integer grid, so
+    both engines rank identically; TakeOrdered top-k, rank window only
+    on the <=20-row shortlist."""
+    from cola_spark.operators.textstats import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"), skip=10, take=5, k=20)
+
+
+SQL_BM25_TOPK = r"""
+WITH toks AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+'))
+                AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(dl) // COUNT(*) AS BIGINT) AS avgdl
+       FROM dl),
+q AS (SELECT term, df,
+             ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrnk
+      FROM dfq),
+qt AS (SELECT term, df FROM q WHERE qrnk > 10 AND qrnk <= 15),
+sc AS (SELECT tf.doc_id, dl.dl,
+              ((1000 * st.n_docs) // qt.df)
+              * ((44000 * st.avgdl * tf.tf)
+                 // (20 * st.avgdl * tf.tf + 6 * st.avgdl + 18 * dl.dl))
+                AS contrib
+       FROM tf JOIN qt ON tf.term = qt.term
+               JOIN dl ON tf.doc_id = dl.doc_id
+               CROSS JOIN st),
+pd AS (SELECT doc_id, dl, CAST(COUNT(*) AS BIGINT) AS n_q_terms,
+              CAST(SUM(contrib) AS BIGINT) AS score
+       FROM sc GROUP BY 1, 2),
+top AS (SELECT * FROM pd ORDER BY score DESC, doc_id LIMIT 20)
+SELECT doc_id, dl, n_q_terms, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+FROM top
+"""
+
+
+PAIRS.update({
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY),
+    "lm_perplexity_gate": (q_lm_perplexity_gate, SQL_LM_PERPLEXITY),
+    "bm25_search_topk": (q_bm25_search_topk, SQL_BM25_TOPK),
+})
