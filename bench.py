@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "lm_perplexity_gate",  # CCNet bigram-LM perplexity percentile cut
     # (LM trained in-query on the curated md5 slice)
     "bm25_search_topk",  # integer BM25 top-20 over the mid-df query band
+    "gopher_rules_gate",  # the named Gopher rule set: 7 cross-multiplied
+    # integer rules over two relational fan-outs, full decision table
 ]
 
 

@@ -370,3 +370,109 @@ def bm25_topk(
     top = per_doc.orderBy(F.desc("score"), "doc_id").limit(k)
     wr = Window.orderBy(F.desc("score"), "doc_id")
     return top.withColumn("rnk", F.row_number().over(wr).cast("long"))
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, App. A1.1) as a
+    complete per-rule decision table — the NAMED rule-set filter
+    (Gopher/Dolma/DataComp lineage) beside the generic heuristic
+    scorer (q_docs_quality) and the learned ones (quality_lr,
+    ngram_lm_perplexity):
+
+      r_words:    50 <= word count <= 100000
+      r_meanlen:  3 <= mean word length <= 10        (milli grid)
+      r_symbol:   (# '#' + # '...') / words <= 0.1   (permille)
+      r_bullet:   <= 10% of lines start with '- '
+      r_ellipsis: <= 30% of lines end with '...'
+      r_alpha:    >= 80% of words contain a letter
+      r_stop:     >= 2 distinct stopwords present
+      keep = AND of all seven
+
+    All thresholds are cross-multiplied integer comparisons (no
+    ratios materialize), counts come from two relational fan-outs
+    (the shared raw_grams token build + one line posexplode — both
+    doc-key partitioned, joins co-partitioned) and two text-level
+    length/replace projections (map-side). Every count and boolean is
+    engine-exact, so the SQL oracle replays the whole table.
+    """
+    from cola_spark.operators.selection import raw_grams
+    from cola_spark.operators.textdedup import spread_small_scan
+
+    toks = raw_grams(docs, n=1, id_col=id_col, text_col=text_col)
+    tok_agg = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.length("gram")).cast("long").alias("sum_len"),
+        F.sum(F.when(F.col("gram").rlike("[a-z]"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alpha"),
+        F.countDistinct(
+            F.when(F.col("gram").isin(GOPHER_STOPWORDS), F.col("gram"))
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    base = spread_small_scan(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    lines = base.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    )
+    line_agg = lines.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("line").startswith("- "), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bullet"),
+        F.sum(F.when(F.col("line").endswith("..."), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ellip_line"),
+    )
+    textm = base.select(
+        "doc_id",
+        (F.length("text") - F.length(F.expr("replace(text, '#', '')")))
+        .cast("long")
+        .alias("n_hash"),
+        F.expr("(length(text) - length(replace(text, '...', ''))) DIV 3")
+        .cast("long")
+        .alias("n_ellip"),
+    )
+    j = tok_agg.join(line_agg, "doc_id").join(textm, "doc_id")
+    out = j.select(
+        "doc_id",
+        "n_words",
+        F.expr("1000 * sum_len DIV n_words").cast("long").alias("mean_len_milli"),
+        "n_alpha",
+        "n_stop",
+        "n_lines",
+        "n_bullet",
+        "n_ellip_line",
+        (F.col("n_hash") + F.col("n_ellip")).cast("long").alias("n_symbol"),
+        (F.col("n_words") >= 50).alias("r_words_lo"),
+        (F.col("n_words") <= 100000).alias("r_words_hi"),
+    )
+    out = out.select(
+        "*",
+        ((F.col("mean_len_milli") >= 3000) & (F.col("mean_len_milli") <= 10000))
+        .alias("r_meanlen"),
+        (F.col("n_symbol") * 1000 <= F.col("n_words") * 100).alias("r_symbol"),
+        (F.col("n_bullet") * 1000 <= F.col("n_lines") * 100).alias("r_bullet"),
+        (F.col("n_ellip_line") * 1000 <= F.col("n_lines") * 300)
+        .alias("r_ellipsis"),
+        (F.col("n_alpha") * 1000 >= F.col("n_words") * 800).alias("r_alpha"),
+        (F.col("n_stop") >= 2).alias("r_stop"),
+    )
+    keep = (
+        F.col("r_words_lo")
+        & F.col("r_words_hi")
+        & F.col("r_meanlen")
+        & F.col("r_symbol")
+        & F.col("r_bullet")
+        & F.col("r_ellipsis")
+        & F.col("r_alpha")
+        & F.col("r_stop")
+    )
+    return out.select("*", keep.alias("keep"))

@@ -8627,3 +8627,112 @@ PAIRS.update({
     "lm_perplexity_gate": (q_lm_perplexity_gate, SQL_LM_PERPLEXITY),
     "bm25_search_topk": (q_bm25_search_topk, SQL_BM25_TOPK),
 })
+
+
+def _gopher_docs(spark, sf):
+    """Planted Gopher-rule universe: deterministic doc_id%6 mutations of
+    the documents table so every one of the seven rules fires BOTH ways
+    (the base corpus is single-line lowercase word soup — unplanted, the
+    bullet/ellipsis/symbol/stopword branches would be one-sided).
+    Branch 1 appends four distinct stopwords (r_stop passes), 2 floods
+    '#' symbols, 3 prepends two bulleted lines, 4 appends two
+    '...'-terminated lines, 5 floods 30 numeral tokens (r_alpha and
+    short docs' r_meanlen fail); 0 is the untouched control."""
+    d = _t(spark, sf, "documents")
+    nl = F.lit("\n")
+    m = F.pmod("doc_id", F.lit(6))
+    nums = F.lit(" 0 1 2 3 4 5 6 7 8 9" * 3)
+    text2 = (
+        F.when(m == 1, F.concat("text", F.lit(" of and that have")))
+        .when(m == 2, F.concat("text", F.lit(" ####### ###### #####")))
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("- bullet one"), nl, F.lit("- bullet two"), nl, "text"
+            ),
+        )
+        .when(
+            m == 4,
+            F.concat(
+                "text", nl, F.lit("trailing..."), nl, F.lit("also trailing...")
+            ),
+        )
+        .when(m == 5, F.concat("text", nums))
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", text2.alias("text"))
+
+
+def q_gopher_rules_gate(spark, sf):
+    """The Gopher quality rule set (textstats.gopher_rules — Rae et al.
+    2021 App. A1.1) over the planted universe: word-count bounds, mean
+    word length, symbol ratio, bullet/ellipsis line fractions, alpha-
+    word share, stopword presence — every rule a cross-multiplied
+    integer comparison, the full per-rule decision table out. The
+    NAMED rule-set gate of the Gopher/Dolma/DataComp lineage beside
+    the heuristic scorer, the learned LR classifier and the LM
+    perplexity gate."""
+    from cola_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_gopher_docs(spark, sf))
+
+
+SQL_GOPHER_RULES = r"""
+WITH pl AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 1 THEN text || ' of and that have'
+           WHEN 2 THEN text || ' ####### ###### #####'
+           WHEN 3 THEN '- bullet one' || chr(10) || '- bullet two'
+                       || chr(10) || text
+           WHEN 4 THEN text || chr(10) || 'trailing...' || chr(10)
+                       || 'also trailing...'
+           WHEN 5 THEN text || repeat(' 0 1 2 3 4 5 6 7 8 9', 3)
+           ELSE text
+         END AS text
+  FROM documents),
+tk AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+       FROM pl),
+ta AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+              CAST(SUM(length(tok)) AS BIGINT) AS sum_len,
+              CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_alpha,
+              CAST(COUNT(DISTINCT CASE WHEN tok IN ('the','be','to','of',
+                   'and','that','have','with') THEN tok END) AS BIGINT)
+                AS n_stop
+       FROM tk GROUP BY doc_id),
+ln AS (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line FROM pl),
+la AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+              CAST(SUM(CASE WHEN starts_with(line, '- ') THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_bullet,
+              CAST(SUM(CASE WHEN ends_with(line, '...') THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_ellip_line
+       FROM ln GROUP BY doc_id),
+tm AS (SELECT doc_id,
+              CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+                AS n_hash,
+              CAST((length(text) - length(replace(text, '...', ''))) // 3
+                   AS BIGINT) AS n_ellip
+       FROM pl),
+j AS (SELECT ta.*, la.n_lines, la.n_bullet, la.n_ellip_line,
+             CAST(tm.n_hash + tm.n_ellip AS BIGINT) AS n_symbol
+      FROM ta JOIN la USING (doc_id) JOIN tm USING (doc_id)),
+r AS (SELECT doc_id, n_words,
+             CAST((1000 * sum_len) // n_words AS BIGINT) AS mean_len_milli,
+             n_alpha, n_stop, n_lines, n_bullet, n_ellip_line, n_symbol,
+             n_words >= 50 AS r_words_lo,
+             n_words <= 100000 AS r_words_hi,
+             (1000 * sum_len) // n_words BETWEEN 3000 AND 10000 AS r_meanlen,
+             n_symbol * 1000 <= n_words * 100 AS r_symbol,
+             n_bullet * 1000 <= n_lines * 100 AS r_bullet,
+             n_ellip_line * 1000 <= n_lines * 300 AS r_ellipsis,
+             n_alpha * 1000 >= n_words * 800 AS r_alpha,
+             n_stop >= 2 AS r_stop
+      FROM j)
+SELECT *, r_words_lo AND r_words_hi AND r_meanlen AND r_symbol AND r_bullet
+          AND r_ellipsis AND r_alpha AND r_stop AS keep
+FROM r
+"""
+
+
+PAIRS.update({"gopher_rules_gate": (q_gopher_rules_gate, SQL_GOPHER_RULES)})

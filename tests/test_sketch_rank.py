@@ -241,3 +241,53 @@ def test_cms_partition_invariance(spark, parts):
         (r["r"], r["p"]): r["cnt"] for r in cms_cells(_events(spark), "host").collect()
     }
     assert cells == base
+
+
+class TestGopherRules:
+    def test_each_rule_fires(self, spark):
+        from cola_spark.operators.textstats import gopher_rules
+
+        fluent = " ".join(["word alpha beta gamma delta"] * 12)  # 60 words
+        rows = [
+            ("ok", fluent + " the of"),                      # passes all
+            ("short", "just nine little words here now ok a b"),  # words_lo
+            ("bullets", "- one\n- two\n" + fluent + " the of"),   # bullet
+            ("ellip", fluent + " the of\nfoo...\nbar..."),        # ellipsis
+            ("symbols", fluent + " the of ##########"),          # symbol
+            ("numeric", fluent + " the of " + " ".join("7" * 1 for _ in range(40))),  # alpha
+            ("nostop", fluent + " the"),                      # only 1 stopword
+        ]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+        assert got["ok"]["keep"]
+        assert not got["short"]["r_words_lo"] and not got["short"]["keep"]
+        assert not got["bullets"]["r_bullet"] and got["bullets"]["r_words_lo"]
+        assert not got["ellip"]["r_ellipsis"] and got["ellip"]["r_bullet"]
+        assert not got["symbols"]["r_symbol"]
+        assert not got["numeric"]["r_alpha"]
+        assert not got["nostop"]["r_stop"] and got["nostop"]["r_symbol"]
+        # integer cross-multiplication replay for one doc
+        b = got["bullets"]
+        assert b["n_lines"] == 3 and b["n_bullet"] == 2
+        assert (b["n_bullet"] * 1000 <= b["n_lines"] * 100) == b["r_bullet"]
+
+    def test_counts_replay(self, spark):
+        from cola_spark.operators.textstats import (
+            GOPHER_STOPWORDS,
+            gopher_rules,
+        )
+
+        text = "the cat... sat # on the of mat...\n- b one\nplain line"
+        docs = spark.createDataFrame([("d", text)], "doc_id string, text string")
+        r = gopher_rules(docs).collect()[0]
+        toks = text.split()
+        assert r["n_words"] == len(toks)
+        assert r["mean_len_milli"] == 1000 * sum(len(t) for t in toks) // len(toks)
+        assert r["n_stop"] == len(
+            {t for t in toks if t in GOPHER_STOPWORDS}
+        )
+        assert r["n_symbol"] == text.count("#") + text.count("...")
+        lines = text.split("\n")
+        assert r["n_lines"] == len(lines)
+        assert r["n_bullet"] == sum(1 for l in lines if l.startswith("- "))
+        assert r["n_ellip_line"] == sum(1 for l in lines if l.endswith("..."))
