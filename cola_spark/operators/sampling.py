@@ -290,3 +290,80 @@ def audit_sample(
         docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def priority_sample(
+    items: DataFrame,
+    k: int = 20,
+    key_col: str = "host",
+    weight_col: str = "w",
+    hash_kind: str = "md5",
+    m_bits: int = 20,
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007): a weighted
+    k-sample without replacement with unbiased subset-sum estimators —
+    the WEIGHTED member of the sampling family (stratified_sample =
+    uniform-per-stratum rates, audit_sample = fixed k per stratum,
+    token_budget_mix = budget fill; this one picks keys in proportion
+    to a weight, e.g. QA-sample hosts by queue depth or yield).
+
+    Each key gets priority q = (w << m_bits) DIV (h + 1) with h a
+    seeded md5-family hash in [0, 2^m_bits) standing in for the
+    uniform draw (q >= w always); the sample is the top k by
+    (q DESC, key), the threshold tau is the (k+1)-th priority, and the
+    estimator w_hat = max(w, tau) makes Σ w_hat over any key subset an
+    unbiased estimate of its true weight sum over the hash draw.
+    Population <= k degenerates to take-all with tau = 0, w_hat = w
+    (the scheme's exact-regime).
+
+    Scale: priorities are one map-side projection over the key-scale
+    input (one row per key — aggregate first if the input is
+    event-grained); the top-(k+1) cut is orderBy+limit, which Spark
+    compiles to TakeOrderedAndProject (per-partition partial top-k,
+    then a k+1-row merge — never a global sort); everything after the
+    cut is config-scale (a rank window over <= k+1 rows, a 1-row
+    broadcast tau). Integer-exact, so the DuckDB oracle replays
+    selection, threshold and estimators bit-for-bit. Overflow: w *
+    2^m_bits must fit a BIGINT, so m_bits=20 caps w at 2^43 —
+    frontier queue depths and yields sit far below; smaller m_bits =
+    coarser uniform grid (ties more likely, broken by key).
+
+    Output, one row per SELECTED key: (key, w, q, sample_rank, tau,
+    w_hat) — the sample plus its evidence and estimator.
+    """
+    two_m = 1 << m_bits
+    pri = (
+        items.select(
+            F.col(key_col),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .withColumn(
+            "_h",
+            F.pmod(
+                hash_family(hash_kind)(F.col(key_col).cast("string"), "psamp"),
+                F.lit(two_m),
+            ),
+        )
+        .withColumn(
+            "q", F.expr(f"(w * CAST({two_m} AS BIGINT)) DIV (_h + 1)")
+        )
+        .drop("_h")
+    )
+    top = pri.orderBy(F.col("q").desc(), F.col(key_col).asc()).limit(k + 1)
+    w_rank = Window.orderBy(F.col("q").desc(), F.col(key_col).asc())
+    ranked = top.withColumn(
+        "sample_rank", F.row_number().over(w_rank).cast("long")
+    )
+    tau = ranked.groupBy().agg(
+        F.coalesce(
+            F.max(F.when(F.col("sample_rank") == k + 1, F.col("q"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tau")
+    )
+    return (
+        ranked.filter(F.col("sample_rank") <= k)
+        .crossJoin(F.broadcast(tau))
+        .withColumn("w_hat", F.greatest(F.col("w"), F.col("tau")).cast("long"))
+    )

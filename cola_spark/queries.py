@@ -8736,3 +8736,54 @@ FROM r
 
 
 PAIRS.update({"gopher_rules_gate": (q_gopher_rules_gate, SQL_GOPHER_RULES)})
+
+
+def q_priority_sample(spark, sf):
+    """Priority sampling of hosts by queue depth (operators/sampling.py
+    priority_sample — Duffield, Lund & Thorup 2007): weight each of 97
+    synthetic hosts by its frontier queue depth (order count), draw the
+    weighted k=20 sample without replacement via integer priorities
+    q = (w << 20) DIV (md5_hash + 1), and return the sample with its
+    threshold tau and the unbiased subset-sum estimator w_hat =
+    max(w, tau). The top-(k+1) cut is TakeOrderedAndProject (partial
+    per-partition top-k, merge of k+1 rows); everything after it is
+    config-scale. Integer-exact end to end, so DuckDB replays
+    selection, tau, and the estimators bit-for-bit."""
+    from cola_spark.operators.sampling import priority_sample
+
+    o = _t(spark, sf, "orders")
+    hosts = o.groupBy(
+        F.concat(
+            F.lit("h"), F.pmod(F.col("o_custkey"), F.lit(97)).cast("string")
+        ).alias("host")
+    ).agg(F.count("*").cast("long").alias("w"))
+    return priority_sample(
+        hosts, k=20, key_col="host", weight_col="w", hash_kind="md5",
+        m_bits=20,
+    )
+
+
+SQL_PRIORITY_SAMPLE = f"""
+WITH ks AS (SELECT 'h' || CAST(o_custkey % 97 AS VARCHAR) AS host,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM orders GROUP BY 1),
+pri AS (SELECT host, w,
+               CAST((w * 1048576)
+                    // (({_md5i('host', 'psamp')} % 1048576) + 1)
+                    AS BIGINT) AS q
+        FROM ks),
+rk AS (SELECT host, w, q,
+              CAST(ROW_NUMBER() OVER (ORDER BY q DESC, host)
+                   AS BIGINT) AS sample_rank
+       FROM pri),
+top AS (SELECT * FROM rk WHERE sample_rank <= 21),
+tau AS (SELECT CAST(COALESCE(
+                 MAX(CASE WHEN sample_rank = 21 THEN q END), 0)
+               AS BIGINT) AS tau FROM top)
+SELECT host, w, q, sample_rank, t.tau,
+       GREATEST(w, t.tau) AS w_hat
+FROM top, tau t WHERE sample_rank <= 20
+"""
+
+
+PAIRS.update({"priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE)})

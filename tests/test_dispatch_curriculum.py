@@ -182,3 +182,79 @@ def test_dispatch_slots_fifo(dispatch):
         members.sort(key=lambda r: r["wave"])
         seqs = [r["seq"] for r in members]
         assert seqs == sorted(seqs)  # each slot serves FIFO in wave order
+
+
+def _py_priority_sample(rows, k, m_bits=20):
+    """Sequential reference for priority_sample: same md5-family hash,
+    same integer priorities, same (q DESC, key) order."""
+    import hashlib
+
+    two_m = 1 << m_bits
+
+    def h60(s):
+        return int(hashlib.md5(f"psamp:{s}".encode()).hexdigest()[:15], 16)
+
+    pri = sorted(
+        ((w * two_m) // ((h60(key) % two_m) + 1), key, w)
+        for key, w in rows
+    )
+    pri = sorted(pri, key=lambda t: (-t[0], t[1]))
+    tau = pri[k][0] if len(pri) > k else 0
+    return {
+        key: (w, q, rank + 1, tau, max(w, tau))
+        for rank, (q, key, w) in enumerate(pri[:k])
+    }
+
+
+def test_priority_sample_matches_sequential_reference(spark):
+    from cola_spark.operators.sampling import priority_sample
+
+    rows = [(f"host{i}", (i * 37) % 101 + 1) for i in range(40)]
+    items = spark.createDataFrame(rows, "host string, w long")
+    out = priority_sample(
+        items, k=7, key_col="host", weight_col="w", hash_kind="md5"
+    ).collect()
+    ref = _py_priority_sample(rows, k=7)
+    assert len(out) == 7
+    got = {
+        r["host"]: (r["w"], r["q"], r["sample_rank"], r["tau"], r["w_hat"])
+        for r in out
+    }
+    assert got == ref
+    # estimator invariants: q >= w always; w_hat = max(w, tau); tau > 0
+    # in the sampling regime (population 40 > k)
+    for r in out:
+        assert r["q"] >= r["w"]
+        assert r["tau"] > 0
+        assert r["w_hat"] == max(r["w"], r["tau"])
+
+
+def test_priority_sample_take_all_regime(spark):
+    """Population <= k degenerates to take-all: tau = 0, w_hat = w
+    exactly (the scheme's exact regime — no estimator variance)."""
+    from cola_spark.operators.sampling import priority_sample
+
+    items = spark.createDataFrame(
+        [("a", 5), ("b", 17), ("c", 2)], "host string, w long"
+    )
+    out = priority_sample(
+        items, k=10, key_col="host", weight_col="w", hash_kind="md5"
+    ).collect()
+    assert len(out) == 3
+    assert all(r["tau"] == 0 and r["w_hat"] == r["w"] for r in out)
+    assert sorted(r["sample_rank"] for r in out) == [1, 2, 3]
+
+
+def test_priority_sample_topk_is_take_ordered(spark):
+    """The k+1 cut must compile to TakeOrderedAndProject (distributed
+    partial top-k), not a global Sort — the property that keeps the
+    operator key-scale at a 10^10-key frontier."""
+    from cola_spark.operators.sampling import priority_sample
+
+    items = spark.createDataFrame(
+        [(f"h{i}", i + 1) for i in range(50)], "host string, w long"
+    ).repartition(8)
+    plan = priority_sample(
+        items, k=5, key_col="host", weight_col="w", hash_kind="md5"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -58,6 +58,14 @@ def test_driver_queries_invariant_to_shuffle_partitions(spark):
         "hll_seen_estimate", "crawl_snapshot_diff", "link_reciprocity",
         "registrable_domain", "rendezvous_route", "url_template_census",
         "fetch_latency_quantiles", "magic_sniff_gate",
+        # continuation-session additions: CMS (192-cell spine + broadcast
+        # point query), bigram LM (shuffle_hash LM joins + two-phase
+        # rank), BM25 (TakeOrdered band + shortlist window), Gopher
+        # (two fan-outs + co-partitioned triple join)
+        "cms_heavy_hitters", "lm_perplexity_gate", "bm25_search_topk",
+        "gopher_rules_gate",
+        # priority sampling: TakeOrdered k+1 cut + config-scale tail
+        "priority_sample",
     ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
