@@ -217,6 +217,8 @@ BENCH_QUERIES = [
     "bm25_search_topk",  # integer BM25 top-20 over the mid-df query band
     "gopher_rules_gate",  # the named Gopher rule set: 7 cross-multiplied
     # integer rules over two relational fan-outs, full decision table
+    "priority_sample",  # weighted k-sample w/o replacement (priority
+    # sampling): TakeOrdered k+1 cut + config-scale tau/estimator tail
 ]
 
 

@@ -707,6 +707,25 @@ def _expanded_dot_cos(a, b, d: int):
     return dot, dot / (F.sqrt(na) * F.sqrt(nb))
 
 
+def _expanded_norm(a, d: int):
+    """sqrt(Σ x_j²) of a d-element array column as the same expanded
+    left-to-right fold _expanded_dot_cos uses for its norms — identical
+    float order, so cos computed as dot/(norm_a·norm_b) with norms
+    PRECOMPUTED per side is bit-identical to the inline form. The
+    point of precomputing: inside a join, the inline 3-fold (dot + two
+    norms, 3·d terms at d=64) blows the generated doConsume past the
+    codegen method limit (janino compile failure → whole-stage
+    interpreted fallback, measured on semdedup_prune), and it also
+    recomputes each per-VECTOR norm once per candidate PAIR. Norms are
+    a map-side projection before the exchange; the join keeps only the
+    d-term dot."""
+    s = F.lit(0.0)
+    for j in range(1, d + 1):
+        x = F.element_at(a, j).cast("double")
+        s = s + x * x
+    return F.sqrt(s)
+
+
 def _sub_rows(
     df: DataFrame, out_id: str, n_sub: int, sub_dim: int,
     id_col: str, vec_col: str,
@@ -1037,13 +1056,16 @@ def semdedup_prune(
         cents, nprobe=1,
     )
     a = assigned.select(
-        F.col("_vid").alias("vec_id"), F.col("_v").alias("_va"), "cell"
+        F.col("_vid").alias("vec_id"), F.col("_v").alias("_va"), "cell",
+        _expanded_norm(F.col("_v"), dim).alias("_sa"),
     )
     b = assigned.select(
         F.col("_vid").alias("_nid"), F.col("_v").alias("_vb"),
         F.col("cell").alias("_cellb"),
+        _expanded_norm(F.col("_v"), dim).alias("_sb"),
     )
-    _, cos = _expanded_dot_cos(F.col("_va"), F.col("_vb"), dim)
+    dot, _ = _expanded_dot_cos(F.col("_va"), F.col("_vb"), dim)
+    cos = dot / (F.col("_sa") * F.col("_sb"))
     dup = (
         a.join(
             b.hint("shuffle_hash"),
