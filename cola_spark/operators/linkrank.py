@@ -253,3 +253,92 @@ def link_reciprocity(
             (perm >= thr_permille) & (F.col("out_deg") >= min_out)
         ).alias("is_farm"),
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(host, hub, authority): integer-grid HITS (Kleinberg) after
+    ``iters`` synchronous rounds — the second classic link signal next
+    to host_pagerank. Authorities are pages many good hubs point AT
+    (content worth fetching); hubs are pages that point at many good
+    authorities (directory/seed pages worth re-crawling for discovery).
+    A crawl scheduler uses BOTH: authority ranks the fetch queue, hub
+    ranks the re-parse/discovery queue — the split PageRank's single
+    score can't express.
+
+    Same engine-stability discipline as host_pagerank: scores live on
+    an integer grid (S0 = 10^6), each half-step is an edge-keyed SUM
+    followed by sum-normalization back to the grid,
+
+        a'[v] = Σ_{u→v} h[u];  a''[v] = (S0 * a'[v]) DIV Σ_w a'[w]
+        h'[u] = Σ_{u→v} a''[v]; h''[u] = (S0 * h'[u]) DIV Σ_w h'[w]
+
+    — every term floor-of-integer-division, so the oracle unrolls the
+    rounds as CTEs and a wrong normalization order or a float creeping
+    in hash-fails the driver gate. (Classic HITS L2-normalizes; sum
+    normalization keeps the same ranking fixed-point direction and is
+    exactly representable — documented deviation, applied identically
+    in both engines.)
+
+    Scale shape: two shuffles per round (groupBy dst, groupBy src) over
+    the distinct edge list, normalization totals are broadcast 1-row
+    aggregates, node universe built once; localCheckpoint per round
+    cuts lineage like the CC loop. Nodes with no in-edges (resp.
+    out-edges) settle at authority 0 (resp. hub 0) via left-join
+    coalesce — mirrored in the oracle."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint()
+        nodes = nodes.localCheckpoint()
+    s0 = 1_000_000
+    h = nodes.select("host", F.lit(s0).cast("long").alias("hub"))
+    a = None
+    for _ in range(int(iters)):
+        raw_a = (
+            e.join(h.withColumnRenamed("host", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_ra"))
+        )
+        ta = raw_a.agg(F.sum("_ra").cast("long").alias("_ta"))
+        a = (
+            nodes.join(raw_a.withColumnRenamed("dst", "host"), "host", "left")
+            .crossJoin(F.broadcast(ta))
+            .select(
+                "host",
+                F.expr(f"({s0} * COALESCE(_ra, 0)) DIV _ta")
+                .cast("long")
+                .alias("authority"),
+            )
+        )
+        raw_h = (
+            e.join(a.withColumnRenamed("host", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("authority").alias("_rh"))
+        )
+        th = raw_h.agg(F.sum("_rh").cast("long").alias("_th"))
+        h = (
+            nodes.join(raw_h.withColumnRenamed("src", "host"), "host", "left")
+            .crossJoin(F.broadcast(th))
+            .select(
+                "host",
+                F.expr(f"({s0} * COALESCE(_rh, 0)) DIV _th")
+                .cast("long")
+                .alias("hub"),
+            )
+        )
+        if checkpoint:
+            a = a.localCheckpoint()
+            h = h.localCheckpoint()
+    return h.join(a, "host").select("host", "hub", "authority")

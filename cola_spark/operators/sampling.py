@@ -367,3 +367,92 @@ def priority_sample(
         .crossJoin(F.broadcast(tau))
         .withColumn("w_hat", F.greatest(F.col("w"), F.col("tau")).cast("long"))
     )
+
+
+def isqrt_col(v) -> F.Column:
+    """Exact integer square root of a non-negative BIGINT column,
+    engine-portable. FLOOR(SQRT(x)) alone is NOT exact: IEEE sqrt is
+    correctly rounded, so for x just below (k+1)^2 the rounded double
+    can land ON k+1 and floor overshoots by one. Guarding both
+    directions makes the result isqrt(x) exactly, in Spark and in any
+    ANSI engine (the oracle uses the same three-step form), for any
+    x < 2^52 (beyond that the initial double estimate can be off by
+    more than one). Used by temperature_alloc; callers keep inputs
+    under 2^52 by choosing PREC."""
+    g0 = F.floor(F.sqrt(F.col(v) if isinstance(v, str) else v)).cast("long")
+    x = F.col(v) if isinstance(v, str) else v
+    g1 = g0 - F.when(g0 * g0 > x, F.lit(1)).otherwise(F.lit(0))
+    return (
+        g1 + F.when((g1 + 1) * (g1 + 1) <= x, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+
+
+def temperature_alloc(
+    stats: DataFrame,
+    capacity: int,
+    stratum_col: str = "stratum",
+    n_col: str = "n_docs",
+    prec: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture allocation, alpha = 1/2 — the
+    multilingual rebalancing rule (p_l proportional to n_l^alpha,
+    XLM-R / mT5 style): big strata are down-weighted, small strata
+    up-weighted, between proportional (alpha=1) and uniform (alpha=0).
+
+    No reference analogue — cola schedules URLs; corpus mixing is the
+    training-data layer above it. alpha = 1/2 is the one temperature
+    with an EXACT integer form: weight_l = isqrt(n_l * prec), every
+    term floor-exact (isqrt_col), so the whole allocation — weights,
+    largest-remainder grants, per-stratum sampling permille — is
+    bit-reproducible in the DuckDB oracle. General alpha = p/q needs
+    float pow; it would break the cross-engine hash and is deliberately
+    not offered here.
+
+    Output (stratum, n_docs, weight, granted, sample_permille):
+    SUM(granted) == capacity exactly (largest-remainder, remainder DESC
+    then stratum ASC tiebreak — the yield_alloc discipline);
+    sample_permille = (1000 * granted) DIV n_docs, the per-stratum keep
+    rate a downstream permille_bucket filter applies map-side.
+
+    Scale shape: stats is a stratum-scale frame (one corpus groupBy
+    upstream); everything here is stratum-scale — one broadcast 1-row
+    total, one two-phase global rank. The corpus never enters."""
+    from cola_spark.operators.ranking import global_rank
+
+    w = stats.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(n_col).cast("long").alias("n_docs"),
+    ).withColumn("weight", isqrt_col(F.col("n_docs") * F.lit(int(prec))))
+    tot = w.agg(F.sum("weight").cast("long").alias("_tw"))
+    g = w.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.expr(f"({int(capacity)} * weight) DIV _tw").alias("_base"),
+        F.expr(f"({int(capacity)} * weight) % _tw").alias("_rem"),
+    )
+    ranked = global_rank(
+        g.withColumn("_negrem", -F.col("_rem")),
+        ["_negrem", "stratum"],
+        out_col="_rk",
+        eager_release=True,
+    )
+    leftover = g.agg(
+        (F.lit(int(capacity)) - F.sum("_base")).cast("long").alias("_left")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "stratum",
+            "n_docs",
+            "weight",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("granted"),
+        )
+        .withColumn(
+            "sample_permille",
+            F.expr("(1000 * granted) DIV n_docs").cast("long"),
+        )
+    )

@@ -8787,3 +8787,115 @@ FROM top, tau t WHERE sample_rank <= 20
 
 
 PAIRS.update({"priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE)})
+
+
+def q_temperature_mix(spark, sf):
+    """Temperature-scaled mixture allocation, alpha = 1/2 (operators/
+    sampling.temperature_alloc) over the corpus's (language x source)
+    cells — the XLM-R / mT5 rebalancing rule: grant per stratum
+    proportional to sqrt(n), so en's head shrinks and the tail
+    languages up-sample, with SUM(granted) == 10000 exact. The isqrt
+    is the guarded three-step exact form (a bare FLOOR(SQRT(x))
+    overshoots near perfect squares and would hash-fail); weights,
+    largest-remainder grants and per-stratum keep permilles all replay
+    bit-for-bit in the oracle."""
+    from cola_spark.operators.sampling import temperature_alloc
+
+    d = _t(spark, sf, "documents")
+    stats = d.groupBy(
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("stratum")
+    ).agg(F.count("*").alias("n_docs"))
+    return temperature_alloc(stats, 10000)
+
+
+SQL_TEMPERATURE_MIX = """
+WITH s AS (SELECT lang || ':' || source AS stratum,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+v AS (SELECT stratum, n_docs, n_docs * 1000000 AS x FROM s),
+e0 AS (SELECT *, CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT) AS g0 FROM v),
+e1 AS (SELECT *, g0 - CASE WHEN g0 * g0 > x THEN 1 ELSE 0 END AS g1 FROM e0),
+w AS (SELECT stratum, n_docs,
+             CAST(g1 + CASE WHEN (g1 + 1) * (g1 + 1) <= x THEN 1 ELSE 0 END
+                  AS BIGINT) AS weight
+      FROM e1),
+tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w),
+g AS (SELECT w.*, (10000 * weight) // t.tw AS base,
+             (10000 * weight) % t.tw AS rem
+      FROM w, tot t),
+l AS (SELECT CAST(10000 - SUM(base) AS BIGINT) AS leftover FROM g),
+r AS (SELECT g.*, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rk FROM g)
+SELECT stratum, n_docs, weight,
+       CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+                        THEN 1 ELSE 0 END AS BIGINT) AS granted,
+       CAST((1000 * (base + CASE WHEN rk <= (SELECT leftover FROM l)
+                                 THEN 1 ELSE 0 END)) // n_docs
+            AS BIGINT) AS sample_permille
+FROM r
+"""
+
+
+def q_hits_hub_authority(spark, sf):
+    """Integer-grid HITS (operators/linkrank.hits_scores) over a
+    deterministic host graph from orders (src = o_custkey % 80,
+    dst = o_orderkey % 77) — the hub/authority SPLIT next to
+    host_pagerank's single score: authority ranks the fetch queue,
+    hub ranks the discovery/re-parse queue. Both 2 rounds' half-steps
+    (edge-keyed SUM, then sum-normalize back to the 10^6 grid) are
+    unrolled in the oracle; a wrong normalization order, a missed
+    no-in-edge zero, or a float hash-fails."""
+    from cola_spark.operators.linkrank import hits_scores
+
+    o = _t(spark, sf, "orders")
+    e = o.select(
+        (F.col("o_custkey") % 80).alias("src"),
+        (F.col("o_orderkey") % 77).alias("dst"),
+    )
+    return hits_scores(e, iters=2)
+
+
+def _sql_hits(iters: int = 2, s0: int = 1_000_000) -> str:
+    ctes = [
+        "e AS (SELECT DISTINCT o_custkey % 80 AS src,"
+        " o_orderkey % 77 AS dst FROM orders)",
+        "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+        f"h0 AS (SELECT host, CAST({s0} AS BIGINT) AS hub FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"ra{i} AS (SELECT dst, CAST(SUM(hub) AS BIGINT) AS ra"
+            f" FROM e JOIN h{i-1} h ON e.src = h.host GROUP BY dst)"
+        )
+        ctes.append(
+            f"ta{i} AS (SELECT CAST(SUM(ra) AS BIGINT) AS t FROM ra{i})"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT n.host, CAST(({s0} * COALESCE(ra, 0)) // t.t"
+            f" AS BIGINT) AS authority FROM nodes n"
+            f" LEFT JOIN ra{i} ON n.host = ra{i}.dst CROSS JOIN ta{i} t)"
+        )
+        ctes.append(
+            f"rh{i} AS (SELECT src, CAST(SUM(authority) AS BIGINT) AS rh"
+            f" FROM e JOIN a{i} a ON e.dst = a.host GROUP BY src)"
+        )
+        ctes.append(
+            f"th{i} AS (SELECT CAST(SUM(rh) AS BIGINT) AS t FROM rh{i})"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT n.host, CAST(({s0} * COALESCE(rh, 0)) // t.t"
+            f" AS BIGINT) AS hub FROM nodes n"
+            f" LEFT JOIN rh{i} ON n.host = rh{i}.src CROSS JOIN th{i} t)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h{iters}.host, h{iters}.hub, a{iters}.authority"
+        + f" FROM h{iters} JOIN a{iters} ON h{iters}.host = a{iters}.host"
+    )
+
+
+SQL_HITS = _sql_hits()
+
+PAIRS.update({
+    "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
+    "hits_hub_authority": (q_hits_hub_authority, SQL_HITS),
+})
