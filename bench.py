@@ -219,6 +219,10 @@ BENCH_QUERIES = [
     # integer rules over two relational fan-outs, full decision table
     "priority_sample",  # weighted k-sample w/o replacement (priority
     # sampling): TakeOrdered k+1 cut + config-scale tau/estimator tail
+    "temperature_mix",  # alpha=1/2 mixture rebalancing: one corpus
+    # groupBy, then stratum-scale exact-isqrt largest-remainder grants
+    "hits_hub_authority",  # integer-grid HITS: 2 rounds x 2 edge-keyed
+    # sums + broadcast sum-normalization, hub/authority split
 ]
 
 
@@ -254,18 +258,38 @@ def frontier_pipeline_once(spark, n_urls: int, n_hosts: int, n_images: int,
     from pyspark.sql import functions as F
 
     workdir = workdir or tempfile.mkdtemp(prefix="cola_pipe_", dir="/dev/shm")
+    # plan-variant A/B knob for the scaling campaign (default "" = the
+    # committed job, bit-identical to prior rounds):
+    #   slim         — prune the scheduled log to the fields stage B and
+    #                  the round loop consume (url, url_canon, host,
+    #                  priority, seq, host_rank); path/force/error_times
+    #                  then never enter the two cut exchanges or parquet
+    #   shufflejoins — force the robots + caps joins to parallel
+    #                  ShuffledHashJoin (the planner's Range-size
+    #                  estimates otherwise pick serial broadcast builds
+    #                  even with broadcast=False, which only drops the
+    #                  hint)
+    variant = os.environ.get("SPARK_GRAFT_PIPE_VARIANT", "")
     seeds = gen_frontier_seeds(spark, n_urls, n_hosts=n_hosts, parts=parts)
     frontier = prepare_frontier(seeds.select("url", "priority", "seq", "force"))
     admitted, _ = admit(frontier, spark.createDataFrame([], "url_hash long"))
-    allowed = robots_gate(admitted, gen_robots(spark, n_hosts), broadcast=False)
+    robots = gen_robots(spark, n_hosts)
+    if "shufflejoins" in variant:
+        robots = robots.hint("shuffle_hash")
+    allowed = robots_gate(admitted, robots, broadcast=False)
     budgets = gen_budgets(spark, n_hosts).withColumn("rate_per_round", F.lit(50))
     # web-scale host universe (400k at sf0.1, 10^7+ at the design point):
     # the caps join is a parallel shuffle join, NOT a serial broadcast
     # build per round (measured: 4.95s vs 7.94s at local[32]; stage
     # scaling 0.65 vs 0.32)
-    scheduled = schedule_cut(
-        allowed, budget_caps(init_budget_state(budgets)), broadcast_caps=False
-    )
+    caps = budget_caps(init_budget_state(budgets))
+    if "shufflejoins" in variant:
+        caps = caps.hint("shuffle_hash")
+    scheduled = schedule_cut(allowed, caps, broadcast_caps=False)
+    if "slim" in variant:
+        scheduled = scheduled.select(
+            "url", "url_canon", "host", "priority", "seq", "host_rank"
+        )
 
     def gc_millis():
         beans = (

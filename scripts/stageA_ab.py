@@ -29,6 +29,14 @@ CONFIGS: dict[str, dict] = {
                             "spark.shuffle.spill.compress": "false"}},
     "parallelgc": {"java": "-XX:+UseParallelGC"},
     "g1pause": {"java": "-XX:MaxGCPauseMillis=400 -XX:+ParallelRefProcEnabled"},
+    # plan variants (bench.py SPARK_GRAFT_PIPE_VARIANT, continuation
+    # session): slim = pruned log columns; shufflejoins = parallel
+    # ShuffledHashJoin robots/caps instead of planner-picked broadcasts
+    "slim": {"variant": "slim"},
+    "shufflejoins": {"variant": "shufflejoins"},
+    "slimshuffle": {"variant": "slim+shufflejoins"},
+    "slimshuffle_pgc": {"variant": "slim+shufflejoins",
+                        "java": "-XX:+UseParallelGC"},
 }
 
 
@@ -41,6 +49,8 @@ def run(cpus: int, cfg: dict) -> dict:
         env["SPARK_GRAFT_SHUFFLE_PARTS"] = str(cfg["shuffle_parts"])
     if "conf" in cfg:
         env["SPARK_GRAFT_EXTRA_CONF"] = json.dumps(cfg["conf"])
+    if "variant" in cfg:
+        env["SPARK_GRAFT_PIPE_VARIANT"] = cfg["variant"]
     from cola_spark.shipping import build_pyfiles_zip
 
     zip_path = build_pyfiles_zip(os.path.join(REPO, "BENCH", "engine.zip"))
