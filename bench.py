@@ -258,35 +258,65 @@ def frontier_pipeline_once(spark, n_urls: int, n_hosts: int, n_images: int,
     from pyspark.sql import functions as F
 
     workdir = workdir or tempfile.mkdtemp(prefix="cola_pipe_", dir="/dev/shm")
-    # plan-variant A/B knob for the scaling campaign (default "" = the
-    # committed job, bit-identical to prior rounds):
-    #   slim         — prune the scheduled log to the fields stage B and
-    #                  the round loop consume (url, url_canon, host,
-    #                  priority, seq, host_rank); path/force/error_times
-    #                  then never enter the two cut exchanges or parquet
-    #   shufflejoins — force the robots + caps joins to parallel
-    #                  ShuffledHashJoin (the planner's Range-size
-    #                  estimates otherwise pick serial broadcast builds
-    #                  even with broadcast=False, which only drops the
-    #                  hint)
+    # plan-variant A/B knob for the scaling campaign. Default = the
+    # continuation-session committed job: shuffled (hinted) robots +
+    # caps joins — the operators' broadcast=False behavior, replacing
+    # the serial per-round broadcast builds the planner's Range-size
+    # estimates silently picked — the cut windows REUSING the caps
+    # join's host partitioning (schedule_cut spread=False), and the
+    # scheduled log pruned to the fields stage B and the round loop
+    # consume (url, url_canon, host, priority, seq, host_rank).
+    #
+    # Why spread=False is sound FOR THIS WORKLOAD and not in general:
+    # the admission dedup upstream bounds per-host pending to the
+    # host's distinct page universe (pages_per_host=50 in the
+    # generator), so the phase-1 window's per-host groups are
+    # politeness-scale even for the Zipf-hot head — the planted raw
+    # skew is absorbed by the url_hash-keyed (skew-free) dedup stage
+    # BEFORE any host-keyed stage. With UNBOUNDED per-host pending
+    # (a mega-site backlog) spread=False co-locates that host's sort
+    # in one task: use the operator default spread=True (the salted
+    # repartition, entry()/run_crawl's shape) or spread="join" at
+    # frontier:host ratios where replicated-table joins win. All four
+    # shapes' 8/32-core A/Bs: BENCH/BASELINE.md. Tokens:
+    #   wide     — keep ALL frontier columns in the log (pre-
+    #              continuation job shape, for back-comparison)
+    #   spread   — restore the explicit phase-1 (host, _salt)
+    #              repartition (the skew-unbounded production shape)
+    #   saltjoin — key the robots AND caps joins on (host, _salt) with
+    #              salt-replicated rule/cap tables: one salted frontier
+    #              exchange does skew-spreading + both joins + the
+    #              phase-1 window (wins when frontier >> hosts x salt)
     variant = os.environ.get("SPARK_GRAFT_PIPE_VARIANT", "")
     seeds = gen_frontier_seeds(spark, n_urls, n_hosts=n_hosts, parts=parts)
     frontier = prepare_frontier(seeds.select("url", "priority", "seq", "force"))
     admitted, _ = admit(frontier, spark.createDataFrame([], "url_hash long"))
-    robots = gen_robots(spark, n_hosts)
-    if "shufflejoins" in variant:
-        robots = robots.hint("shuffle_hash")
-    allowed = robots_gate(admitted, robots, broadcast=False)
     budgets = gen_budgets(spark, n_hosts).withColumn("rate_per_round", F.lit(50))
-    # web-scale host universe (400k at sf0.1, 10^7+ at the design point):
-    # the caps join is a parallel shuffle join, NOT a serial broadcast
-    # build per round (measured: 4.95s vs 7.94s at local[32]; stage
-    # scaling 0.65 vs 0.32)
-    caps = budget_caps(init_budget_state(budgets))
-    if "shufflejoins" in variant:
-        caps = caps.hint("shuffle_hash")
-    scheduled = schedule_cut(allowed, caps, broadcast_caps=False)
-    if "slim" in variant:
+    # web-scale host universe (400k at sf0.1, 10^7+ at the design
+    # point): the caps + robots joins are parallel shuffled joins, not
+    # serial per-round broadcast builds (operator-level shuffle_hash
+    # hints; continuation-session A/B at both 8 and 32 cores)
+    if "saltjoin" in variant:
+        admitted = admitted.withColumn(
+            "_salt", F.pmod(F.col("url_hash"), F.lit(16))
+        )
+        allowed = robots_gate(
+            admitted, gen_robots(spark, n_hosts), broadcast=False,
+            salt_col="_salt",
+        )
+        scheduled = schedule_cut(
+            allowed, budget_caps(init_budget_state(budgets)),
+            broadcast_caps=False, spread="join",
+        )
+    else:
+        allowed = robots_gate(
+            admitted, gen_robots(spark, n_hosts), broadcast=False
+        )
+        scheduled = schedule_cut(
+            allowed, budget_caps(init_budget_state(budgets)),
+            broadcast_caps=False, spread="spread" in variant,
+        )
+    if "wide" not in variant:
         scheduled = scheduled.select(
             "url", "url_canon", "host", "priority", "seq", "host_rank"
         )

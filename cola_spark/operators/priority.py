@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 def schedule_cut(
     pending: DataFrame, caps: DataFrame, salt_buckets: int = 16,
-    broadcast_caps: bool = True,
+    broadcast_caps: bool = True, spread: "bool | str" = True,
 ) -> DataFrame:
     """Pick this round's crawl set: per host, the cap(host) first rows in
     (priority, seq) order. ``caps``: (host, cap). Returns scheduled rows
@@ -40,16 +40,62 @@ def schedule_cut(
     broadcast_caps=True is right when the host universe is broadcast-
     sized (a focused crawl); pass False for web-scale host sets (10^7+
     hosts ≈ hundreds of MB — a serial broadcast build per round is the
-    wrong plan there; the shuffle join's exchange is parallel and the
-    phase-1 window re-shuffles by (host, salt) anyway).
+    wrong plan there; the shuffle join's exchange is parallel). The
+    False path carries an explicit shuffle_hash hint: caps frames
+    usually derive from compact plans whose size estimate makes the
+    planner pick a broadcast build regardless, turning the knob into a
+    no-op (continuation-session stage-A A/B: the hinted plan is faster
+    at both 8 and 32 cores).
+
+    ``spread`` controls the phase-1 salted repartition when the caps
+    join is shuffled. The join leaves the frontier hash-partitioned by
+    host, which SATISFIES the phase-1 window's (host, salt) clustering
+    (subset rule) — so without an explicit exchange the salt bounds
+    each window GROUP's sort but a Zipf-hot host's rows stay physically
+    in ONE partition. Three shapes:
+
+      * spread=True (default, skew-safe): explicit (host, _salt)
+        repartition after the host-keyed join — a mega-host spreads
+        over salt_buckets partitions for the phase-1 sort+cut, at the
+        cost of one extra frontier-scale exchange;
+      * spread="join" (skew-safe AND exchange-minimal): the caps table
+        is replicated once per salt value and the join itself keys on
+        (host, _salt) — the ONE join exchange both spreads hot hosts
+        and feeds the phase-1 window directly (its output partitioning
+        matches the window's clustering exactly). Pair with
+        robots_gate(salt_col=...) upstream and the whole gate+cut runs
+        on a single salted frontier partitioning. Requires ``pending``
+        to already carry ``_salt`` if the caller wants the robots join
+        co-keyed; otherwise it is computed here;
+      * spread=False: elide spreading entirely — fastest when the host
+        distribution is known to be politeness-bounded (many hosts,
+        none dominating). A/Bs for the shapes: BENCH/BASELINE.md.
     """
     active = caps.filter(F.col("cap") > 0)
-    df = pending.join(F.broadcast(active) if broadcast_caps else active, "host", "inner")
     salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
+    if "_salt" not in pending.columns:
+        pending = pending.withColumn("_salt", salt)
+    if not broadcast_caps and spread == "join":
+        active = (
+            active.withColumn(
+                "_salt",
+                F.explode(F.sequence(F.lit(0), F.lit(int(salt_buckets) - 1))),
+            )
+            .withColumn("_salt", F.col("_salt").cast("long"))
+            .hint("shuffle_hash")
+        )
+        df = pending.join(active, ["host", "_salt"], "inner")
+    else:
+        if not broadcast_caps:
+            active = active.hint("shuffle_hash")
+        df = pending.join(
+            F.broadcast(active) if broadcast_caps else active, "host", "inner"
+        )
+        if not broadcast_caps and spread:
+            df = df.repartition("host", "_salt")
     w1 = Window.partitionBy("host", "_salt").orderBy("priority", "seq")
     phase1 = (
-        df.withColumn("_salt", salt)
-        .withColumn("_r1", F.row_number().over(w1))
+        df.withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= F.col("cap"))
         .drop("_r1", "_salt")
     )

@@ -30,13 +30,12 @@ CONFIGS: dict[str, dict] = {
     "parallelgc": {"java": "-XX:+UseParallelGC"},
     "g1pause": {"java": "-XX:MaxGCPauseMillis=400 -XX:+ParallelRefProcEnabled"},
     # plan variants (bench.py SPARK_GRAFT_PIPE_VARIANT, continuation
-    # session): slim = pruned log columns; shufflejoins = parallel
-    # ShuffledHashJoin robots/caps instead of planner-picked broadcasts
-    "slim": {"variant": "slim"},
-    "shufflejoins": {"variant": "shufflejoins"},
-    "slimshuffle": {"variant": "slim+shufflejoins"},
-    "slimshuffle_pgc": {"variant": "slim+shufflejoins",
-                        "java": "-XX:+UseParallelGC"},
+    # session). The new default job = shuffled-hinted joins + salted
+    # spread + slim log; tokens below restore prior shapes for A/B:
+    "wide": {"variant": "wide"},          # pre-continuation log columns
+    "spread": {"variant": "spread"},      # explicit phase-1 salt exchange
+    "saltjoin": {"variant": "saltjoin"},  # (host,salt)-keyed gate+cut
+    "default": {"variant": ""},           # hinted SHJ + window-reuse + slim
 }
 
 

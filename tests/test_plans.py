@@ -71,6 +71,49 @@ def test_shuffle_mode_knobs_match_broadcast(spark):
     assert sorted(map(key, cut_bc.collect())) == sorted(map(key, cut_sh.collect()))
 
 
+def test_spread_shapes_row_identical(spark):
+    """All skew-spreading shapes of the shuffled gate+cut — explicit
+    salted repartition (True), window-reuse (False), and the
+    (host, salt)-keyed replicated-table join ("join", with the robots
+    join co-keyed via salt_col) — are physical-plan knobs only: rows
+    must match the broadcast reference exactly."""
+    from pyspark.sql import functions as F
+
+    from cola_spark.operators.budget import budget_caps, init_budget_state
+    from cola_spark.operators.dedup import prepare_frontier
+    from cola_spark.operators.priority import schedule_cut
+    from cola_spark.operators.robots import robots_gate
+    from cola_spark.sources import gen_budgets, gen_frontier_seeds, gen_robots
+
+    fr = prepare_frontier(
+        gen_frontier_seeds(spark, 1500, n_hosts=20).select(
+            "url", "priority", "seq", "force"
+        )
+    )
+    robots = gen_robots(spark, 20)
+    caps = budget_caps(init_budget_state(gen_budgets(spark, 20)))
+    key = lambda r: (r.url, r.host_rank)
+
+    ref_gate = robots_gate(fr, robots, broadcast=True)
+    ref = sorted(map(key, schedule_cut(ref_gate, caps, broadcast_caps=True).collect()))
+
+    for spread in (True, False):
+        got = schedule_cut(
+            robots_gate(fr, robots, broadcast=False),
+            caps, broadcast_caps=False, spread=spread,
+        )
+        assert sorted(map(key, got.collect())) == ref, spread
+
+    salted = fr.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(16)))
+    gate_sj = robots_gate(salted, robots, broadcast=False, salt_col="_salt")
+    got = schedule_cut(gate_sj, caps, broadcast_caps=False, spread="join")
+    assert sorted(map(key, got.collect())) == ref
+    # the salted-join gate itself matches the broadcast gate row-wise
+    assert sorted(r.url for r in gate_sj.collect()) == sorted(
+        r.url for r in ref_gate.collect()
+    )
+
+
 def test_budget_caps_join_is_broadcast(spark):
     from cola_spark.operators.budget import budget_caps, init_budget_state
     from cola_spark.operators.priority import schedule_cut
