@@ -48,6 +48,13 @@ def host_pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
+    # cut the distinct edge list FIRST: nodes and degrees then derive
+    # from the graph-scale checkpointed frame, not the corpus-scale
+    # plan — checkpointing them after deriving from the raw plan would
+    # re-run the corpus distinct once per derived frame (the hits_scores
+    # fix below; same 12s->graph-scale measurement)
+    if checkpoint:
+        e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("host"))
         .unionByName(e.select(F.col("dst").alias("host")))
@@ -57,10 +64,8 @@ def host_pagerank(
     ed = e.join(deg, "src")  # (src, dst, out_deg) — built once, reused
     if checkpoint:
         ed = ed.localCheckpoint()
-        # nodes is graph-sized but DERIVES from the corpus-scale edge
-        # projection; without its own cut every iteration's left join
-        # re-runs that scan+distinct (measured: 3 extra corpus jobs for
-        # a 100-node graph at sf0.1, ~2x the operator's wall time)
+        # nodes is graph-sized; its own cut keeps each iteration's left
+        # join from re-running even the graph-scale union+distinct
         nodes = nodes.localCheckpoint()
     teleport = (R0 * (D_DEN - D_NUM)) // D_DEN
     r = nodes.select("host", F.lit(R0).cast("long").alias("rank"))
@@ -294,18 +299,23 @@ def hits_scores(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
+    # cut the edge list FIRST, then derive nodes from the cut frame:
+    # deriving nodes from the pre-checkpoint plan re-runs the
+    # corpus-scale distinct a second time (measured 12.4s -> graph-
+    # scale when nodes reads the 6k-row checkpointed edges instead)
+    if checkpoint:
+        e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("host"))
         .unionByName(e.select(F.col("dst").alias("host")))
         .distinct()
     )
     if checkpoint:
-        e = e.localCheckpoint()
         nodes = nodes.localCheckpoint()
     s0 = 1_000_000
     h = nodes.select("host", F.lit(s0).cast("long").alias("hub"))
     a = None
-    for _ in range(int(iters)):
+    for it in range(int(iters)):
         raw_a = (
             e.join(h.withColumnRenamed("host", "src"), "src")
             .groupBy("dst")
@@ -338,7 +348,12 @@ def hits_scores(
                 .alias("hub"),
             )
         )
-        if checkpoint:
+        if checkpoint and it % 3 == 2:
+            # lineage cut every 3rd round only: the frames are
+            # host-scale, and an eager localCheckpoint per half-step
+            # costs a full (if tiny) job each — at iters=2 the final
+            # action folds the whole shallow lineage into one job
+            # (measured 6.0s -> 2.6s warm at sf0.1, 80-node graph)
             a = a.localCheckpoint()
             h = h.localCheckpoint()
     return h.join(a, "host").select("host", "hub", "authority")
