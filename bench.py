@@ -287,10 +287,18 @@ def frontier_pipeline_once(spark, n_urls: int, n_hosts: int, n_images: int,
     #              salt-replicated rule/cap tables: one salted frontier
     #              exchange does skew-spreading + both joins + the
     #              phase-1 window (wins when frontier >> hosts x salt)
+    #   semijoin — the sort-free hash-agg + join-back admission shape
+    #              (measured SLOWER: the join-back self-join makes
+    #              Catalyst recompute the parse-heavy frontier scan
+    #              twice — jvm32 8.1s vs minby's 5.4s; see admit
+    #              docstring. Kept as the documented negative result)
     variant = os.environ.get("SPARK_GRAFT_PIPE_VARIANT", "")
     seeds = gen_frontier_seeds(spark, n_urls, n_hosts=n_hosts, parts=parts)
     frontier = prepare_frontier(seeds.select("url", "priority", "seq", "force"))
-    admitted, _ = admit(frontier, spark.createDataFrame([], "url_hash long"))
+    admitted, _ = admit(
+        frontier, spark.createDataFrame([], "url_hash long"),
+        shape="semijoin" if "semijoin" in variant else "minby",
+    )
     budgets = gen_budgets(spark, n_hosts).withColumn("rate_per_round", F.lit(50))
     # web-scale host universe (400k at sf0.1, 10^7+ at the design
     # point): the caps + robots joins are parallel shuffled joins, not

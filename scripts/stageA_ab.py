@@ -36,6 +36,7 @@ CONFIGS: dict[str, dict] = {
     "spread": {"variant": "spread"},      # explicit phase-1 salt exchange
     "saltjoin": {"variant": "saltjoin"},  # (host,salt)-keyed gate+cut
     "default": {"variant": ""},           # hinted SHJ + window-reuse + slim
+    "minby": {"variant": "minby"},        # SortAggregate admission shape
 }
 
 

@@ -114,6 +114,30 @@ def test_spread_shapes_row_identical(spark):
     )
 
 
+def test_admit_shapes_row_identical(spark):
+    """admit's two physical shapes (min_by SortAggregate vs hash-agg +
+    join-back) are row-identical including the first-wins row choice
+    and the returned newly-seen set."""
+    from cola_spark.operators.dedup import admit, prepare_frontier
+    from cola_spark.sources import gen_frontier_seeds
+
+    fr = prepare_frontier(
+        gen_frontier_seeds(spark, 3000, n_hosts=30).select(
+            "url", "priority", "seq", "force"
+        )
+    )
+    seen = fr.limit(40).select("url_hash")  # nonempty seen set
+    key = lambda df: sorted(
+        (r.url_hash, r.seq) for r in df.select("url_hash", "seq").collect()
+    )
+    a1, s1 = admit(fr, seen, shape="minby")
+    a2, s2 = admit(fr, seen, shape="semijoin")
+    assert key(a1) == key(a2) and len(key(a1)) > 0
+    assert sorted(r.url_hash for r in s1.collect()) == sorted(
+        r.url_hash for r in s2.collect()
+    )
+
+
 def test_budget_caps_join_is_broadcast(spark):
     from cola_spark.operators.budget import budget_caps, init_budget_state
     from cola_spark.operators.priority import schedule_cut
